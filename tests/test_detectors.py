@@ -1,0 +1,116 @@
+"""Pure-function detector tests — ports of the unit tests at
+/root/reference/tests/test_warc_metadata_sidecar.py:55-106 (mime/puid,
+charset, language, soft404, string payload) to our deterministic detectors."""
+
+import json
+
+from warc_metadata_sidecar_spark.functions.detectors import (
+    _detect_one,
+    detect_charset,
+    detect_language,
+    detect_soft404,
+    serialize_payload,
+    sniff_mime,
+)
+
+HTML = (
+    "<!DOCTYPE html><html><head><title>UNT</title></head>"
+    "<body><p>the quick brown fox jumps over the lazy dog and it is a fine "
+    "day for crawling the web with the and of to in is that</p></body></html>"
+)
+
+
+def test_mime_and_puid_html():
+    # cf. test_find_mime_and_puid (:55-58): {'fido','python-magic'} + fmt/471
+    fido, magic, puid = sniff_mime(HTML, None)
+    assert (fido, magic, puid) == ("text/html", "text/html", "fmt/471")
+
+
+def test_mime_and_puid_gif():
+    fido, magic, puid = sniff_mime(None, b"GIF89a\x01\x00")
+    assert (fido, magic, puid) == ("image/gif", "image/gif", "fmt/4")
+
+
+def test_charset_ascii():
+    # cf. test_find_character_set (:61-64): ascii / 1.0
+    assert detect_charset(HTML) == ("ascii", 1.0)
+
+
+def test_charset_utf8():
+    assert detect_charset("café") == ("utf-8", 0.99)
+
+
+def test_charset_empty():
+    enc, _ = detect_charset("")
+    assert enc is None
+
+
+def test_language_english():
+    # cf. test_find_language (:67-71): ENGLISH identified, cld2-shaped dict
+    res = detect_language(HTML)
+    assert res is not None
+    assert res["languages"][0]["name"] == "ENGLISH"
+    assert res["languages"][0]["code"] == "en"
+    assert res["reliable"] is True
+    assert res["text-bytes"] > 0
+
+
+def test_language_unknown_is_none():
+    # cf. test_find_language_with_no_languages (:74-77)
+    assert detect_language("zzz qqq xxx 123 456") is None
+    assert detect_language("") is None
+
+
+def test_soft404_range_and_signal():
+    # cf. test_determine_soft404 (:80-85): returns a probability
+    low = detect_soft404(HTML)
+    high = detect_soft404(
+        "<html><head><title>404 Not Found</title></head>"
+        "<body>Sorry, the page you requested was not found. Error 404.</body></html>"
+    )
+    assert 0.0 <= low < high < 1.0
+
+
+def test_serialize_payload_golden_shape():
+    # cf. test_create_string_payload (:94-106): five 'Title: value' lines,
+    # json.dumps formatting, '\n' joined, absent fields omitted
+    lang = {
+        "reliable": True,
+        "text-bytes": 2048,
+        "languages": [{"name": "ENGLISH", "code": "en", "text-covered": 90, "score": 2048.0}],
+    }
+    payload = serialize_payload(
+        "text/html", "text/html", "fmt/471", "ascii", 1.0, lang, 0.25
+    )
+    lines = payload.split("\n")
+    assert lines[0] == (
+        'Identified-Payload-Type: {"fido": "text/html", "python-magic": "text/html"}'
+    )
+    assert lines[1] == "Preservation-Identifier: fmt/471"
+    assert lines[2] == 'Charset-Detected: {"encoding": "ascii", "confidence": 1.0}'
+    assert json.loads(lines[3].split(": ", 1)[1])["languages"][0]["code"] == "en"
+    assert lines[4] == "Soft-404-Detected: 0.25"
+
+
+def test_serialize_payload_absent_fields():
+    assert serialize_payload(None, None, None, None, 0.0, None, None) == ""
+    # soft404 == 0.0 is still emitted (reference: `soft404 is not None`, :162)
+    assert serialize_payload(None, None, None, None, 0.0, None, 0.0).endswith("0.0")
+    # charset omitted when encoding None even with confidence present (:158)
+    assert "Charset" not in serialize_payload("text/plain", None, None, None, 0.73, None, None)
+
+
+def test_detect_one_gating():
+    # charset/lang only for text mimes (F6, :255); soft404 only 200+html (F7)
+    gif = _detect_one(None, b"GIF89a\x01", "200")
+    assert gif["mime_fido"] == "image/gif"
+    assert gif["charset_encoding"] is None
+    assert gif["languages_json"] is None
+    assert gif["soft404"] is None
+
+    html_404 = _detect_one(HTML, None, "404")
+    assert html_404["charset_encoding"] == "ascii"
+    assert html_404["soft404"] is None  # not status 200
+
+    html_200 = _detect_one(HTML, None, "200")
+    assert html_200["soft404"] is not None

@@ -1,0 +1,251 @@
+"""Deterministic synthetic data generator (seed=42) — FIXTURES.md shapes.
+
+Renders the reference test fixtures (/root/reference/tests/*.warc — html_200,
+dns, gif, revisit, arc_text, digest_multiples, empty_payload, soft404_page,
+non_200_html) as rows of the `documents` table, plus the media blob table,
+seed frontier and robots tables for the north-rule crawl engine.
+
+Everything is a pure function of (seed, index): the generator never consults
+wall-clock or RNG state shared across rows, so any slice of any scale
+regenerates identically — that is what makes the local[8] vs local[32]
+scaling runs byte-identical inputs, and crawl ordering reproducible.
+
+Scale note: small scales build rows driver-side (pytest); large scales
+build distributed from ``spark.range`` with the same per-index functions —
+no driver bottleneck, no collect.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark import schema
+
+SEED = 42
+
+_GIF_BYTES = b"GIF89a" + b"\x01\x00\x01\x00\x80\x00\x00" + b"\x00" * 25
+_PNG_BYTES = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + b"\x00" * 24
+_JPG_BYTES = b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 22
+
+_EN = (
+    "the quick brown fox jumps over the lazy dog and it is a fine day for "
+    "crawling the web with a distributed frontier that is polite to hosts"
+)
+_ES = (
+    "el zorro marron salta sobre el perro y es un buen dia para rastrear la "
+    "web con una cola de prioridad que es amable con los servidores"
+)
+_HTML_TMPL = (
+    "<!DOCTYPE html><html><head><title>{title}</title></head>"
+    "<body><p>{body}</p></body></html>"
+)
+_SOFT404_BODY = (
+    "Sorry, the page you requested was not found. Error 404. "
+    "The page does not exist or is no longer available."
+)
+
+
+def _sha1(data: bytes) -> str:
+    return "sha1:" + hashlib.sha1(data).hexdigest().upper()
+
+
+def _ts(i: int) -> dt.datetime:
+    return dt.datetime(2021, 11, 11, 21, 11, 11, tzinfo=dt.timezone.utc) + dt.timedelta(
+        seconds=i
+    )
+
+
+# ten archetypes, cycled by doc index — every FIXTURES.md archetype appears
+# once per 10 rows at any scale.
+_ARCHETYPES = [
+    "html_200",
+    "dns",
+    "gif",
+    "revisit",
+    "arc_text",
+    "digest_dup_a",
+    "digest_dup_b",
+    "empty_payload",
+    "soft404_page",
+    "non_200_html",
+]
+
+
+def _doc_row(i: int) -> dict:
+    arch = _ARCHETYPES[i % 10]
+    host_n = i % 50
+    url = f"https://host{host_n:02d}.example.com/page/{i}"
+    doc_id = f"<urn:uuid:{SEED:08x}-{i:012d}>"
+    base = dict(
+        doc_id=doc_id,
+        url=url,
+        warc_date=_ts(i),
+        rec_type="response",
+        warcinfo_id=f"<urn:uuid:warcinfo-{i // 100}>",
+        http_status="200",
+        is_arc=False,
+        source_file=f"crawl-{i // 1000:05d}.warc.gz",
+        payload_digest=None,
+        spans=[],
+    )
+
+    def text_spans(text: str) -> list[dict]:
+        # split into two spans to exercise multi-span ordering
+        mid = len(text) // 2
+        return [
+            {"kind": "text", "text": text[:mid], "media_ref": None, "offset": 0},
+            {"kind": "text", "text": text[mid:], "media_ref": None, "offset": mid},
+        ]
+
+    if arch == "html_200":
+        body = _EN if i % 20 < 10 else _ES
+        html = _HTML_TMPL.format(title=f"Page {i}", body=body)
+        base["spans"] = text_spans(html)
+        base["payload_digest"] = _sha1(html.encode())
+    elif arch == "dns":
+        base["url"] = f"dns:host{host_n:02d}.example.com"
+        text = f"20211111211111 1.2.3.{i % 255}"
+        base["spans"] = text_spans(text)
+        base["payload_digest"] = _sha1(text.encode())
+    elif arch == "gif":
+        ref = f"media://gif/{i % 7}"  # 7 distinct blobs → digest dedup on media too
+        base["spans"] = [{"kind": "media", "text": None, "media_ref": ref, "offset": 0}]
+        base["payload_digest"] = _sha1(_GIF_BYTES + bytes([i % 7]))
+    elif arch == "revisit":
+        base["rec_type"] = "revisit"
+        base["spans"] = text_spans("revisited content")
+        base["payload_digest"] = _sha1(b"revisit")
+    elif arch == "arc_text":
+        base["is_arc"] = True
+        base["payload_digest"] = None
+        base["warcinfo_id"] = None
+        base["source_file"] = f"crawl-{i // 1000:05d}.arc.gz"
+        base["spans"] = text_spans("plain text from an arc record " + _EN)
+    elif arch in ("digest_dup_a", "digest_dup_b"):
+        # analytics-beacon twins: many rows, 2 distinct digests per 10-block
+        # pair-group of 40 (cf. tests/digest_multiples.warc)
+        group = (i // 40) % 97
+        which = 0 if arch == "digest_dup_a" else 1
+        if which == 0:
+            text = _HTML_TMPL.format(title=f"Beacon {group}", body=_EN)
+        else:
+            text = f"__utm.gif beacon payload {group}"
+        base["spans"] = text_spans(text)
+        base["payload_digest"] = _sha1(f"beacon:{group}:{which}".encode())
+    elif arch == "empty_payload":
+        base["spans"] = []
+        base["payload_digest"] = None
+    elif arch == "soft404_page":
+        html = _HTML_TMPL.format(title="404 Not Found", body=_SOFT404_BODY)
+        base["spans"] = text_spans(html)
+        base["payload_digest"] = _sha1(html.encode())
+    elif arch == "non_200_html":
+        html = _HTML_TMPL.format(title=f"Gone {i}", body=_SOFT404_BODY)
+        base["spans"] = text_spans(html)
+        base["http_status"] = "404"
+        base["payload_digest"] = _sha1((html + "404").encode())
+    return base
+
+
+def documents(spark: SparkSession, n_rows: int = 100) -> DataFrame:
+    """The documents table: driver-side for small n, spark.range for large."""
+    if n_rows <= 10_000:
+        rows = [_doc_row(i) for i in range(n_rows)]
+        return spark.createDataFrame(rows, schema.DOCUMENTS)
+
+    # distributed: same per-index function applied executor-side
+    def batch(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = pd.DataFrame([_doc_row(int(i)) for i in pdf["id"]])
+            yield out
+
+    return (
+        spark.range(0, n_rows, 1, numPartitions=max(32, n_rows // 50_000))
+        .mapInPandas(batch, schema.DOCUMENTS)
+    )
+
+
+def media(spark: SparkSession) -> DataFrame:
+    """Blob table for media_refs emitted by documents(). Content-addressed;
+    bytes carry real magic numbers so sniffing works on content."""
+    rows = []
+    for k in range(7):
+        rows.append(
+            {
+                "media_ref": f"media://gif/{k}",
+                "bytes": _GIF_BYTES + bytes([k]),
+                "meta": {"media_type": "image", "width": 1, "height": 1, "duration_ms": None},
+            }
+        )
+    rows.append(
+        {
+            "media_ref": "media://png/0",
+            "bytes": _PNG_BYTES,
+            "meta": {"media_type": "image", "width": 16, "height": 16, "duration_ms": None},
+        }
+    )
+    rows.append(
+        {
+            "media_ref": "media://jpg/0",
+            "bytes": _JPG_BYTES,
+            "meta": {"media_type": "image", "width": 32, "height": 32, "duration_ms": None},
+        }
+    )
+    return spark.createDataFrame(rows, schema.MEDIA)
+
+
+def seed_frontier(spark: SparkSession, n_seeds: int = 20, num_salts: int = 8) -> DataFrame:
+    """Round-0 frontier: seed URLs drawn from the documents URL space so the
+    simulated fetch join (N5) resolves. priority is a pure function of the
+    URL — crawl ordering is a data property, never wall-clock."""
+    rows = []
+    for s in range(n_seeds):
+        i = s * 10  # html_200 archetype rows
+        url = f"https://host{i % 50:02d}.example.com/page/{i}"
+        rows.append(
+            {
+                "url": url,
+                "canonical_url": None,
+                "host": None,
+                "host_salt": None,
+                "priority": None,
+                "discovery_round": 0,
+                "seq": s,
+                "parent_url": None,
+            }
+        )
+    return spark.createDataFrame(rows, schema.FRONTIER)
+
+
+def robots(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
+    """Synthetic robots table: deterministic per-host budget + a disallowed
+    prefix for every 7th host (exercises deny), varying budgets (1..4)."""
+    rows = []
+    for h in range(n_hosts):
+        host = f"host{h:02d}.example.com"
+        rows.append(
+            {
+                "host": host,
+                "path_prefix": "/private" if h % 7 == 0 else None,
+                "allowed": True,
+                "crawl_delay_s": 1 + h % 3,
+                "budget": 1 + h % 4,
+            }
+        )
+        if h % 7 == 0:
+            rows.append(
+                {
+                    "host": host,
+                    "path_prefix": "/page/13",
+                    "allowed": False,
+                    "crawl_delay_s": 1 + h % 3,
+                    "budget": 1 + h % 4,
+                }
+            )
+    return spark.createDataFrame(rows, schema.ROBOTS)

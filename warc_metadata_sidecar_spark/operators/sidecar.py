@@ -1,0 +1,220 @@
+"""Sidecar extraction: documents table -> sidecar metadata table.
+
+Re-expresses the reference's fused per-record loop (warc_metadata_sidecar.py:
+205-283) as one declarative plan:
+
+    read documents
+      -> filter F1 (rec_type in response/resource, :207-208)
+             F2 (not dns: url, :209-211)
+             F3 (non-empty payload, :213-215)
+      -> project payload_text / sniff head / headers (P1-P2, :216-228)
+      -> DEDUP by payload digest (D1 — the distributed DIGEST_CACHE,
+         :39,231-246): groupBy(dedup_key) with a deterministic
+         first-occurrence representative, detectors run once per distinct
+         payload, results joined back on the key
+      -> detector stage: ONE struct-returning Arrow-batched pandas UDF
+         (S3-S7 + S8 serialization, gating inside the batch)
+      -> filter F4 (drop rows with no detected metadata, :270-271)
+      -> counters A1 (:193-196,299-303)
+
+Shuffle inventory (the whole pipeline has exactly two):
+  1. groupBy(dedup_key) — partial aggregation map-side; key is a content
+     hash so it is uniformly distributed by construction (no salting needed;
+     AQE skew-join covers pathological repeat-digests like analytics beacons,
+     cf. tests/digest_multiples.warc).
+  2. the join back distinct->all rows on dedup_key — same partitioning as
+     (1), so on a real cluster Spark reuses the exchange; AQE turns it into a
+     broadcast join when the distinct side is small.
+At 100 TB the win is the same as the reference's cache but distributed:
+detector cost is O(distinct payloads), not O(records), and the Python stage
+only ever sees each payload once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark.functions.detectors import detect_all
+from warc_metadata_sidecar_spark.schema import LANGUAGES
+
+# reference regexes (warc_metadata_sidecar.py:33,37)
+DNS_PREFIX = "^dns:"
+TEXT_FORMAT_MIMES = "(text|html|xml)"
+
+_SORTED_SPANS = (
+    "array_sort(spans, (l, r) -> CASE WHEN l.offset < r.offset THEN -1 "
+    "WHEN l.offset > r.offset THEN 1 ELSE 0 END)"
+)
+
+
+def payload_text_col() -> Column:
+    """Concatenated text spans in offset order (the reference's payload
+    buffer, warc_metadata_sidecar.py:213, for the text part of a record).
+    Pure column expression — no Python."""
+    return F.expr(
+        f"array_join(transform({_SORTED_SPANS}, s -> coalesce(s.text, '')), '')"
+    )
+
+
+def first_media_ref_col() -> Column:
+    """media_ref of the leading media span when the payload starts with
+    media (drives magic-byte sniffing from the blob head, like fido's
+    BOF buffer)."""
+    return F.expr(
+        f"CASE WHEN size(spans) > 0 AND element_at({_SORTED_SPANS}, 1).kind = 'media' "
+        f"THEN element_at({_SORTED_SPANS}, 1).media_ref END"
+    )
+
+
+def base_filters(documents: DataFrame) -> DataFrame:
+    """F1+F2+F3: the cheap native filters placed BEFORE the Python stage so
+    Catalyst keeps them at the scan (Python UDFs are a pushdown barrier)."""
+    non_empty = F.expr(
+        "exists(spans, s -> (s.text IS NOT NULL AND length(s.text) > 0) "
+        "OR s.media_ref IS NOT NULL)"
+    )
+    return documents.filter(
+        F.col("rec_type").isin("response", "resource")
+        & ~F.coalesce(F.col("url"), F.lit("")).rlike(DNS_PREFIX)
+        & non_empty
+    )
+
+
+def _with_payload_projection(filtered: DataFrame, media: DataFrame | None) -> DataFrame:
+    """P1/P2: payload text + sniffing head. `media` maps media_ref -> bytes;
+    only the first 64 bytes survive the join (projected before the shuffle,
+    so the exchange moves ~70 bytes/row at any scale)."""
+    out = filtered.withColumn("payload_text", payload_text_col()).withColumn(
+        "head_ref", first_media_ref_col()
+    )
+    if media is not None:
+        heads = media.select(
+            F.col("media_ref").alias("head_ref"),
+            F.expr("substring(bytes, 1, 64)").alias("head"),
+        )
+        # equi-join on media_ref; only 64-byte heads cross the exchange. AQE
+        # picks broadcast when the projected head side is small; at 100 TB
+        # the media table would be bucketed by media_ref to co-locate this.
+        out = out.join(heads, "head_ref", "left")
+    else:
+        out = out.withColumn("head", F.lit(None).cast("binary"))
+    return out
+
+
+def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> DataFrame:
+    """The flagship pipeline. Returns the sidecar table (schema.SIDECAR plus
+    `is_text` used by the counters; callers select what they need).
+
+    Digest semantics replicated exactly:
+      - rows with a payload_digest share one detector run (DIGEST_CACHE,
+        warc_metadata_sidecar.py:231-246); the representative is the
+        first occurrence in (warc_date, doc_id) order, matching the
+        reference's first-in-file-wins cache fill (:274-276);
+      - ARC rows have NULL digest and never share (:226-228) — they get a
+        per-row key, so each computes its own metadata.
+    """
+    filtered = _with_payload_projection(base_filters(documents), media)
+    keyed = filtered.withColumn(
+        "dedup_key",
+        F.coalesce(F.col("payload_digest"), F.concat(F.lit("__row__:"), F.col("doc_id"))),
+    )
+
+    # D1: deterministic first-occurrence representative per distinct payload.
+    # min(struct(order..., value...)) gives one shuffle with map-side combine.
+    distinct = (
+        keyed.groupBy("dedup_key")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("warc_date").alias("_o1"),
+                    F.col("doc_id").alias("_o2"),
+                    F.col("payload_text"),
+                    F.col("head"),
+                    F.col("http_status"),
+                )
+            ).alias("rep")
+        )
+        .select(
+            "dedup_key",
+            F.col("rep.payload_text").alias("payload_text"),
+            F.col("rep.head").alias("head"),
+            F.col("rep.http_status").alias("rep_http_status"),
+        )
+    )
+
+    detected = distinct.withColumn(
+        "det", detect_all(F.col("payload_text"), F.col("head"), F.col("rep_http_status"))
+    ).select("dedup_key", "det.*")
+
+    annotated = keyed.drop("payload_text", "head").join(detected, "dedup_key", "left")
+
+    return annotated.select(
+        "doc_id",
+        "url",
+        "warc_date",
+        F.when(F.col("is_arc"), F.lit(None).cast("string"))
+        .otherwise(F.col("doc_id"))
+        .alias("concurrent_id"),
+        F.when(F.col("is_arc"), F.lit(None).cast("string"))
+        .otherwise(F.col("warcinfo_id"))
+        .alias("warcinfo_id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("fido"), F.col("mime_fido"), F.lit("python-magic"), F.col("mime_magic")
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("mime"),
+        "puid",
+        F.when(
+            F.col("charset_encoding").isNotNull(),
+            F.struct(
+                F.col("charset_encoding").alias("encoding"),
+                F.col("charset_confidence").alias("confidence"),
+            ),
+        ).alias("charset"),
+        F.from_json(F.col("languages_json"), LANGUAGES).alias("languages"),
+        "soft404",
+        "payload",
+        # text/non-text classification for counters: the reference classifies
+        # cache hits from line 1 of the cached payload (:234) and misses from
+        # mimes_found (:255) — provably equivalent to this expression for
+        # every reachable payload (both reduce to the detected mime strings).
+        F.concat_ws(" ", F.col("mime_fido"), F.col("mime_magic"))
+        .rlike(TEXT_FORMAT_MIMES)
+        .alias("is_text"),
+    )
+
+
+def sidecar_rows(documents: DataFrame, media: DataFrame | None = None) -> DataFrame:
+    """F4: only rows where at least one detector fired survive
+    (warc_metadata_sidecar.py:270-271)."""
+    return extract_sidecar(documents, media).filter(F.col("payload").isNotNull()).drop("is_text")
+
+
+def sidecar_counters(documents: DataFrame, media: DataFrame | None = None) -> DataFrame:
+    """A1: the reference's four run counters (warc_metadata_sidecar.py:
+    193-196, 299-303) as one aggregation.
+
+    total_records_read counts every input record (incremented before any
+    filter, :206); text_mime/non_text count rows that reached the detector
+    stage (classification at :234-237 and :255-267 — i.e. rows passing
+    F1-F3, including rows later dropped by F4); records_written counts rows
+    surviving F4; mime_type_records = text_mime + non_text.
+    """
+    annotated = extract_sidecar(documents, media)
+    counted = annotated.agg(
+        F.sum(F.when(F.col("payload").isNotNull(), 1).otherwise(0)).alias("records_written"),
+        F.sum(F.when(F.col("is_text"), 1).otherwise(0)).alias("text_mime"),
+        F.sum(F.when(~F.col("is_text"), 1).otherwise(0)).alias("non_text"),
+    )
+    total = documents.agg(F.count("*").alias("total_records_read"))
+    return total.crossJoin(counted).select(
+        "total_records_read",
+        F.coalesce("records_written", F.lit(0)).alias("records_written"),
+        F.coalesce("text_mime", F.lit(0)).alias("text_mime"),
+        F.coalesce("non_text", F.lit(0)).alias("non_text"),
+        (F.coalesce("text_mime", F.lit(0)) + F.coalesce("non_text", F.lit(0))).alias(
+            "mime_type_records"
+        ),
+    )

@@ -1,0 +1,54 @@
+"""SparkSession builders tuned for this engine.
+
+Local mode is the sandbox proxy for a multi-executor cluster: everything here
+(AQE, skew-join handling, shuffle-partition sizing, Arrow batching) is exactly
+what we would set via spark-submit on a 1000-executor cluster; only master()
+and the memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "warc_metadata_sidecar_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession.
+
+    Scale notes (100 TB / 1000 executors):
+      - ``spark.sql.shuffle.partitions`` here tracks local cores; on a real
+        cluster it is sized so each post-shuffle partition is 128-256 MB
+        (AQE coalescing makes the exact number less critical).
+      - AQE is on: runtime coalescing, skew-join splitting, and plan
+        re-optimization using runtime stats.
+      - Arrow is on: every pandas UDF moves data in columnar batches.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
