@@ -1,0 +1,222 @@
+"""Ports of /root/reference/tests/test_sidecar2cdxj.py and
+test_merge_cdxj.py to table-level checks."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark.functions.surt import py_surt, surt_col, timestamp14_col
+from warc_metadata_sidecar_spark.operators.cdxj import (
+    cdxj_filename,
+    cdxj_lines,
+    merge_cdxj,
+    merge_counters,
+    merged_cdxj_filename,
+    parse_cdxj_lines,
+    sidecar_filename,
+    sidecar_to_cdxj,
+)
+from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+
+META_JSON = json.dumps(
+    {
+        "Identified-Payload-Type": {"fido": "text/html", "python-magic": "text/html"},
+        "Preservation-Identifier": "fmt/471",
+        "Charset-Detected": {"encoding": "ascii", "confidence": 1.0},
+        "Languages-cld2": {
+            "reliable": True,
+            "text-bytes": 2048,
+            "languages": [
+                {"name": "DANISH", "code": "da", "text-covered": 60, "score": 1024.0},
+                {"name": "ENGLISH", "code": "en", "text-covered": 30, "score": 512.0},
+            ],
+        },
+        "Soft-404-Detected": 0.087,
+    }
+)
+
+
+def _cdxj_df(spark, rows):
+    return parse_cdxj_lines(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+
+# --- filename derivations (SNK3) -------------------------------------------
+
+def test_filename_derivations():
+    # cf. sidecar2cdxj create_cdxj_path (:35-38), merge create_cdxj_path
+    assert sidecar_filename("crawl.warc.gz") == "crawl.warc.meta.gz"
+    assert sidecar_filename("crawl.warc") == "crawl.warc.meta.gz"
+    assert sidecar_filename("crawl.arc.gz") == "crawl.warc.meta.gz"
+    assert cdxj_filename("crawl.warc.meta.gz") == "crawl.cdxj"
+    assert merged_cdxj_filename("warc_1.cdxj") == "warc_1_merged.cdxj"
+
+
+# --- SURT + timestamp14 (S1/S2) ---------------------------------------------
+
+def test_py_surt():
+    assert py_surt("https://www.unt.edu") == "edu,unt)/"
+    assert py_surt("https://www.UNT.edu/About?X=1") == "edu,unt)/about?x=1"
+    assert py_surt("http://user@host01.example.com:8080/p") == "com,example,host01)/p"
+    assert py_surt(None) is None
+
+
+def test_surt_col_matches_py(spark):
+    urls = [
+        "https://www.unt.edu",
+        "https://www.UNT.edu/About?X=1",
+        "http://user@host01.example.com:8080/p",
+        "https://host07.example.com/page/70",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]
+    assert got == [py_surt(u) for u in urls]
+
+
+def test_timestamp14(spark):
+    df = spark.sql("SELECT timestamp'2021-11-11 21:11:11' AS t")
+    assert df.select(timestamp14_col(F.col("t")).alias("k")).first().k == "20211111211111"
+
+
+# --- sidecar -> CDXJ (script 2) ---------------------------------------------
+
+def test_sidecar_to_cdxj_line(spark, docs100, media_tbl):
+    # cf. test_record_data_to_string (:47-54): 'edu,unt)/ 20211111211111 {...}'
+    side = sidecar_rows(docs100, media_tbl)
+    cdxj = sidecar_to_cdxj(side)
+    row = cdxj.filter(F.col("urlkey").startswith("com,example,host00)")).first()
+    assert row.ts.startswith("202111")
+    obj = json.loads(row.json)
+    assert obj["Identified-Payload-Type"]["python-magic"] == "text/html"
+    assert obj["Preservation-Identifier"] == "fmt/471"
+    assert obj["Charset-Detected"]["encoding"] == "ascii"
+    assert "Languages-cld2" in obj
+    # line form
+    line = cdxj_lines(cdxj).first().value
+    parts = line.split(" ", 2)
+    assert len(parts) == 3 and parts[2].startswith("{")
+
+
+def test_sidecar_to_cdxj_absent_fields_omitted(spark, docs100, media_tbl):
+    side = sidecar_rows(docs100, media_tbl)
+    gif = sidecar_to_cdxj(side.filter(F.col("puid") == "fmt/4")).first()
+    obj = json.loads(gif.json)
+    assert "Charset-Detected" not in obj
+    assert "Languages-cld2" not in obj
+    assert "Soft-404-Detected" not in obj
+
+
+# --- merge (script 3) --------------------------------------------------------
+
+def test_merge_overlay_values(spark):
+    # cf. test_get_sidecar_fields (:62-83): python-magic preferred, charset
+    # encoding only, languages comma-joined alpha3, soft404 appended
+    orig = _cdxj_df(
+        spark,
+        ['com,example) 20091111212121 {"url": "http://www.example.com", "mime": "text/html"}'],
+    )
+    meta = _cdxj_df(spark, [f"com,example) 20091111212121 {META_JSON}"])
+    merged = merge_cdxj(orig, meta).collect()
+    assert len(merged) == 1
+    obj = json.loads(merged[0].json)
+    assert obj["url"] == "http://www.example.com"  # original fields intact
+    assert obj["mime-detected"] == "text/html"
+    assert obj["puid"] == "fmt/471"
+    assert obj["charset"] == "ascii"
+    assert obj["languages"] == "dan,eng"
+    assert obj["soft-404-detected"] == 0.087
+    # original field order preserved, sidecar fields appended after
+    keys = list(obj.keys())
+    assert keys[:2] == ["url", "mime"]
+    assert keys[2] == "mime-detected"
+
+
+def test_merge_magic_fallback_to_fido(spark):
+    # cf. :85-92 — fido-only Identified-Payload-Type
+    meta_obj = {"Identified-Payload-Type": {"fido": "application/pdf"}}
+    orig = _cdxj_df(spark, ['com,x) 20200101000000 {"a": 1}'])
+    meta = _cdxj_df(spark, [f"com,x) 20200101000000 {json.dumps(meta_obj)}"])
+    obj = json.loads(merge_cdxj(orig, meta).first().json)
+    assert obj["mime-detected"] == "application/pdf"
+
+
+def test_merge_soft404_truthy_gate(spark):
+    # a 0.0 score exists in the sidecar CDXJ but the merge drops it
+    # (merge_cdxj.py:53 truthiness — SURVEY.md subtle semantics)
+    meta_obj = {"Preservation-Identifier": "fmt/4", "Soft-404-Detected": 0.0}
+    orig = _cdxj_df(spark, ['com,x) 20200101000000 {"a": 1}'])
+    meta = _cdxj_df(spark, [f"com,x) 20200101000000 {json.dumps(meta_obj)}"])
+    obj = json.loads(merge_cdxj(orig, meta).first().json)
+    assert "soft-404-detected" not in obj
+    assert obj["puid"] == "fmt/4"
+
+
+def test_merge_bad_lang_code_dropped(spark):
+    # cf. :55-59 — non-alpha3-convertible code 'xx-Nkoo' dropped entirely
+    meta_obj = {
+        "Languages-cld2": {
+            "reliable": True,
+            "text-bytes": 10,
+            "languages": [{"name": "X", "code": "xx-Nkoo", "text-covered": 1, "score": 1.0}],
+        }
+    }
+    orig = _cdxj_df(spark, ['com,x) 20200101000000 {"a": 1}'])
+    meta = _cdxj_df(spark, [f"com,x) 20200101000000 {json.dumps(meta_obj)}"])
+    obj = json.loads(merge_cdxj(orig, meta).first().json)
+    assert "languages" not in obj
+
+
+def test_merge_counts_and_duplicates(spark):
+    # cf. test_merge_meta_fields (:95-129) and duplicate probe keys (:132-153):
+    # every original line survives; dup originals each get the metadata
+    orig = _cdxj_df(
+        spark,
+        [
+            'com,a) 20200101000000 {"u": "a"}',
+            'com,b) 20200101000000 {"u": "b"}',
+            'com,a) 20200101000000 {"u": "a-dup"}',
+        ],
+    )
+    meta = _cdxj_df(spark, ['com,a) 20200101000000 {"Preservation-Identifier": "fmt/1"}'])
+    merged = merge_cdxj(orig, meta)
+    rows = merged.collect()
+    assert [r.line_id for r in rows] == sorted(r.line_id for r in rows)  # order kept
+    counts = merge_counters(merged).first()
+    assert counts.edited_count == 2
+    assert counts.non_edited_count == 1
+    unedited = [r for r in rows if not r.edited][0]
+    assert json.loads(unedited.json) == {"u": "b"}
+
+
+def test_merge_build_side_last_wins(spark):
+    # duplicate key on the BUILD side: later line overwrites (merge_cdxj.py:92)
+    orig = _cdxj_df(spark, ['com,a) 20200101000000 {"u": "a"}'])
+    meta = _cdxj_df(
+        spark,
+        [
+            'com,a) 20200101000000 {"Preservation-Identifier": "fmt/1"}',
+            'com,a) 20200101000000 {"Preservation-Identifier": "fmt/2"}',
+        ],
+    )
+    obj = json.loads(merge_cdxj(orig, meta).first().json)
+    assert obj["puid"] == "fmt/2"
+
+
+def test_full_pipeline_sidecar_to_merged(spark, docs100, media_tbl):
+    # end-to-end: extraction -> index -> merge against a synthetic original
+    side = sidecar_rows(docs100, media_tbl)
+    meta_cdxj = sidecar_to_cdxj(side)
+    orig = (
+        meta_cdxj.select(
+            "urlkey",
+            "ts",
+            F.concat(F.lit('{"url": "x", "mime": "application/unknown"}')).alias("json"),
+        )
+        .withColumn("line_id", F.monotonically_increasing_id())
+    )
+    merged = merge_cdxj(orig, meta_cdxj)
+    counts = merge_counters(merged).first()
+    assert counts.non_edited_count == 0
+    assert counts.edited_count == orig.count()
+    sample = json.loads(merged.first().json)
+    assert "mime-detected" in sample

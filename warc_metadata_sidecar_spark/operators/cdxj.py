@@ -1,0 +1,282 @@
+"""CDXJ index + merge (reference scripts 2 and 3).
+
+sidecar_to_cdxj re-expresses sidecar2cdxj.py: sidecar rows -> (urlkey, ts,
+json) lines. The reference re-parses the serialized payload per record
+(convert_payload_to_json, sidecar2cdxj.py:18-29); we never left columnar form,
+so the JSON block is rebuilt from the struct columns natively — zero shuffle,
+zero Python (SURVEY.md §3.2).
+
+merge_cdxj re-expresses merge_cdxj.py: a LEFT OUTER many-to-one equi-join of
+the original CDXJ (probe, order-preserving) against the sidecar CDXJ (build,
+unique keys), overlaying five fields onto the original JSON block
+(merge_cdxj.py:30-56). The reference materializes the whole build side in a
+dict (:85-93) — exactly Spark's broadcast-hash-join shape; AQE falls back to
+sort-merge when the metadata side outgrows the broadcast threshold, which is
+what makes this join work at 100 TB where the dict would OOM.
+
+Probe-side input order is preserved via the explicit line_id column (the
+reference appends to a list, :77,81) — order is a data property, not a
+partition-iteration accident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from warc_metadata_sidecar_spark.functions.surt import surt_col, timestamp14_col
+
+# cld2 code -> ISO-639-3 (merge_cdxj.py:12-27 uses langcodes; cld2 emits a
+# closed code set so a static map is exact — SURVEY.md S10). Codes without a
+# 3-letter form are dropped, like the reference's LookupError/len!=3 path.
+ALPHA3 = {
+    "en": "eng",
+    "es": "spa",
+    "fr": "fra",
+    "de": "deu",
+    "pt": "por",
+    "it": "ita",
+    "da": "dan",
+    "nl": "nld",
+    "sv": "swe",
+    "no": "nor",
+    "fi": "fin",
+    "ru": "rus",
+    "ja": "jpn",
+    "ko": "kor",
+    "zh": "zho",
+    "ar": "ara",
+    "tr": "tur",
+    "pl": "pol",
+    "cs": "ces",
+    "el": "ell",
+    "he": "heb",
+    "hi": "hin",
+    "th": "tha",
+    "vi": "vie",
+    "id": "ind",
+    "uk": "ukr",
+}
+
+# schema of the sidecar CDXJ JSON block (hyphenated reference titles)
+META_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("Identified-Payload-Type", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("Preservation-Identifier", T.StringType()),
+        T.StructField(
+            "Charset-Detected",
+            T.StructType(
+                [
+                    T.StructField("encoding", T.StringType()),
+                    T.StructField("confidence", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "Languages-cld2",
+            T.StructType(
+                [
+                    T.StructField("reliable", T.BooleanType()),
+                    T.StructField("text-bytes", T.IntegerType()),
+                    T.StructField(
+                        "languages",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("name", T.StringType()),
+                                    T.StructField("code", T.StringType()),
+                                    T.StructField("text-covered", T.IntegerType()),
+                                    T.StructField("score", T.DoubleType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("Soft-404-Detected", T.DoubleType()),
+    ]
+)
+
+
+def sidecar_to_cdxj(sidecar: DataFrame) -> DataFrame:
+    """sidecar rows -> (urlkey, ts, json). Mirrors sidecar2cdxj.py:40-61:
+    warcinfo rows never exist in our sidecar table (F5 is structural), the
+    JSON block carries the five title-keyed fields, absent fields omitted
+    (to_json drops nulls)."""
+    lang_block = F.when(
+        F.col("languages").isNotNull(),
+        F.struct(
+            F.col("languages.reliable").alias("reliable"),
+            F.col("languages.text_bytes").alias("text-bytes"),
+            F.expr(
+                "transform(languages.languages, e -> named_struct("
+                "'name', e.name, 'code', e.code, "
+                "'text-covered', e.text_covered, 'score', e.score))"
+            ).alias("languages"),
+        ),
+    )
+    json_block = F.to_json(
+        F.struct(
+            F.col("mime").alias("Identified-Payload-Type"),
+            F.col("puid").alias("Preservation-Identifier"),
+            F.col("charset").alias("Charset-Detected"),
+            lang_block.alias("Languages-cld2"),
+            F.col("soft404").alias("Soft-404-Detected"),
+        )
+    )
+    return sidecar.select(
+        surt_col(F.col("url")).alias("urlkey"),
+        timestamp14_col(F.col("warc_date")).alias("ts"),
+        json_block.alias("json"),
+    )
+
+
+def parse_cdxj_lines(lines: DataFrame) -> DataFrame:
+    """CDXJ text -> (line_id, urlkey, ts, json) (reference P3: split(' ', 2),
+    merge_cdxj.py:67,89). line_id preserves file order for the sink."""
+    return lines.select(
+        F.monotonically_increasing_id().alias("line_id"),
+        F.split(F.col("value"), " ", 3).alias("parts"),
+    ).select(
+        "line_id",
+        F.col("parts").getItem(0).alias("urlkey"),
+        F.col("parts").getItem(1).alias("ts"),
+        F.col("parts").getItem(2).alias("json"),
+    )
+
+
+def alpha3_codes_col(lang_struct_col: str = "meta.`Languages-cld2`"):
+    """Comma-joined alpha-3 codes from a parsed Languages-cld2 block
+    (merge_cdxj.py:12-27). Non-convertible codes dropped; '' when none."""
+    mapping = F.create_map(*[F.lit(x) for kv in ALPHA3.items() for x in kv])
+    return F.array_join(
+        F.filter(
+            F.transform(
+                F.col(f"{lang_struct_col}.languages"),
+                lambda e: F.element_at(mapping, e.getField("code")),
+            ),
+            lambda c: c.isNotNull(),
+        ),
+        ",",
+    )
+
+
+def merge_cdxj(original: DataFrame, meta: DataFrame) -> DataFrame:
+    """J1+J2: left join original on (urlkey, ts); overlay the five sidecar
+    fields into the original JSON block (merge_cdxj.py:59-82,30-56).
+
+    Field-overlay fidelity:
+      - mime-detected prefers python-magic over fido (:36-40);
+      - charset carries only the encoding (:45-47);
+      - languages become comma-joined alpha-3 codes, omitted when none
+        convert (:48-52);
+      - soft-404-detected only when TRUTHY — a 0.0 score present in the
+        sidecar is dropped here (:53-55; SURVEY.md "subtle semantics");
+      - original JSON field order preserved, sidecar fields appended — done
+        by string surgery on the original block rather than re-parsing it
+        into an unordered map.
+    Returns (line_id, urlkey, ts, json, edited) ordered by line_id.
+    """
+    meta_cols = ["urlkey", "ts", F.from_json("json", META_JSON_SCHEMA).alias("meta")]
+    if "line_id" in meta.columns:
+        order_col = F.col("line_id")
+    else:
+        order_col = F.monotonically_increasing_id()
+    meta_parsed = meta.select(*meta_cols, order_col.alias("_ord"))
+    # build side assumes unique keys; a duplicate key overwrites — LAST line
+    # wins (merge_cdxj.py:92). row_number over desc(_ord) reproduces that.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("urlkey", "ts").orderBy(F.desc("_ord"))
+    meta_unique = (
+        meta_parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("urlkey", "ts", "meta")
+    )
+
+    joined = original.join(meta_unique, ["urlkey", "ts"], "left")
+
+    mime = F.coalesce(
+        F.col("meta.`Identified-Payload-Type`").getItem("python-magic"),
+        F.col("meta.`Identified-Payload-Type`").getItem("fido"),
+    )
+    langs = alpha3_codes_col()
+    soft404 = F.col("meta.`Soft-404-Detected`")
+
+    fragments = F.concat_ws(
+        ", ",
+        F.when(mime.isNotNull(), F.concat(F.lit('"mime-detected": "'), mime, F.lit('"'))),
+        F.when(
+            F.col("meta.`Preservation-Identifier`").isNotNull(),
+            F.concat(F.lit('"puid": "'), F.col("meta.`Preservation-Identifier`"), F.lit('"')),
+        ),
+        F.when(
+            F.col("meta.`Charset-Detected`.encoding").isNotNull(),
+            F.concat(
+                F.lit('"charset": "'), F.col("meta.`Charset-Detected`.encoding"), F.lit('"')
+            ),
+        ),
+        F.when(
+            F.col("meta.`Languages-cld2`").isNotNull() & (F.length(langs) > 0),
+            F.concat(F.lit('"languages": "'), langs, F.lit('"')),
+        ),
+        # truthy gate: NULL and 0.0 both drop the field (merge_cdxj.py:53)
+        F.when(
+            soft404.isNotNull() & (soft404 != 0.0),
+            F.concat(F.lit('"soft-404-detected": '), soft404.cast("string")),
+        ),
+    )
+
+    merged_json = F.when(F.col("meta").isNull() | (F.length(fragments) == 0), F.col("json")).otherwise(
+        F.when(
+            F.regexp_replace(F.col("json"), r"\s", "") == "{}",
+            F.concat(F.lit("{"), fragments, F.lit("}")),
+        ).otherwise(
+            F.concat(
+                F.regexp_replace(F.col("json"), r"\}\s*$", ""),
+                F.lit(", "),
+                fragments,
+                F.lit("}"),
+            )
+        )
+    )
+
+    return joined.select(
+        "line_id",
+        "urlkey",
+        "ts",
+        merged_json.alias("json"),
+        F.col("meta").isNotNull().alias("edited"),
+    ).orderBy("line_id")
+
+
+def merge_counters(merged: DataFrame) -> DataFrame:
+    """A2: edited / non-edited counts (merge_cdxj.py:62-63,73,80,82)."""
+    return merged.agg(
+        F.sum(F.when(F.col("edited"), 1).otherwise(0)).alias("edited_count"),
+        F.sum(F.when(~F.col("edited"), 1).otherwise(0)).alias("non_edited_count"),
+    )
+
+
+def cdxj_lines(df: DataFrame) -> DataFrame:
+    """(urlkey, ts, json) -> one-column text lines for the text sink (SNK2)."""
+    return df.select(F.concat_ws(" ", "urlkey", "ts", "json").alias("value"))
+
+
+# --- SNK3: filename derivations (warc_metadata_sidecar.py:182-185,
+# sidecar2cdxj.py:11-15, merge_cdxj.py:96-101) — driver-side naming helpers.
+import re as _re
+
+
+def sidecar_filename(warc_file: str) -> str:
+    return _re.sub(r"w?arc(\.gz)?$", "warc.meta.gz", warc_file)
+
+
+def cdxj_filename(sidecar_file: str) -> str:
+    return _re.sub(r"warc.meta.gz", "cdxj", sidecar_file)
+
+
+def merged_cdxj_filename(warc_cdxj: str) -> str:
+    return _re.sub(r"\.cdxj$", "_merged.cdxj", warc_cdxj)
