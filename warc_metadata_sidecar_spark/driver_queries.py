@@ -1,0 +1,694 @@
+"""Driver-contract query inventory: every SURVEY.md §2 operator exposed as a
+(spark_query, duckdb_oracle) pair over the driver's parquet tables.
+
+Each query is written ONCE in a canonical SQL with dialect tokens, rendered
+for Spark SQL and DuckDB; value-affecting logic (hashes, arithmetic, window
+order keys) is engine-portable by construction (md5, integer modulo, string
+mins), so the DuckDB oracle reproduces Spark results bit-for-bit.
+
+The driver tables carry no crawl columns, so crawl-shaped inputs (urls,
+hosts, rec_types, digests, priorities) are DERIVED deterministically from
+doc_id inside each query — identically in both dialects.
+
+Column-name discipline: every computed column is aliased the same in both
+dialects (the driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --- dialect rendering -------------------------------------------------------
+
+def _lat_spark(n_expr: str, alias: str = "i") -> str:
+    return f"LATERAL VIEW explode(sequence(1, {n_expr})) _lat AS {alias}"
+
+
+def _lat_duck(n_expr: str, alias: str = "i") -> str:
+    return f", LATERAL (SELECT unnest(generate_series(1, ({n_expr}))) AS {alias}) _lat"
+
+
+SPARK = {
+    "PRINTF": "format_string",
+    "SPLIT": "split",  # literal single-space delimiter in all uses
+    "LEN": "size",
+    "STRPOS": "instr",
+    "LIST_DISTINCT": "array_distinct",
+    "SLICE_JOIN": "concat_ws(' ', slice({arr}, {i}, 3))",
+    "LAT": _lat_spark,
+    "SHIFTLEFT": "shiftleft(1, {b})",
+    "SHIFTRIGHT": "shiftright({v}, {b})",
+    "EPOCH": "unix_timestamp({t})",
+    "ANTI": "LEFT ANTI JOIN",
+}
+DUCK = {
+    "PRINTF": "printf",
+    "SPLIT": "string_split",
+    "LEN": "len",
+    "STRPOS": "strpos",
+    "LIST_DISTINCT": "list_distinct",
+    "SLICE_JOIN": "array_to_string({arr}[{i}:{i}+2], ' ')",
+    "LAT": _lat_duck,
+    "SHIFTLEFT": "(CAST(1 AS BIGINT) << {b})",
+    "SHIFTRIGHT": "({v} >> {b})",
+    "EPOCH": "epoch({t})",
+    "ANTI": "ANTI JOIN",
+}
+
+
+def _render(template: str, d: dict) -> str:
+    out = template
+    out = out.replace("@PRINTF", d["PRINTF"])
+    out = out.replace("@SPLIT", d["SPLIT"])
+    out = out.replace("@LIST_DISTINCT", d["LIST_DISTINCT"])
+    out = out.replace("@LEN", d["LEN"])
+    out = out.replace("@STRPOS", d["STRPOS"])
+    out = out.replace("@ANTI", d["ANTI"])
+    return out
+
+
+# --- shared derivations ------------------------------------------------------
+
+# crawl-shaped view of `documents`: host/url/rec_type/digest derived from
+# doc_id — the documents table standing in for a WARC record stream
+# (reference scan at warc_metadata_sidecar.py:205).
+CRAWL_CTE = """
+crawl AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 AS INT) AS host_n,
+         @PRINTF('host%02d.example.com', CAST(doc_id % 50 AS INT)) AS host,
+         CASE WHEN doc_id % 10 = 1
+              THEN @PRINTF('dns:host%02d.example.com', CAST(doc_id % 50 AS INT))
+              ELSE @PRINTF('https://host%02d.example.com/page/%d',
+                           CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) END AS url,
+         CASE CAST(doc_id % 10 AS INT)
+              WHEN 3 THEN 'revisit' WHEN 4 THEN 'request'
+              WHEN 5 THEN 'warcinfo' WHEN 6 THEN 'resource'
+              ELSE 'response' END AS rec_type,
+         CASE WHEN doc_id % 10 = 7 THEN '' ELSE text END AS payload_text,
+         md5(CASE WHEN doc_id % 10 = 7 THEN '' ELSE text END) AS digest,
+         doc_id % 10 = 2 AS is_media,
+         CASE WHEN doc_id % 10 = 9 THEN '404' ELSE '200' END AS http_status,
+         lang, source, n_chars
+  FROM documents
+)
+"""
+
+# F1+F2+F3 applied (warc_metadata_sidecar.py:207-215)
+KEPT_CTE = (
+    CRAWL_CTE
+    + """,
+kept AS (
+  SELECT * FROM crawl
+  WHERE rec_type IN ('response', 'resource')
+    AND url NOT LIKE 'dns:%'
+    AND length(payload_text) > 0
+)
+"""
+)
+
+# dedup corpus with planted exact + near duplicates (dedup operator family)
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, @STRPOS(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+# --- query templates ---------------------------------------------------------
+
+_Q: dict[str, str] = {}
+
+# F1-F3: record-type / dns / empty-payload filters
+_Q["sidecar_filters"] = (
+    "WITH "
+    + KEPT_CTE
+    + """
+SELECT rec_type, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY rec_type ORDER BY rec_type
+"""
+)
+
+# D1: digest memoization as groupBy — one detector run per distinct digest
+_Q["digest_dedup"] = (
+    "WITH "
+    + KEPT_CTE
+    + """
+SELECT digest,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM kept GROUP BY digest ORDER BY digest
+"""
+)
+
+# A1: the four run counters (warc_metadata_sidecar.py:193-196,299-303)
+_Q["sidecar_counters"] = (
+    "WITH "
+    + KEPT_CTE
+    + """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM crawl) AS total_records_read,
+  CAST(count(*) AS BIGINT) AS mime_type_records,
+  CAST(sum(CASE WHEN is_media THEN 0 ELSE 1 END) AS BIGINT) AS text_mime,
+  CAST(sum(CASE WHEN is_media THEN 1 ELSE 0 END) AS BIGINT) AS non_text,
+  CAST(count(*) AS BIGINT) AS records_written
+FROM kept
+"""
+)
+
+# J1+A2: CDXJ merge join — left-outer many-to-one, duplicate probe keys each
+# merged (merge_cdxj.py:59-93); build side = every 3rd record
+_Q["cdxj_merge_counts"] = (
+    "WITH "
+    + KEPT_CTE
+    + """,
+original AS (
+  SELECT @PRINTF('com,example,host%02d)/page/%d', host_n, CAST(doc_id AS INT)) AS urlkey,
+         doc_id
+  FROM kept
+  UNION ALL
+  SELECT @PRINTF('com,example,host%02d)/page/%d', host_n, CAST(doc_id AS INT)) AS urlkey,
+         doc_id + 5000000
+  FROM kept WHERE doc_id % 7 = 0
+),
+meta AS (
+  SELECT @PRINTF('com,example,host%02d)/page/%d', host_n, CAST(doc_id AS INT)) AS urlkey,
+         digest
+  FROM kept WHERE doc_id % 3 = 0
+)
+SELECT
+  CAST(sum(CASE WHEN m.urlkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS edited_count,
+  CAST(sum(CASE WHEN m.urlkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_edited_count,
+  CAST(count(*) AS BIGINT) AS total_lines
+FROM original o LEFT JOIN meta m ON o.urlkey = m.urlkey
+"""
+)
+
+# N3: partitioned priority queue — per-host window rank <= robots budget
+_Q["frontier_schedule"] = (
+    "WITH "
+    + KEPT_CTE
+    + """,
+frontier AS (
+  SELECT host, host_n, url,
+         CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0 AS priority
+  FROM kept
+),
+ranked AS (
+  SELECT host, url, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rnk,
+         1 + host_n % 4 AS budget
+  FROM frontier
+)
+SELECT host, url, CAST(rnk AS BIGINT) AS rnk,
+       CAST(round(priority, 6) AS DOUBLE) AS priority
+FROM ranked WHERE rnk <= budget ORDER BY host, rnk
+"""
+)
+
+# N2: URL-seen exactness backstop — anti-join candidates against crawled set
+_Q["url_seen_antijoin"] = (
+    "WITH "
+    + KEPT_CTE
+    + """,
+frontier AS (SELECT host, url, doc_id FROM kept),
+seen AS (SELECT url FROM kept WHERE doc_id % 3 = 0)
+SELECT f.host, CAST(count(*) AS BIGINT) AS n_new
+FROM frontier f @ANTI seen s ON f.url = s.url
+GROUP BY f.host ORDER BY f.host
+"""
+)
+
+# N4: politeness — per-host robots allow/deny + crawl-delay budget join
+_Q["politeness_budget"] = (
+    "WITH "
+    + KEPT_CTE
+    + """,
+frontier AS (
+  SELECT host, host_n, url, doc_id,
+         NOT (host_n % 7 = 0 AND doc_id % 10 = 8) AS allowed
+  FROM kept
+)
+SELECT host,
+       CAST(1 + min(host_n) % 3 AS BIGINT) AS crawl_delay_s,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_denied
+FROM frontier GROUP BY host ORDER BY host
+"""
+)
+
+# --- relational coverage over the star schema --------------------------------
+
+_Q["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q["revenue_by_nation"] = """
+SELECT n.n_name AS nation,
+       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+"""
+
+_Q["top_events_per_type"] = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+       CAST(round(value, 2) AS DOUBLE) AS value, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3 ORDER BY event_type, rnk
+"""
+
+_Q["sessionize_events"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN @EPOCH_TS - @EPOCH_PREV > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  ) t
+)
+SELECT user_id,
+       CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+# --- training-data pipeline: dedup family ------------------------------------
+
+_Q["dedup_exact"] = (
+    "WITH "
+    + CORPUS_CTE
+    + """
+SELECT fp, CAST(count(*) AS BIGINT) AS n_dups, CAST(min(doc_id) AS BIGINT) AS keeper
+FROM (SELECT doc_id, md5(lower(text)) AS fp FROM corpus) t
+GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+"""
+)
+
+# MinHash + LSH: 3-word shingles -> 8 string-min hashes -> 2 bands of 4 ->
+# band-bucket join -> exact shingle-Jaccard verification on candidates only.
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, @SPLIT(text, ' ') AS ws FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, @SLICE AS sh
+  FROM toks @LAT
+  WHERE @LEN(ws) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         min(md5(concat('0:', sh))) AS h0, min(md5(concat('1:', sh))) AS h1,
+         min(md5(concat('2:', sh))) AS h2, min(md5(concat('3:', sh))) AS h3,
+         min(md5(concat('4:', sh))) AS h4, min(md5(concat('5:', sh))) AS h5,
+         min(md5(concat('6:', sh))) AS h6, min(md5(concat('7:', sh))) AS h7
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         count(*) AS inter,
+         min(sa.n_sh) AS na, min(sb.n_sh) AS nb
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.id_a
+  JOIN shingles s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  GROUP BY c.id_a, c.id_b
+)
+"""
+
+
+def _shingle_cte(d: dict) -> str:
+    t = _SHINGLE_CTE.replace("@SLICE", d["SLICE_JOIN"].format(arr="ws", i="i"))
+    t = t.replace("@LAT", d["LAT"]("@LEN(ws) - 2"))
+    return t
+
+
+_Q["dedup_minhash_lsh"] = (
+    "WITH "
+    + CORPUS_CTE
+    + ", @SHINGLES"
+    + """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+ORDER BY id_a, id_b
+"""
+)
+
+# n-gram Jaccard (exhaustive definition over LSH candidates is above; this is
+# the word-set Jaccard on the SAME candidate pairs — a second dedup signal)
+_Q["dedup_ngram_jaccard"] = (
+    "WITH "
+    + CORPUS_CTE
+    + ", @SHINGLES"
+    + """,
+words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, @EXPLODE_W FROM corpus) t
+),
+wsizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(round(CAST(count(*) AS DOUBLE)
+            / (min(wa.nw) + min(wb.nw) - count(*)), 4) AS DOUBLE) AS word_jaccard
+FROM cand c
+JOIN words w1 ON w1.doc_id = c.id_a
+JOIN words w2 ON w2.doc_id = c.id_b AND w2.w = w1.w
+JOIN wsizes wa ON wa.doc_id = c.id_a
+JOIN wsizes wb ON wb.doc_id = c.id_b
+GROUP BY c.id_a, c.id_b
+ORDER BY c.id_a, c.id_b
+"""
+)
+
+# SimHash (16-bit) near-dup buckets
+_Q["dedup_simhash"] = (
+    "WITH "
+    + CORPUS_CTE
+    + """,
+words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, @EXPLODE_W FROM corpus) t
+),
+bits AS (
+  SELECT doc_id, i - 1 AS b,
+         CASE WHEN (@SHIFTR & 1) = 1 THEN 1 ELSE -1 END AS wt
+  FROM (
+    SELECT doc_id, w,
+           @STRPOS('0123456789abcdef', substr(md5(w), 1 + CAST(floor((i - 1) / 4.0) AS INT), 1)) - 1 AS hv,
+           i
+    FROM words @LAT16
+  ) t
+),
+sums AS (
+  SELECT doc_id, b, sum(wt) AS s FROM bits GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN @SHIFTL ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keeper
+FROM sim GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+"""
+)
+
+# --- text analysis family -----------------------------------------------------
+
+_Q["text_quality"] = """
+WITH scored AS (
+  SELECT source,
+         @LEN(@SPLIT(text, ' ')) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / @LEN(@SPLIT(text, ' ')) AS avg_tok_len,
+         CAST(@LEN(@LIST_DISTINCT(@SPLIT(text, ' '))) AS DOUBLE)
+           / @LEN(@SPLIT(text, ' ')) AS distinct_ratio
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(avg(n_tokens), 4) AS DOUBLE) AS avg_tokens,
+       CAST(round(avg(avg_tok_len), 4) AS DOUBLE) AS avg_token_len,
+       CAST(round(avg(distinct_ratio), 4) AS DOUBLE) AS avg_distinct_ratio
+FROM scored GROUP BY source ORDER BY source
+"""
+
+_Q["token_count_hist"] = """
+SELECT @LEN(@SPLIT(text, ' ')) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY @LEN(@SPLIT(text, ' ')) ORDER BY n_tokens
+"""
+
+_Q["lang_id_markers"] = """
+WITH guessed AS (
+  SELECT lang,
+         @LEN(@LIST_DISTINCT(@SPLIT(lower(text), ' '))) AS nw,
+         CASE
+           WHEN @STRPOS(concat(' ', lower(text), ' '), ' the ') > 0
+             OR @STRPOS(concat(' ', lower(text), ' '), ' and ') > 0 THEN 'en'
+           WHEN @STRPOS(concat(' ', lower(text), ' '), ' el ') > 0
+             OR @STRPOS(concat(' ', lower(text), ' '), ' la ') > 0 THEN 'es'
+           ELSE 'und'
+         END AS guess
+  FROM documents
+)
+SELECT lang, guess, CAST(count(*) AS BIGINT) AS n_docs
+FROM guessed GROUP BY lang, guess ORDER BY lang, guess
+"""
+
+_Q["fingerprint_winnow"] = """
+WITH grams AS (
+  SELECT doc_id, md5(substr(text, i, 8)) AS h
+  FROM documents @LATG
+  WHERE length(text) >= 8
+),
+kept AS (
+  SELECT doc_id, h FROM grams
+  WHERE @STRPOS('0123456789abcdef', substr(h, 1, 1)) - 1 = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(h) AS min_fp
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+# --- embedding similarity family ----------------------------------------------
+
+# brute-force cosine pairs within label blocks (exact baseline)
+_Q["embedding_cosine_pairs"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, @COSINE(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(round(sim, 4) AS DOUBLE) AS sim
+FROM pairs WHERE sim >= 0.35 ORDER BY id_a, id_b
+"""
+
+# IVF-style ANN: coarse bucket = argmax of the first 8 dims; top-1 neighbor
+# within bucket (the scale path: bucket prune instead of all-pairs)
+_Q["ann_ivf_top1"] = """
+WITH bucketed AS (
+  SELECT vec_id, embedding, @ARGMAX8 AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         @COSINE(a.embedding, b.embedding) AS sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(round(sim, 4) AS DOUBLE) AS sim
+FROM ranked WHERE rnk = 1 ORDER BY vec_id
+"""
+
+_COSINE_SPARK = (
+    "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
+    " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(CAST({a} AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE),"
+    " (acc, v) -> acc + v * v))"
+    " * sqrt(aggregate(CAST({b} AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE),"
+    " (acc, v) -> acc + v * v)))"
+)
+_COSINE_DUCK = (
+    "(list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " p -> p[1] * p[2])))"
+    " / (sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), v -> v * v)))"
+    " * sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]), v -> v * v))))"
+)
+
+_ARGMAX8_SPARK = (
+    "array_position(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 8),"
+    " array_max(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 8)))"
+)
+_ARGMAX8_DUCK = (
+    "list_position(CAST(embedding AS DOUBLE[])[1:8],"
+    " list_max(CAST(embedding AS DOUBLE[])[1:8]))"
+)
+
+
+def _render_query(name: str, dialect: dict) -> str:
+    sql = _Q[name]
+    if "@SHINGLES" in sql:
+        sql = sql.replace("@SHINGLES", _shingle_cte(dialect))
+    if "@EXPLODE_W" in sql:
+        if dialect is SPARK:
+            sql = sql.replace(
+                "SELECT doc_id, @EXPLODE_W FROM corpus",
+                "SELECT doc_id, explode(split(text, ' ')) AS w FROM corpus",
+            )
+        else:
+            sql = sql.replace(
+                "SELECT doc_id, @EXPLODE_W FROM corpus",
+                "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus",
+            )
+    if "@LAT16" in sql:
+        sql = sql.replace("@LAT16", dialect["LAT"]("16"))
+    if "@LATG" in sql:
+        sql = sql.replace("@LATG", dialect["LAT"]("length(text) - 7"))
+    if "@SHIFTR" in sql:
+        sql = sql.replace("@SHIFTR", dialect["SHIFTRIGHT"].format(v="hv", b="CAST((i - 1) % 4 AS INT)"))
+    if "@SHIFTL" in sql:
+        sql = sql.replace("@SHIFTL", dialect["SHIFTLEFT"].format(b="CAST(b AS INT)"))
+    if "@EPOCH_TS" in sql:
+        sql = sql.replace("@EPOCH_TS", dialect["EPOCH"].format(t="ts"))
+        sql = sql.replace("@EPOCH_PREV", dialect["EPOCH"].format(t="prev_ts"))
+    if "@COSINE" in sql:
+        cos = _COSINE_SPARK if dialect is SPARK else _COSINE_DUCK
+        # expand @COSINE(x, y)
+        import re
+
+        sql = re.sub(
+            r"@COSINE\(([^,]+), ([^)]+)\)",
+            lambda m: cos.format(a=m.group(1), b=m.group(2)),
+            sql,
+        )
+    if "@ARGMAX8" in sql:
+        sql = sql.replace("@ARGMAX8", _ARGMAX8_SPARK if dialect is SPARK else _ARGMAX8_DUCK)
+    return _render(sql, dialect)
+
+
+ORACLE_QUERY_NAMES = list(_Q.keys())
+
+
+def spark_sql_for(name: str) -> str:
+    return _render_query(name, SPARK)
+
+
+def duck_sql_for(name: str) -> str:
+    return _render_query(name, DUCK)
+
+
+# --- non-SQL-expressible queries (pandas-UDF pipelines; rows-only check) -----
+
+def engine_documents_from_driver_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's flat documents table into the engine's interleaved
+    spans schema (BASELINE.json input_hint) so the real sidecar pipeline runs
+    over driver data: one text span per row, crawl headers derived like
+    CRAWL_CTE."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _render(
+            """
+WITH """
+            + CRAWL_CTE
+            + """
+SELECT CAST(doc_id AS STRING) AS doc_id,
+       array(named_struct('kind', 'text', 'text', payload_text,
+                          'media_ref', CAST(NULL AS STRING), 'offset', 0)) AS spans,
+       url,
+       TIMESTAMP '2021-11-11 21:11:11' + make_interval(0, 0, 0, 0, 0, 0, CAST(doc_id % 86400 AS INT)) AS warc_date,
+       rec_type,
+       CASE WHEN doc_id % 10 = 4 THEN CAST(NULL AS STRING)
+            ELSE concat('sha1:', digest) END AS payload_digest,
+       CASE WHEN doc_id % 10 = 4 THEN CAST(NULL AS STRING)
+            ELSE concat('<warcinfo-', CAST(CAST(doc_id / 100 AS INT) AS STRING), '>') END AS warcinfo_id,
+       http_status,
+       doc_id % 10 = 4 AS is_arc,
+       concat('crawl-', source, '.warc.gz') AS source_file
+FROM crawl
+""",
+            SPARK,
+        )
+    )
+
+
+def flagship_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship pipeline (warc_metadata_sidecar.py:167-303)
+    over driver data: filters -> digest dedup -> vectorized detectors ->
+    serialized payload. Rows-only driver check (pandas UDFs are not
+    SQL-expressible)."""
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+
+    docs = engine_documents_from_driver_tables(spark, sf_dir)
+    return sidecar_rows(docs).select(
+        "doc_id", "url", "concurrent_id", "warcinfo_id", "puid", "payload"
+    )
+
+
+def flagship_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_counters
+
+    docs = engine_documents_from_driver_tables(spark, sf_dir)
+    return sidecar_counters(docs)
+
+
+# --- public driver contract ---------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def make(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        sql = spark_sql_for(name)
+
+        def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+            register_views(spark, sf_dir)
+            return spark.sql(_sql)
+
+        return run
+
+    for name in ORACLE_QUERY_NAMES:
+        out[name] = make(name)
+    out["flagship_sidecar"] = flagship_sidecar
+    out["flagship_counters"] = flagship_counters
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: duck_sql_for(name) for name in ORACLE_QUERY_NAMES}
