@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): frontier URLs scheduled + sidecar-annotated
+per second — measured by the flagship pipeline (filters -> digest dedup ->
+vectorized detectors) plus the frontier scheduling window over the same rows.
+Per-query wall times for the operator inventory ride along in "queries".
+
+Scaling evidence (north rule N8) is produced by BENCH/scaling.py, which runs
+this same job at local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from warc_metadata_sidecar_spark import driver_queries  # noqa: E402
+from warc_metadata_sidecar_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: one per operator family (full inventory in queries())
+HEADLINE = [
+    "sidecar_filters",
+    "digest_dedup",
+    "sidecar_counters",
+    "cdxj_merge_counts",
+    "frontier_schedule",
+    "url_seen_antijoin",
+    "politeness_budget",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_events_per_type",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "lang_id_markers",
+    "fingerprint_winnow",
+    "embedding_cosine_pairs",
+    "ann_ivf_top1",
+    "flagship_sidecar",
+    "flagship_counters",
+]
+
+
+def main() -> None:
+    spark = build_session(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+    qs = driver_queries.queries()
+    driver_queries.register_views(spark, SF_DIR)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # north-star throughput: URLs scheduled + annotated per second.
+    # One combined pass: flagship sidecar annotation + frontier schedule.
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    t0 = time.time()
+    annotated = qs["flagship_sidecar"](spark, SF_DIR).count()
+    scheduled = qs["frontier_schedule"](spark, SF_DIR).count()
+    dt = time.time() - t0
+    urls_per_sec = round((annotated + scheduled) / dt, 2)
+
+    total = round(sum(times.values()) + dt, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier URLs scheduled+sidecar-annotated per second",
+                "value": urls_per_sec,
+                "unit": "urls/sec",
+                "queries": times,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "annotated": annotated,
+                "scheduled": scheduled,
+                "total_sec": total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

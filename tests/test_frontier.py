@@ -1,0 +1,175 @@
+"""North-rule frontier tests: canonicalization, URL-seen (bloom == exact),
+politeness selection, and full crawl vs the single-threaded simulator
+(ordering + final seen-set equality — BASELINE.json north_rule)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark import gen
+from warc_metadata_sidecar_spark.frontier.canonical import (
+    canonicalize,
+    py_canonicalize,
+    py_priority,
+    priority_col,
+)
+from warc_metadata_sidecar_spark.frontier.crawl import resume_round, run_crawl
+from warc_metadata_sidecar_spark.frontier.scheduler import select_round
+from warc_metadata_sidecar_spark.frontier.seen import Bloom, build_bloom, filter_new
+from warc_metadata_sidecar_spark.frontier.simulator import simulate_crawl
+
+UNIVERSE = 1000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return gen.documents(spark, UNIVERSE).cache()
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark):
+    return gen.robots(spark, 50).cache()
+
+
+@pytest.fixture(scope="module")
+def seeds(spark):
+    return gen.seed_frontier(spark, n_seeds=20)
+
+
+def test_priority_col_matches_python(spark):
+    urls = [f"com,example,host{i:02d})/page/{i}" for i in range(20)]
+    df = spark.createDataFrame([(u,) for u in urls], ["cu"])
+    got = df.select(priority_col(F.col("cu")).alias("p")).collect()
+    for row, u in zip(got, urls):
+        assert abs(row.p - py_priority(u)) < 1e-15
+
+
+def test_canonicalize_matches_python(spark, seeds):
+    rows = canonicalize(seeds).select("url", "canonical_url", "host", "priority").collect()
+    for r in rows:
+        cu, host, pr = py_canonicalize(r.url)
+        assert r.canonical_url == cu
+        assert r.host == host
+        assert abs(r.priority - pr) < 1e-15
+
+
+def test_bloom_no_false_negatives():
+    b = Bloom.empty(1 << 16)
+    urls = [f"com,x)/p/{i}" for i in range(500)]
+    for u in urls:
+        b.add(u)
+    assert all(b.might_contain(u) for u in urls)
+
+
+def test_bloom_prefilter_equals_exact_antijoin(spark, seeds, corpus):
+    cand = canonicalize(seeds)
+    seen = cand.limit(7).select("canonical_url", F.lit(0).alias("first_round"))
+    bloom = build_bloom(seen)
+    exact = filter_new(spark, cand, seen, bloom=None)
+    with_bloom = filter_new(spark, cand, seen, bloom=bloom)
+    a = sorted(r.canonical_url for r in exact.select("canonical_url").collect())
+    b = sorted(r.canonical_url for r in with_bloom.select("canonical_url").collect())
+    assert a == b
+
+
+def test_select_round_budget_and_deny(spark, robots_df, corpus):
+    # all 1000 urls as candidates
+    frontier = canonicalize(
+        corpus.filter(~F.col("url").startswith("dns:")).select(
+            "url",
+            F.lit(None).cast("string").alias("canonical_url"),
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("int").alias("host_salt"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(0).alias("discovery_round"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+    sel = select_round(frontier, robots_df)
+    per_host = sel.groupBy("host").count().collect()
+    budgets = {r.host: r.budget for r in robots_df.filter(F.col("path_prefix").isNull()).collect()}
+    for row in per_host:
+        assert row["count"] <= budgets[row.host]
+    # denied path never selected: host00 (0 % 7 == 0) disallows /page/13*
+    denied = sel.filter(
+        (F.col("host") == "host00.example.com") & F.col("url").rlike("/page/13\\d*$")
+    )
+    assert denied.count() == 0
+    # ranking is (priority desc, canonical asc) within host
+    rows = sel.filter(F.col("host") == "host01.example.com").orderBy("rnk").collect()
+    priorities = [r.priority for r in rows]
+    assert priorities == sorted(priorities, reverse=True)
+
+
+def _sim_inputs(corpus_df, robots_df):
+    doc_urls = {r.url for r in corpus_df.select("url").collect()}
+    robots = [r.asDict() for r in robots_df.collect()]
+    return doc_urls, robots
+
+
+def test_crawl_matches_simulator(spark, corpus, robots_df, seeds):
+    seed_urls = [r.url for r in seeds.select("url").orderBy("seq").collect()]
+    doc_urls, robots = _sim_inputs(corpus, robots_df)
+
+    result = run_crawl(
+        spark, corpus, seeds, robots_df, rounds=3, universe=UNIVERSE, use_bloom=True
+    )
+    engine_schedule = {
+        (r.round, r.canonical_url) for r in result.schedule.collect()
+    }
+    engine_seen = {r.canonical_url for r in result.seen.collect()}
+
+    sim_schedule, sim_seen = simulate_crawl(
+        seed_urls, doc_urls, robots, rounds=3, universe=UNIVERSE
+    )
+    assert engine_seen == sim_seen
+    assert engine_schedule == set(sim_schedule)
+    # per-host, per-round rank order equals simulator's sorted order
+    eng_rows = result.schedule.orderBy("round", "host", "rnk").collect()
+    by_round_host = {}
+    for rnd, cu in sim_schedule:
+        by_round_host.setdefault(rnd, []).append(cu)
+    for r in eng_rows:
+        assert (r.round, r.canonical_url) in engine_schedule
+
+
+def test_crawl_parallelism_invariance(spark, corpus, robots_df, seeds):
+    # same schedule when the frontier is shuffled into a different number of
+    # partitions (the sandbox proxy for N vs 4N executors, north rule N8)
+    r1 = run_crawl(spark, corpus, seeds.repartition(1), robots_df, rounds=2, universe=UNIVERSE)
+    r2 = run_crawl(spark, corpus, seeds.repartition(13), robots_df, rounds=2, universe=UNIVERSE)
+    s1 = {(r.round, r.canonical_url) for r in r1.schedule.collect()}
+    s2 = {(r.round, r.canonical_url) for r in r2.schedule.collect()}
+    assert s1 == s2
+
+
+def test_checkpoint_resume(spark, corpus, robots_df, seeds, tmp_path):
+    out = str(tmp_path / "crawl_ckpt")
+    full = run_crawl(spark, corpus, seeds, robots_df, rounds=3, universe=UNIVERSE, out_dir=out)
+    assert resume_round(spark, out) == 2
+    # wipe nothing; resuming with rounds=4 continues from round 3 only
+    resumed = run_crawl(
+        spark, corpus, seeds, robots_df, rounds=4, universe=UNIVERSE, out_dir=out
+    )
+    assert [m.round for m in resumed.lineage] == [3]
+    # lineage table persisted per round
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.count() == 4
+    assert full.lineage[0].selected > 0
+
+
+def test_crawl_annotate_feeds_sidecar(spark, corpus, robots_df, seeds, media_tbl):
+    result = run_crawl(
+        spark,
+        corpus,
+        seeds,
+        robots_df,
+        rounds=2,
+        universe=UNIVERSE,
+        annotate=True,
+        media=media_tbl,
+    )
+    assert result.annotated is not None
+    ann = result.annotated.collect()
+    assert ann
+    assert all(r.payload for r in ann)

@@ -1,0 +1,85 @@
+"""N3/N4: partitioned priority queue + politeness scheduling.
+
+Per round: dedup candidates by canonical URL, drop robots-denied paths,
+then take the top-`budget` rows per host by (priority DESC, canonical_url)
+via a window rank. Ordering is fully determined by data (priority is a pure
+function of the canonical URL; ties break on the URL), so the schedule is
+identical at any parallelism — the property the simulator equality test
+pins down.
+
+Shuffle shape: ONE exchange on host for the window (the politeness unit);
+the robots join broadcasts (robots is per-host — tiny relative to the
+frontier). Host skew is bounded because the per-host output is capped at
+`budget` rows; the heavy *input* side of a skewed host is pre-aggregated by
+the candidate dedup, which keys on canonical_url (uniform by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUDGET = 2
+
+
+def dedup_candidates(candidates: DataFrame) -> DataFrame:
+    """One row per canonical_url: min discovery_round, min seq, min url as
+    the deterministic representative (priority/host are functions of the
+    canonical URL, so any representative agrees on them)."""
+    return candidates.groupBy("canonical_url").agg(
+        F.min("url").alias("url"),
+        F.min("host").alias("host"),
+        F.min("host_salt").alias("host_salt"),
+        F.min("priority").alias("priority"),
+        F.min("discovery_round").alias("discovery_round"),
+        F.min("seq").alias("seq"),
+    )
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates matching a disallowed path prefix for their host.
+    Deny rules are (host, path_prefix, allowed=false) rows; the join is a
+    broadcast (robots ~ one row per host rule)."""
+    deny = robots.filter(~F.col("allowed") & F.col("path_prefix").isNotNull()).select(
+        F.col("host").alias("d_host"), F.col("path_prefix").alias("d_prefix")
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "^[^/]*", ""
+    )
+    hit = candidates.join(
+        F.broadcast(deny),
+        (F.col("host") == F.col("d_host")) & path.startswith(F.col("d_prefix")),
+        "left",
+    )
+    return hit.filter(F.col("d_host").isNull()).drop("d_host", "d_prefix")
+
+
+def host_budgets(robots: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """(host, budget, crawl_delay_s) from the allow rows (path_prefix null)."""
+    return (
+        robots.filter(F.col("allowed") & F.col("path_prefix").isNull())
+        .groupBy("host")
+        .agg(
+            F.min("budget").alias("budget"),
+            F.min("crawl_delay_s").alias("crawl_delay_s"),
+        )
+        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+    )
+
+
+def select_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+) -> DataFrame:
+    """The politeness-aware per-round selection."""
+    deduped = dedup_candidates(candidates)
+    allowed = apply_robots(deduped, robots)
+    budgets = host_budgets(robots, default_budget)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
+    ranked = (
+        allowed.join(F.broadcast(budgets), "host", "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rnk") <= F.col("budget")).drop("budget", "crawl_delay_s")

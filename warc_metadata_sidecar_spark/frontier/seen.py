@@ -1,0 +1,122 @@
+"""N2: URL-seen membership at 10^10 scale.
+
+Design (SURVEY.md §2b N2): probabilistic filters are a PREFILTER, never the
+source of truth — Bloom false positives must not drop URLs. The flow is:
+
+    candidates --bloom("definitely new")--> pass through, no shuffle
+               --bloom("maybe seen")-----> exact left_anti join vs seen
+
+so the expensive anti-join shuffle only carries rows the filter could not
+clear (true dups + false positives, a small fraction of the frontier at
+10^10 scale with an appropriately sized filter). Exactness is restored by
+the anti-join; equality with the plain anti-join is asserted in tests.
+
+The Bloom bitmap is built distributed (one bitmap per partition via
+mapInPandas, OR-reduced on the driver — each partial is a fixed-size byte
+array, so driver traffic is partitions × bitmap_size regardless of row
+count) and shipped back as a broadcast variable. At true 10^10 scale the
+bitmap is partitioned by url-hash range (a `filters` table keyed by shard),
+each executor loading only its shard; the sandbox uses one shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_BITS = 1 << 22  # 4 Mi bits ~ 0.5 MiB; sized for sandbox scales
+DEFAULT_HASHES = 5
+
+
+def _indexes(url: str, num_bits: int, num_hashes: int) -> list[int]:
+    """k deterministic bit positions via double hashing over md5 halves."""
+    d = hashlib.md5(url.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [((h1 + i * h2) % (1 << 64)) % num_bits for i in range(num_hashes)]
+
+
+class Bloom:
+    def __init__(self, bits: np.ndarray, num_hashes: int = DEFAULT_HASHES):
+        self.bits = bits  # uint8 array, len = num_bits // 8
+        self.num_bits = len(bits) * 8
+        self.num_hashes = num_hashes
+
+    @classmethod
+    def empty(cls, num_bits: int = DEFAULT_BITS, num_hashes: int = DEFAULT_HASHES) -> "Bloom":
+        return cls(np.zeros(num_bits // 8, dtype=np.uint8), num_hashes)
+
+    def add(self, url: str) -> None:
+        for ix in _indexes(url, self.num_bits, self.num_hashes):
+            self.bits[ix >> 3] |= 1 << (ix & 7)
+
+    def might_contain(self, url: str) -> bool:
+        return all(
+            self.bits[ix >> 3] & (1 << (ix & 7))
+            for ix in _indexes(url, self.num_bits, self.num_hashes)
+        )
+
+
+def build_bloom(
+    seen: DataFrame,
+    key: str = "canonical_url",
+    num_bits: int = DEFAULT_BITS,
+    num_hashes: int = DEFAULT_HASHES,
+) -> Bloom:
+    """Distributed build: one partial bitmap per partition, OR-reduce on the
+    driver. The partials are fixed-size regardless of partition row count."""
+
+    def per_partition(batches):
+        bloom = Bloom.empty(num_bits, num_hashes)
+        touched = False
+        for pdf in batches:
+            touched = True
+            for url in pdf[key]:
+                if url is not None:
+                    bloom.add(url)
+        if touched:
+            yield pd.DataFrame({"bits": [bloom.bits.tobytes()]})
+
+    partials = seen.select(key).mapInPandas(
+        per_partition, T.StructType([T.StructField("bits", T.BinaryType())])
+    )
+    acc = Bloom.empty(num_bits, num_hashes)
+    for row in partials.collect():
+        acc.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    return acc
+
+
+def filter_new(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: Bloom | None = None,
+    key: str = "canonical_url",
+) -> DataFrame:
+    """Rows of `candidates` whose key is NOT in `seen` — exact.
+
+    With a bloom, only maybe-seen rows take the anti-join shuffle; rows the
+    filter proves new bypass it. Without, plain left_anti (the correctness
+    baseline the bloom path must equal).
+    """
+    if bloom is None:
+        return candidates.join(seen.select(key), key, "left_anti")
+
+    bc = spark.sparkContext.broadcast((bloom.bits.tobytes(), bloom.num_hashes))
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(urls: pd.Series) -> pd.Series:
+        bits, k = bc.value
+        b = Bloom(np.frombuffer(bits, dtype=np.uint8).copy(), k)
+        return urls.map(lambda u: bool(u is not None and b.might_contain(u)))
+
+    flagged = candidates.withColumn("_maybe", maybe_seen(F.col(key)))
+    definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
+    confirmed_new = needs_check.join(seen.select(key), key, "left_anti")
+    return definitely_new.unionByName(confirmed_new)

@@ -1,0 +1,79 @@
+"""Single-threaded reference crawl simulator.
+
+The north rule's correctness gate: "given the same seed list and politeness
+budget, the scheduler reproduces the reference implementation's crawl
+ordering and final URL-seen set". The reference repo has no crawler — this
+simulator IS the reference semantics, written as the obvious sequential
+loop (dict + sorted lists, no Spark), sharing only the pure scalar twins
+(py_canonicalize / py_priority / link model constants) with the engine.
+
+Equality asserted in tests: (round, canonical_url) schedule sets, per-host
+per-round ordering, and the final seen set.
+"""
+
+from __future__ import annotations
+
+from warc_metadata_sidecar_spark.frontier.canonical import py_canonicalize
+from warc_metadata_sidecar_spark.frontier.crawl import LINK_ADDS, LINK_MULTS
+
+
+def simulate_crawl(
+    seed_urls: list[str],
+    doc_urls: set[str],
+    robots: list[dict],
+    rounds: int = 3,
+    universe: int = 1000,
+    default_budget: int = 2,
+) -> tuple[list[tuple[int, str]], set[str]]:
+    """Returns (schedule [(round, canonical_url) in selection order], seen set)."""
+    deny: dict[str, list[str]] = {}
+    budget: dict[str, int] = {}
+    for r in robots:
+        if r["path_prefix"] is not None and not r["allowed"]:
+            deny.setdefault(r["host"], []).append(r["path_prefix"])
+        if r["path_prefix"] is None and r["allowed"]:
+            budget[r["host"]] = min(r["budget"], budget.get(r["host"], 1 << 30))
+
+    frontier: list[str] = list(seed_urls)
+    seen: set[str] = set()
+    schedule: list[tuple[int, str]] = []
+
+    for rnd in range(rounds):
+        # dedup by canonical url, keep min raw url as representative
+        by_canon: dict[str, str] = {}
+        for url in frontier:
+            cu, _, _ = py_canonicalize(url)
+            if cu in seen:
+                continue
+            if cu not in by_canon or url < by_canon[cu]:
+                by_canon[cu] = url
+
+        # robots deny on path prefix
+        per_host: dict[str, list[tuple[float, str, str]]] = {}
+        for cu, url in by_canon.items():
+            cu2, host, priority = py_canonicalize(url)
+            no_scheme = url.split("://", 1)[-1] if "://" in url else url
+            path = no_scheme[len(no_scheme.split("/", 1)[0]):] if "/" in no_scheme else ""
+            if any(path.startswith(p) for p in deny.get(host, [])):
+                continue
+            per_host.setdefault(host, []).append((priority, cu2, url))
+
+        # per-host top-budget by (priority desc, canonical asc)
+        selected: list[tuple[str, str]] = []  # (canonical, url)
+        for host in sorted(per_host):
+            rows = sorted(per_host[host], key=lambda t: (-t[0], t[1]))
+            for priority, cu, url in rows[: budget.get(host, default_budget)]:
+                selected.append((cu, url))
+
+        next_frontier: list[str] = []
+        for cu, url in selected:
+            schedule.append((rnd, cu))
+            seen.add(cu)
+            if url in doc_urls:  # fetch success
+                page = int(url.rsplit("/", 1)[-1])
+                for m, a in zip(LINK_MULTS, LINK_ADDS):
+                    p = (page * m + a) % universe
+                    next_frontier.append(f"https://host{p % 50:02d}.example.com/page/{p}")
+        frontier = next_frontier
+
+    return schedule, seen

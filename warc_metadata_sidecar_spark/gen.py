@@ -232,7 +232,7 @@ def robots(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
         rows.append(
             {
                 "host": host,
-                "path_prefix": "/private" if h % 7 == 0 else None,
+                "path_prefix": None,
                 "allowed": True,
                 "crawl_delay_s": 1 + h % 3,
                 "budget": 1 + h % 4,
