@@ -1,0 +1,126 @@
+"""Engine-API tests for the dedup + similarity operator families (their
+SQL twins are oracle-checked in test_oracle_parity.py; here we test the
+composable DataFrame API, recall vs brute force, and edge semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    shingles,
+    simhash_dedup_buckets,
+    simhash_signatures,
+)
+from warc_metadata_sidecar_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_cosine_dedup,
+    ivf_topk,
+    lsh_srp_buckets,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the crawler "
+    "politely fetches pages from many hosts in priority order every round"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{BASE} variant {i} with unique suffix token{i}"))
+    # exact dups
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    # near dup: drop last word
+    rows.append((200, rows[2][1].rsplit(" ", 1)[0]))
+    # unrelated doc
+    rows.append((300, "completely different content about databases and storage engines"))
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(spark, corpus):
+    groups = exact_dedup(corpus).collect()
+    keys = {(g.keeper, g.n_dups) for g in groups}
+    assert (0, 2) in keys and (1, 2) in keys
+    assert all(g.n_dups == 2 for g in groups)
+
+
+def test_minhash_finds_planted_near_dups(spark, corpus):
+    pairs = minhash_dedup(corpus, threshold=0.6).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 100) in found  # exact dup -> jaccard 1.0
+    assert (1, 101) in found
+    assert (2, 200) in found  # near dup
+    for p in pairs:
+        if (p.id_a, p.id_b) == (0, 100):
+            assert p.jaccard == 1.0
+    # the unrelated doc never pairs
+    assert not any(300 in (p.id_a, p.id_b) for p in pairs)
+
+
+def test_lsh_prunes_pair_space(spark, corpus):
+    sh = shingles(corpus)
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    n_docs = corpus.count()
+    assert cand.count() < n_docs * (n_docs - 1) / 2  # strictly sub-quadratic
+
+
+def test_simhash_buckets_group_exact_dups(spark, corpus):
+    buckets = simhash_dedup_buckets(corpus).collect()
+    keepers = {b.keeper for b in buckets}
+    assert 0 in keepers or 1 in keepers  # exact dup pairs share signatures
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[100]
+    assert sigs[1] == sigs[101]
+    assert 0 <= sigs[0] < (1 << 16)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(60):
+        # three clusters on a circle in 8-d space
+        angle = (i % 3) * 2.1 + (i / 600.0)
+        vec = [math.cos(angle), math.sin(angle)] + [0.01 * ((i * 7 + d) % 5) for d in range(6)]
+        rows.append((i, [float(x) for x in vec], i % 3))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    top1 = brute_force_topk(vectors, k=1).collect()
+    assert len(top1) == 60
+    by_id = {r.vec_id: r for r in top1}
+    # nearest neighbor of i is in the same angular cluster
+    assert by_id[0].neighbor_id % 3 == 0
+    assert all(r.rnk == 1 for r in top1)
+    assert all(-1.0 <= r.sim <= 1.0 for r in top1)
+
+
+def test_ivf_recall_vs_brute_force(spark, vectors):
+    exact = {(r.vec_id, r.neighbor_id) for r in brute_force_topk(vectors, k=1).collect()}
+    approx = {(r.vec_id, r.neighbor_id) for r in ivf_topk(vectors, k=1, dims=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8  # bucket pruning keeps most true neighbors
+
+
+def test_srp_buckets_deterministic(spark, vectors):
+    b1 = {r.vec_id: r.srp_bucket for r in lsh_srp_buckets(vectors, planes=6).collect()}
+    b2 = {r.vec_id: r.srp_bucket for r in lsh_srp_buckets(vectors, planes=6).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())
+
+
+def test_embedding_cosine_dedup(spark, vectors):
+    # duplicate vector -> sim 1.0 pair
+    dup = vectors.limit(1).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_cosine_dedup(vectors.unionByName(dup), threshold=0.9999).collect()
+    assert any(p.id_a == 0 and p.id_b == 1000 and p.sim >= 0.9999 for p in pairs)

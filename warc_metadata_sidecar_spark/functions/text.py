@@ -1,0 +1,90 @@
+"""Text-analysis expression library for training-data pipelines.
+
+All native column expressions (JVM-side, WholeStageCodegen) — language-ID,
+quality scoring, token counting, and fingerprinting never leave the JVM.
+These are the engine-API twins of the oracle-checked SQL in
+driver_queries.py (lang_id_markers, text_quality, token_count_hist,
+fingerprint_winnow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language (closed set; the vectorized detector in
+# functions/detectors.py is the UDF-grade variant with full profiles)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "les", "des", "une", "est"],
+    "de": ["der", "die", "und", "nicht", "ein"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    return F.split(text, r"\s+")
+
+
+def bpe_ish_tokens_col(text: Column) -> Column:
+    """BPE-ish subword-boundary token count: split on whitespace AND
+    letter/digit/punct boundaries — a regex approximation of byte-pair
+    pre-tokenization (GPT-2 style pre-tokenizer class split)."""
+    return F.split(
+        F.trim(F.regexp_replace(text, r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+)", " $1 ")), r"\s+"
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length docs,
+    token diversity, and alphabetic density; penalizes very short docs.
+    (C4/Gopher-style rule-of-thumb scoring, expressed natively.)"""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^\p{L}]", "")).cast("double")
+        / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    )
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * distinct_ratio + F.lit(0.3) * alpha_ratio, 6
+    )
+
+
+def lang_guess_col(text: Column) -> Column:
+    """argmax marker-hit language guess, 'und' when no marker fires."""
+    words = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    scores = [
+        (code, F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))))
+        for code, markers in LANG_MARKERS.items()
+    ]
+    best = None
+    best_code = F.lit("und")
+    for code, score in scores:
+        if best is None:
+            best, best_code = score, F.when(score > 0, F.lit(code)).otherwise(F.lit("und"))
+        else:
+            best_code = F.when((score > best) & (score > 0), F.lit(code)).otherwise(best_code)
+            best = F.greatest(best, score)
+    return best_code
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def winnow_fingerprints_col(text: Column, gram: int = 8, keep_mod: int = 16) -> Column:
+    """Rolling-hash winnowing: md5 over each char `gram`-gram, keep hashes
+    whose first hex nibble == 0 (1/keep_mod sample) — a content-defined
+    fingerprint set robust to local edits. Native: sequence + transform."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (gram - 1), F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(gram))))
+    return F.filter(hashes, lambda h: F.substring(h, 1, 1) == F.lit("0"))

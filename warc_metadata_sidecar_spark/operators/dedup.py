@@ -1,0 +1,179 @@
+"""Deduplication operator family for 100 TB training-data pipelines.
+
+Five levels, all returning DataFrames so they compose into larger plans:
+
+  exact_dedup            hash-groupBy on a normalized fingerprint (1 shuffle)
+  minhash_signatures     k string-min hashes over word shingles (1 shuffle,
+                         map-side partial min aggregation)
+  lsh_candidate_pairs    band-bucket self-join — candidates only ever meet
+                         inside a band bucket, so the join never goes
+                         quadratic in corpus size (the scale path)
+  verify_jaccard         exact shingle-Jaccard on candidate pairs only
+  simhash                bit-signature buckets (hamming-0 grouping)
+
+Scale notes: every stage keys on content hashes (uniform by construction —
+no salting needed); LSH bucket skew (a viral boilerplate shingle) is handled
+by AQE skew-join plus the `max_bucket` guard that drops degenerate buckets
+(a bucket with >max_bucket docs is boilerplate, not near-duplication signal).
+
+The md5-string-min construction is engine-portable: the same signatures are
+recomputed by the DuckDB oracle (driver_queries.dedup_minhash_lsh /
+dedup_simhash), which is the correctness gate for this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark.functions.text import fingerprint_col
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: (fp, n_dups, keeper).
+    Keeper = min id (deterministic survivor selection)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_col(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh): distinct word k-shingles per document — native."""
+    ws = F.split(F.col(text_col), " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, k)),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{n-1}): string-min of md5('<i>:'||shingle) per doc.
+    One shuffle; min() combines map-side."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing at least one LSH band bucket."""
+    assert num_hashes % band_size == 0
+    bands = None
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        part = sigs.select("doc_id", F.md5(F.concat(*cols)).alias("band"))
+        bands = part if bands is None else bands.unionByName(part)
+    sized = bands.withColumn("bucket_n", F.count("*").over(Window.partitionBy("band")))
+    bounded = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    left = bounded.select(F.col("doc_id").alias("id_a"), "band")
+    right = bounded.select(F.col("doc_id").alias("id_b"), "band")
+    return (
+        left.join(right, (left.band == right.band) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only: (id_a, id_b, jaccard).
+    The candidate set is tiny relative to the corpus, so these joins stream
+    over the already-shuffled shingle table."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("id_b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: shingle -> sign -> band ->
+    bucket-join -> exact verify."""
+    sh = shingles(docs, id_col, text_col, k)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    return verify_jaccard(sh, cand, threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated bit signature over distinct words.
+    Identical arithmetic to driver_queries.dedup_simhash (its oracle)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).distinct()
+    return (
+        words.select("doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn(
+            "hv",
+            F.expr(
+                "instr('0123456789abcdef', substr(md5(w), 1 + CAST(floor(b / 4.0) AS INT), 1)) - 1"
+            ),
+        )
+        .withColumn(
+            "wt",
+            F.expr("CASE WHEN (shiftright(hv, CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("wt").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN s > 0 THEN shiftleft(1, CAST(b AS INT)) ELSE 0 END) AS BIGINT)"
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_dedup_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Signature buckets with >1 member: (simhash, n_docs, keeper)."""
+    return (
+        simhash_signatures(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )

