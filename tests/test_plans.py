@@ -1,0 +1,75 @@
+"""Physical-plan audits: the plan we run is the plan we designed
+(SURVEY.md §4) — pushdown, broadcast, python-stage placement."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark.operators.cdxj import merge_cdxj, parse_cdxj_lines
+from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+from warc_metadata_sidecar_spark.plans.audit import (
+    exchange_count,
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    scan_pushdown,
+)
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "li")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_quantity")
+    )
+    info = scan_pushdown(df)
+    assert any("l_orderkey" in p for p in info["pushed_filters"]), info
+    # column pruning: only the two projected columns reach the scan
+    assert any(
+        "l_quantity" in s and "l_extendedprice" not in s for s in info["read_schema"]
+    ), info
+
+
+def test_sidecar_filters_execute_before_python_stage(spark, docs100, media_tbl):
+    plan = formatted_plan(sidecar_rows(docs100, media_tbl))
+    # the Arrow-batched detector stage exists...
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # ...and the rec_type/dns/empty filters are in the plan as native Filters
+    assert "Filter" in plan
+    # detector runs on the DISTINCT side: the aggregate (dedup) must appear
+    # in the plan below the python eval
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_merge_join_broadcasts_small_build_side(spark):
+    orig = parse_cdxj_lines(
+        spark.createDataFrame([(f'com,x{i}) 20200101000000 {{"a": {i}}}',) for i in range(100)], ["value"])
+    )
+    meta = parse_cdxj_lines(
+        spark.createDataFrame([('com,x1) 20200101000000 {"Preservation-Identifier": "fmt/1"}',)], ["value"])
+    )
+    merged = merge_cdxj(orig, meta)
+    assert has_broadcast_join(merged)
+
+
+def test_aggregation_is_partial_and_single_shuffle(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert has_partial_aggregation(df)  # map-side combine before exchange
+    assert exchange_count(df) == 1
+
+
+def test_sidecar_shuffle_inventory(spark, docs100, media_tbl):
+    # SURVEY.md §4: one digest-dedup aggregate exchange + the join-back pair
+    # on the same key + the (media-first rows only) head-join pair, which AQE
+    # demotes to broadcast at runtime. Pre-AQE ceiling: 6.
+    n = exchange_count(sidecar_rows(docs100, media_tbl))
+    assert n <= 6, f"unexpected shuffle count {n}"
+    # exactly one Python stage: detectors must not be duplicated by pushdown
+    from warc_metadata_sidecar_spark.plans.audit import simple_plan
+
+    assert simple_plan(sidecar_rows(docs100, media_tbl)).count("ArrowEvalPython") == 1

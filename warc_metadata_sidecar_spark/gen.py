@@ -75,7 +75,10 @@ _ARCHETYPES = [
 ]
 
 
-def _doc_row(i: int) -> dict:
+def _doc_row(i: int, text_scale: int = 1) -> dict:
+    """One document row. `text_scale` repeats the body text to reach
+    realistic web-page payload sizes (~3 KB at 24) for throughput runs —
+    correctness tests use 1."""
     arch = _ARCHETYPES[i % 10]
     host_n = i % 50
     url = f"https://host{host_n:02d}.example.com/page/{i}"
@@ -102,7 +105,7 @@ def _doc_row(i: int) -> dict:
         ]
 
     if arch == "html_200":
-        body = _EN if i % 20 < 10 else _ES
+        body = (_EN if i % 20 < 10 else _ES) * text_scale
         html = _HTML_TMPL.format(title=f"Page {i}", body=body)
         base["spans"] = text_spans(html)
         base["payload_digest"] = _sha1(html.encode())
@@ -131,7 +134,7 @@ def _doc_row(i: int) -> dict:
         group = (i // 40) % 97
         which = 0 if arch == "digest_dup_a" else 1
         if which == 0:
-            text = _HTML_TMPL.format(title=f"Beacon {group}", body=_EN)
+            text = _HTML_TMPL.format(title=f"Beacon {group}", body=_EN * text_scale)
         else:
             text = f"__utm.gif beacon payload {group}"
         base["spans"] = text_spans(text)
@@ -140,21 +143,21 @@ def _doc_row(i: int) -> dict:
         base["spans"] = []
         base["payload_digest"] = None
     elif arch == "soft404_page":
-        html = _HTML_TMPL.format(title="404 Not Found", body=_SOFT404_BODY)
+        html = _HTML_TMPL.format(title="404 Not Found", body=_SOFT404_BODY * text_scale)
         base["spans"] = text_spans(html)
         base["payload_digest"] = _sha1(html.encode())
     elif arch == "non_200_html":
-        html = _HTML_TMPL.format(title=f"Gone {i}", body=_SOFT404_BODY)
+        html = _HTML_TMPL.format(title=f"Gone {i}", body=_SOFT404_BODY * text_scale)
         base["spans"] = text_spans(html)
         base["http_status"] = "404"
         base["payload_digest"] = _sha1((html + "404").encode())
     return base
 
 
-def documents(spark: SparkSession, n_rows: int = 100) -> DataFrame:
+def documents(spark: SparkSession, n_rows: int = 100, text_scale: int = 1) -> DataFrame:
     """The documents table: driver-side for small n, spark.range for large."""
     if n_rows <= 10_000:
-        rows = [_doc_row(i) for i in range(n_rows)]
+        rows = [_doc_row(i, text_scale) for i in range(n_rows)]
         return spark.createDataFrame(rows, schema.DOCUMENTS)
 
     # distributed: same per-index function applied executor-side
@@ -162,7 +165,7 @@ def documents(spark: SparkSession, n_rows: int = 100) -> DataFrame:
         import pandas as pd
 
         for pdf in iterator:
-            out = pd.DataFrame([_doc_row(int(i)) for i in pdf["id"]])
+            out = pd.DataFrame([_doc_row(int(i), text_scale) for i in pdf["id"]])
             yield out
 
     return (

@@ -163,7 +163,7 @@ def alpha3_codes_col(lang_struct_col: str = "meta.`Languages-cld2`"):
     )
 
 
-def merge_cdxj(original: DataFrame, meta: DataFrame) -> DataFrame:
+def merge_cdxj(original: DataFrame, meta: DataFrame, meta_is_small: bool = True) -> DataFrame:
     """J1+J2: left join original on (urlkey, ts); overlay the five sidecar
     fields into the original JSON block (merge_cdxj.py:59-82,30-56).
 
@@ -196,7 +196,14 @@ def merge_cdxj(original: DataFrame, meta: DataFrame) -> DataFrame:
         .select("urlkey", "ts", "meta")
     )
 
-    joined = original.join(meta_unique, ["urlkey", "ts"], "left")
+    # the reference materializes the entire build side in a driver dict
+    # (merge_cdxj.py:85-93) — the distributed equivalent is a broadcast-hash
+    # join, hinted explicitly because the window above hides the build
+    # side's size from the planner. meta_is_small=False leaves the choice to
+    # AQE (sort-merge / shuffled-hash) for merges where the metadata side
+    # outgrows executor memory.
+    build = F.broadcast(meta_unique) if meta_is_small else meta_unique
+    joined = original.join(build, ["urlkey", "ts"], "left")
 
     mime = F.coalesce(
         F.col("meta.`Identified-Payload-Type`").getItem("python-magic"),

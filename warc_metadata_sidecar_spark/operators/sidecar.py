@@ -84,22 +84,26 @@ def base_filters(documents: DataFrame) -> DataFrame:
 def _with_payload_projection(filtered: DataFrame, media: DataFrame | None) -> DataFrame:
     """P1/P2: payload text + sniffing head. `media` maps media_ref -> bytes;
     only the first 64 bytes survive the join (projected before the shuffle,
-    so the exchange moves ~70 bytes/row at any scale)."""
+    so the exchange moves ~70 bytes/row at any scale).
+
+    Skew guard: most records are text (head_ref NULL); joining everything on
+    head_ref would route every NULL-key row into one straggler partition.
+    Only media-first rows enter the join; text rows bypass it entirely and
+    the two legs union back."""
     out = filtered.withColumn("payload_text", payload_text_col()).withColumn(
         "head_ref", first_media_ref_col()
     )
-    if media is not None:
-        heads = media.select(
-            F.col("media_ref").alias("head_ref"),
-            F.expr("substring(bytes, 1, 64)").alias("head"),
-        )
-        # equi-join on media_ref; only 64-byte heads cross the exchange. AQE
-        # picks broadcast when the projected head side is small; at 100 TB
-        # the media table would be bucketed by media_ref to co-locate this.
-        out = out.join(heads, "head_ref", "left")
-    else:
-        out = out.withColumn("head", F.lit(None).cast("binary"))
-    return out
+    if media is None:
+        return out.withColumn("head", F.lit(None).cast("binary")).drop("head_ref")
+    heads = media.select(
+        F.col("media_ref").alias("head_ref"),
+        F.expr("substring(bytes, 1, 64)").alias("head"),
+    )
+    media_first = out.filter(F.col("head_ref").isNotNull()).join(heads, "head_ref", "left")
+    text_first = out.filter(F.col("head_ref").isNull()).withColumn(
+        "head", F.lit(None).cast("binary")
+    )
+    return media_first.drop("head_ref").unionByName(text_first.drop("head_ref"))
 
 
 def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> DataFrame:
@@ -114,10 +118,20 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
       - ARC rows have NULL digest and never share (:226-228) — they get a
         per-row key, so each computes its own metadata.
     """
-    filtered = _with_payload_projection(base_filters(documents), media)
-    keyed = filtered.withColumn(
-        "dedup_key",
-        F.coalesce(F.col("payload_digest"), F.concat(F.lit("__row__:"), F.col("doc_id"))),
+    dedup_key = F.coalesce(
+        F.col("payload_digest"), F.concat(F.lit("__row__:"), F.col("doc_id"))
+    )
+    # Two branches from the same filtered scan, each with its minimal
+    # projection: the AGGREGATE side carries payload_text/head (one payload
+    # shuffle, by content-hash key); the PROBE side carries only headers +
+    # dedup_key — it never computes payload_text nor touches the media join,
+    # so its re-scan reads pruned parquet (far cheaper than shuffling
+    # payloads twice to force exchange reuse).
+    keyed = _with_payload_projection(base_filters(documents), media).withColumn(
+        "dedup_key", dedup_key
+    )
+    probe = base_filters(documents).select(
+        "doc_id", "url", "warc_date", "warcinfo_id", "is_arc", dedup_key.alias("dedup_key")
     )
 
     # D1: deterministic first-occurrence representative per distinct payload.
@@ -143,11 +157,16 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
         )
     )
 
+    # detect_all is pure, but asNondeterministic() stops Catalyst from
+    # duplicating the Arrow stage when the downstream F4 filter is pushed
+    # through the projection (observed: two ArrowEvalPython nodes = detectors
+    # run twice per distinct payload)
+    detect_once = detect_all.asNondeterministic()
     detected = distinct.withColumn(
-        "det", detect_all(F.col("payload_text"), F.col("head"), F.col("rep_http_status"))
+        "det", detect_once(F.col("payload_text"), F.col("head"), F.col("rep_http_status"))
     ).select("dedup_key", "det.*")
 
-    annotated = keyed.drop("payload_text", "head").join(detected, "dedup_key", "left")
+    annotated = probe.join(detected, "dedup_key", "left")
 
     return annotated.select(
         "doc_id",
