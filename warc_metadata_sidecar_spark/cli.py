@@ -1,0 +1,126 @@
+"""CLI entry points (reference C1: warc_metadata_sidecar.py:306-331,
+sidecar2cdxj.py:64-77, merge_cdxj.py:141-165), spark-submit-friendly.
+
+  python -m warc_metadata_sidecar_spark.cli sidecar  <archive_dir> <documents_path>
+      [--media PATH] [--operator NAME] [--publisher NAME] [--cpus N]
+  python -m warc_metadata_sidecar_spark.cli cdxj     <sidecar_path> <archive_dir>
+  python -m warc_metadata_sidecar_spark.cli merge    -m META -w WARC -d DIR
+  python -m warc_metadata_sidecar_spark.cli crawl    <documents_path> <out_dir>
+      [--rounds N] [--budget N] [--cpus N]
+
+Same flag names as the reference where they exist; --cpus/--sf-dir style
+knobs added for the distributed runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from warc_metadata_sidecar_spark.session import build_session
+
+
+def cmd_sidecar(args) -> None:
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_counters, sidecar_rows
+    from warc_metadata_sidecar_spark.sources.tables import write_sidecar
+
+    spark = build_session("sidecar-cli", cpus=args.cpus)
+    docs = spark.read.parquet(args.documents_path)
+    media = spark.read.parquet(args.media) if args.media else None
+    side = sidecar_rows(docs, media)
+    out = os.path.join(args.archive_dir, "sidecar")
+    write_sidecar(side, out, os.path.basename(args.documents_path), args.operator, args.publisher)
+    counters = sidecar_counters(docs, media).first()
+    print(f"Records with Mime Types: {counters.mime_type_records}")
+    print(f"Total Records for this WARC file: {counters.total_records_read}")
+
+
+def cmd_cdxj(args) -> None:
+    from warc_metadata_sidecar_spark.operators.cdxj import sidecar_to_cdxj
+    from warc_metadata_sidecar_spark.sources.cdxj_text import write_cdxj
+
+    spark = build_session("cdxj-cli", cpus=args.cpus)
+    side = spark.read.parquet(os.path.join(args.sidecar_path, "rows"))
+    write_cdxj(sidecar_to_cdxj(side), os.path.join(args.archive_dir, "cdxj"))
+
+
+def cmd_merge(args) -> None:
+    from warc_metadata_sidecar_spark.operators.cdxj import merge_cdxj, merge_counters
+    from warc_metadata_sidecar_spark.sources.cdxj_text import read_cdxj, write_cdxj
+
+    spark = build_session("merge-cli", cpus=args.cpus)
+    meta = read_cdxj(spark, args.metadata_cdxj)
+    orig = read_cdxj(spark, args.warc_cdxj)
+    merged = merge_cdxj(orig, meta)
+    out = os.path.join(args.cdxj_dir, "merged")
+    write_cdxj(merged.select("line_id", "urlkey", "ts", "json"), out)
+    counts = merge_counters(merged).first()
+    print(f"Total merged records: {counts.edited_count}")
+
+
+def cmd_crawl(args) -> None:
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.frontier.crawl import run_crawl
+
+    spark = build_session("crawl-cli", cpus=args.cpus)
+    docs = spark.read.parquet(args.documents_path)
+    seeds = gen.seed_frontier(spark, n_seeds=args.seeds)
+    robots = gen.robots(spark, 50)
+    result = run_crawl(
+        spark,
+        docs,
+        seeds,
+        robots,
+        rounds=args.rounds,
+        universe=docs.count(),
+        default_budget=args.budget,
+        out_dir=args.out_dir,
+        annotate=True,
+    )
+    for m in result.lineage:
+        print(
+            f"round={m.round} candidates={m.candidates} selected={m.selected} "
+            f"fetched={m.fetched} links={m.new_links} seen={m.seen_after}"
+        )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="warc_metadata_sidecar_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("sidecar")
+    s.add_argument("archive_dir")
+    s.add_argument("documents_path")
+    s.add_argument("--media", default=None)
+    s.add_argument("--operator", default=None)
+    s.add_argument(
+        "--publisher", default="University of North Texas - Digital Projects Unit"
+    )
+    s.set_defaults(fn=cmd_sidecar)
+
+    c = sub.add_parser("cdxj")
+    c.add_argument("sidecar_path")
+    c.add_argument("archive_dir")
+    c.set_defaults(fn=cmd_cdxj)
+
+    m = sub.add_parser("merge")
+    m.add_argument("-m", "--metadata_cdxj", required=True)
+    m.add_argument("-w", "--warc_cdxj", required=True)
+    m.add_argument("-d", "--cdxj_dir", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    cr = sub.add_parser("crawl")
+    cr.add_argument("documents_path")
+    cr.add_argument("out_dir")
+    cr.add_argument("--rounds", type=int, default=3)
+    cr.add_argument("--budget", type=int, default=2)
+    cr.add_argument("--seeds", type=int, default=20)
+    cr.set_defaults(fn=cmd_crawl)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -669,6 +669,25 @@ def flagship_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sidecar_counters(docs)
 
 
+def crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule frontier loop (rows-only check): 3 politeness rounds over
+    the driver documents mapped into the engine schema; returns the
+    (round, canonical_url, host, url, priority, rnk) schedule. The full
+    ordering/seen-set equality vs the single-threaded simulator is asserted
+    in tests/test_frontier.py."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.frontier.crawl import run_crawl
+
+    docs = engine_documents_from_driver_tables(spark, sf_dir)
+    n_docs = docs.count()
+    seeds = gen.seed_frontier(spark, n_seeds=20)
+    robots = gen.robots(spark, 50)
+    result = run_crawl(
+        spark, docs, seeds, robots, rounds=3, universe=n_docs, use_bloom=True
+    )
+    return result.schedule
+
+
 # --- public driver contract ---------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -687,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = make(name)
     out["flagship_sidecar"] = flagship_sidecar
     out["flagship_counters"] = flagship_counters
+    out["crawl_rounds"] = crawl_rounds
     return out
 
 

@@ -62,6 +62,86 @@ class Bloom:
         )
 
 
+class CuckooFilter:
+    """Overflow tier for the URL-seen prefilter (north rule N2).
+
+    When the Bloom bitmap's fill ratio passes ~50% its false-positive rate
+    decays sharply; new keys then go into this cuckoo filter instead, which
+    stores 16-bit fingerprints in 4-slot buckets with the classic
+    two-choice + eviction insert. Deterministic (md5-derived fingerprints
+    and bucket choices), fixed memory, supports might_contain like Bloom.
+    Lookups consult BOTH tiers; exactness still comes from the anti-join.
+    """
+
+    def __init__(self, num_buckets: int = 1 << 16, slots: int = 4, max_kicks: int = 200):
+        self.num_buckets = num_buckets
+        self.slots = slots
+        self.max_kicks = max_kicks
+        self.table = np.zeros((num_buckets, slots), dtype=np.uint16)
+        self.overflowed: set[int] = set()  # stash for keys evicted past max_kicks
+
+    def _fp_and_buckets(self, url: str) -> tuple[int, int, int]:
+        d = hashlib.md5(url.encode()).digest()
+        fp = (int.from_bytes(d[:2], "big") % 65535) + 1  # never 0 (0 = empty)
+        b1 = int.from_bytes(d[2:10], "big") % self.num_buckets
+        b2 = (b1 ^ (fp * 0x5BD1E995)) % self.num_buckets
+        return fp, b1, b2
+
+    def add(self, url: str) -> None:
+        fp, b1, b2 = self._fp_and_buckets(url)
+        for b in (b1, b2):
+            row = self.table[b]
+            for s in range(self.slots):
+                if row[s] == 0 or row[s] == fp:
+                    row[s] = fp
+                    return
+        # evict deterministically: rotate slot 0 of b1
+        b, cur = b1, fp
+        for kick in range(self.max_kicks):
+            row = self.table[b]
+            s = kick % self.slots
+            cur, row[s] = int(row[s]), cur
+            b = (b ^ (cur * 0x5BD1E995)) % self.num_buckets
+            row = self.table[b]
+            for s2 in range(self.slots):
+                if row[s2] == 0:
+                    row[s2] = cur
+                    return
+        self.overflowed.add(cur)
+
+    def might_contain(self, url: str) -> bool:
+        fp, b1, b2 = self._fp_and_buckets(url)
+        return (
+            fp in self.table[b1]
+            or fp in self.table[b2]
+            or fp in self.overflowed
+        )
+
+
+class TieredSeenFilter:
+    """Bloom primary + cuckoo overflow (north rule N2). Adds go to the bloom
+    until its fill ratio crosses `spill_at`, then to the cuckoo tier."""
+
+    def __init__(self, num_bits: int = DEFAULT_BITS, spill_at: float = 0.5):
+        self.bloom = Bloom.empty(num_bits)
+        self.cuckoo = CuckooFilter()
+        self.spill_at = spill_at
+        self._adds = 0
+        # fill ratio estimated from adds (k hashes per add) — cheap and
+        # deterministic, no popcount per insert
+        self._spill_after = int(num_bits * spill_at / DEFAULT_HASHES)
+
+    def add(self, url: str) -> None:
+        if self._adds < self._spill_after:
+            self.bloom.add(url)
+        else:
+            self.cuckoo.add(url)
+        self._adds += 1
+
+    def might_contain(self, url: str) -> bool:
+        return self.bloom.might_contain(url) or self.cuckoo.might_contain(url)
+
+
 def build_bloom(
     seen: DataFrame,
     key: str = "canonical_url",
