@@ -63,13 +63,25 @@ def test_aggregation_is_partial_and_single_shuffle(spark):
     assert exchange_count(df) == 1
 
 
-def test_sidecar_shuffle_inventory(spark, docs100, media_tbl):
-    # SURVEY.md §4: one digest-dedup aggregate exchange + the join-back pair
-    # on the same key + the (media-first rows only) head-join pair, which AQE
-    # demotes to broadcast at runtime. Pre-AQE ceiling: 6.
-    n = exchange_count(sidecar_rows(docs100, media_tbl))
-    assert n <= 6, f"unexpected shuffle count {n}"
-    # exactly one Python stage: detectors must not be duplicated by pushdown
+def test_sidecar_shuffle_inventory(spark):
+    # SURVEY.md §4: rep-election exchange + join-back pair on dedup_key +
+    # the (media-first rows only) head-join pair; rep routing is a
+    # BroadcastExchange (payloads never hash-shuffle). Pre-AQE ceiling: 6.
+    # Fresh inputs: cached fixtures would splice InMemoryRelation subplans
+    # (with their own exchanges) into the counted plan.
+    from warc_metadata_sidecar_spark import gen
     from warc_metadata_sidecar_spark.plans.audit import simple_plan
 
-    assert simple_plan(sidecar_rows(docs100, media_tbl)).count("ArrowEvalPython") == 1
+    docs = gen.documents(spark, 50)
+    media = gen.media(spark)
+    plan_df = sidecar_rows(docs, media)
+    n = exchange_count(plan_df)
+    assert n <= 6, f"unexpected shuffle count {n}"
+    # exactly one Python stage: detectors must not be duplicated by pushdown
+    assert simple_plan(plan_df).count("ArrowEvalPython") == 1
+    # payloads must not appear in any hash exchange (the no-payload-shuffle
+    # invariant): payload_text only ever feeds the broadcast-semi-join side
+    plan = simple_plan(plan_df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "payload_text" not in line

@@ -42,19 +42,27 @@ from warc_metadata_sidecar_spark.schema import LANGUAGES
 DNS_PREFIX = "^dns:"
 TEXT_FORMAT_MIMES = "(text|html|xml)"
 
-_SORTED_SPANS = (
+# CONTRACT: `spans` is sorted by offset at ingest time (normalize_spans /
+# sources.warc_ingest sort once on write). Sorting per-expression would
+# re-evaluate array_sort for every derived column (observed 4x per row in
+# the physical plan) — at 100 TB that is the scan's dominant cost, so the
+# invariant lives at the write path, like any good clustering property.
+_SORTED_SPANS_EXPR = (
     "array_sort(spans, (l, r) -> CASE WHEN l.offset < r.offset THEN -1 "
     "WHEN l.offset > r.offset THEN 1 ELSE 0 END)"
 )
 
 
+def normalize_spans_col() -> Column:
+    """Offset-sorted spans — apply ONCE at ingest for untrusted input."""
+    return F.expr(_SORTED_SPANS_EXPR)
+
+
 def payload_text_col() -> Column:
-    """Concatenated text spans in offset order (the reference's payload
+    """Concatenated text spans in span order (the reference's payload
     buffer, warc_metadata_sidecar.py:213, for the text part of a record).
     Pure column expression — no Python."""
-    return F.expr(
-        f"array_join(transform({_SORTED_SPANS}, s -> coalesce(s.text, '')), '')"
-    )
+    return F.expr("array_join(transform(spans, s -> coalesce(s.text, '')), '')")
 
 
 def first_media_ref_col() -> Column:
@@ -62,23 +70,30 @@ def first_media_ref_col() -> Column:
     media (drives magic-byte sniffing from the blob head, like fido's
     BOF buffer)."""
     return F.expr(
-        f"CASE WHEN size(spans) > 0 AND element_at({_SORTED_SPANS}, 1).kind = 'media' "
-        f"THEN element_at({_SORTED_SPANS}, 1).media_ref END"
+        "CASE WHEN size(spans) > 0 AND element_at(spans, 1).kind = 'media' "
+        "THEN element_at(spans, 1).media_ref END"
     )
+
+
+def header_filters(documents: DataFrame) -> DataFrame:
+    """F1+F2: rec_type + dns filters — header columns only, so a branch
+    using just these never decodes the spans (payload) column."""
+    return documents.filter(
+        F.col("rec_type").isin("response", "resource")
+        & ~F.coalesce(F.col("url"), F.lit("")).rlike(DNS_PREFIX)
+    )
+
+
+NON_EMPTY_PAYLOAD = (
+    "exists(spans, s -> (s.text IS NOT NULL AND length(s.text) > 0) "
+    "OR s.media_ref IS NOT NULL)"
+)
 
 
 def base_filters(documents: DataFrame) -> DataFrame:
     """F1+F2+F3: the cheap native filters placed BEFORE the Python stage so
     Catalyst keeps them at the scan (Python UDFs are a pushdown barrier)."""
-    non_empty = F.expr(
-        "exists(spans, s -> (s.text IS NOT NULL AND length(s.text) > 0) "
-        "OR s.media_ref IS NOT NULL)"
-    )
-    return documents.filter(
-        F.col("rec_type").isin("response", "resource")
-        & ~F.coalesce(F.col("url"), F.lit("")).rlike(DNS_PREFIX)
-        & non_empty
-    )
+    return header_filters(documents).filter(F.expr(NON_EMPTY_PAYLOAD))
 
 
 def _with_payload_projection(filtered: DataFrame, media: DataFrame | None) -> DataFrame:
@@ -121,40 +136,35 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
     dedup_key = F.coalesce(
         F.col("payload_digest"), F.concat(F.lit("__row__:"), F.col("doc_id"))
     )
-    # Two branches from the same filtered scan, each with its minimal
-    # projection: the AGGREGATE side carries payload_text/head (one payload
-    # shuffle, by content-hash key); the PROBE side carries only headers +
-    # dedup_key — it never computes payload_text nor touches the media join,
-    # so its re-scan reads pruned parquet (far cheaper than shuffling
-    # payloads twice to force exchange reuse).
+    # Payloads NEVER shuffle. Phase 1 elects a representative per distinct
+    # digest by shuffling only (dedup_key, warc_date, doc_id) — a few dozen
+    # bytes per row. Phase 2 routes ONLY representative rows into the
+    # detector via a semi-join on doc_id (broadcast of the id list — at
+    # true 10^10 distinct-digest scale the documents table is bucketed by
+    # digest instead and this becomes a co-located join). Detector output
+    # (metadata, not payloads) joins back to the header-only probe side.
+    # Net shuffle bytes: ids + metadata, independent of payload width —
+    # shuffling min(struct(payload)) instead was measured 3x slower at 8
+    # cores on ~3 KB payloads and would be fatal at web page sizes.
+    # The probe applies only the header filters (F1+F2): reading the spans
+    # column just to evaluate F3 would double the payload decode cost of the
+    # whole job. F3 is enforced structurally instead — an empty-payload
+    # row's digest group is filtered out of the detector branch, so no
+    # detected row exists for it and `_detected` stays false.
+    probe = header_filters(documents).select(
+        "doc_id", "url", "warc_date", "warcinfo_id", "is_arc", dedup_key.alias("dedup_key")
+    )
+    reps = (
+        probe.groupBy("dedup_key")
+        .agg(F.min(F.struct(F.col("warc_date").alias("_o1"), F.col("doc_id").alias("_o2"))).alias("o"))
+        .select(F.col("o._o2").alias("rep_id"))
+    )
+
     keyed = _with_payload_projection(base_filters(documents), media).withColumn(
         "dedup_key", dedup_key
     )
-    probe = base_filters(documents).select(
-        "doc_id", "url", "warc_date", "warcinfo_id", "is_arc", dedup_key.alias("dedup_key")
-    )
-
-    # D1: deterministic first-occurrence representative per distinct payload.
-    # min(struct(order..., value...)) gives one shuffle with map-side combine.
-    distinct = (
-        keyed.groupBy("dedup_key")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("warc_date").alias("_o1"),
-                    F.col("doc_id").alias("_o2"),
-                    F.col("payload_text"),
-                    F.col("head"),
-                    F.col("http_status"),
-                )
-            ).alias("rep")
-        )
-        .select(
-            "dedup_key",
-            F.col("rep.payload_text").alias("payload_text"),
-            F.col("rep.head").alias("head"),
-            F.col("rep.http_status").alias("rep_http_status"),
-        )
+    rep_rows = keyed.join(
+        F.broadcast(reps), keyed["doc_id"] == reps["rep_id"], "left_semi"
     )
 
     # detect_all is pure, but asNondeterministic() stops Catalyst from
@@ -162,9 +172,9 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
     # through the projection (observed: two ArrowEvalPython nodes = detectors
     # run twice per distinct payload)
     detect_once = detect_all.asNondeterministic()
-    detected = distinct.withColumn(
-        "det", detect_once(F.col("payload_text"), F.col("head"), F.col("rep_http_status"))
-    ).select("dedup_key", "det.*")
+    detected = rep_rows.withColumn(
+        "det", detect_once(F.col("payload_text"), F.col("head"), F.col("http_status"))
+    ).select("dedup_key", F.lit(True).alias("_detected"), "det.*")
 
     annotated = probe.join(detected, "dedup_key", "left")
 
@@ -199,9 +209,14 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
         # cache hits from line 1 of the cached payload (:234) and misses from
         # mimes_found (:255) — provably equivalent to this expression for
         # every reachable payload (both reduce to the detected mime strings).
-        F.concat_ws(" ", F.col("mime_fido"), F.col("mime_magic"))
-        .rlike(TEXT_FORMAT_MIMES)
-        .alias("is_text"),
+        # NULL when the row never reached the detectors (F3-dropped): those
+        # rows never increment text/non-text in the reference (:213-215).
+        F.when(
+            F.col("_detected"),
+            F.concat_ws(" ", F.col("mime_fido"), F.col("mime_magic")).rlike(
+                TEXT_FORMAT_MIMES
+            ),
+        ).alias("is_text"),
     )
 
 

@@ -17,6 +17,9 @@ from pyspark.sql import types as T
 # One row per archive record. `spans` is the interleaved text+media payload;
 # span order is defined by `offset` (per-row invariant vs the reference:
 # span-sequence equality on (kind, text, media_ref, order)).
+# CONTRACT: spans are stored sorted by offset — writers sort once
+# (sources/tables.write_documents, operators/sidecar.normalize_spans_col);
+# readers never re-sort.
 SPAN = T.StructType(
     [
         T.StructField("kind", T.StringType()),  # 'text' | 'media'

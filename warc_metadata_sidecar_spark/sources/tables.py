@@ -27,9 +27,13 @@ ENGINE_VERSION = "0.1.0"
 def write_documents(df: DataFrame, path: str, buckets: int = 32) -> None:
     """Partition by a stable hash bucket of the source file — co-locates a
     crawl file's records (the reference's unit of work) without creating a
-    partition per file."""
+    partition per file. Enforces the spans-sorted-by-offset contract at the
+    write path (operators/sidecar.py reads it without re-sorting)."""
+    from warc_metadata_sidecar_spark.operators.sidecar import normalize_spans_col
+
     (
-        df.withColumn("file_bucket", F.pmod(F.xxhash64("source_file"), F.lit(buckets)).cast("int"))
+        df.withColumn("spans", normalize_spans_col())
+        .withColumn("file_bucket", F.pmod(F.xxhash64("source_file"), F.lit(buckets)).cast("int"))
         .write.mode("overwrite")
         .partitionBy("file_bucket")
         .parquet(path)
