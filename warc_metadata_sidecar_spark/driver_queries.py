@@ -316,6 +316,79 @@ SELECT user_id,
 FROM gaps GROUP BY user_id ORDER BY user_id
 """
 
+# S2: timestamp-14 key (warcio iso_date_to_timestamp, sidecar2cdxj.py:36)
+_Q["timestamp14"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id, @TS14 AS ts14
+FROM events WHERE event_id % 97 = 0 ORDER BY event_id
+"""
+
+# S1: SURT canonicalization — fully native in both engines
+_Q["surt_native"] = (
+    "WITH "
+    + KEPT_CTE
+    + """
+SELECT host,
+       concat(@REV_HOST, ')/page/', CAST(doc_id AS STRING)) AS urlkey,
+       CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS host_rows
+FROM kept ORDER BY urlkey
+"""
+)
+
+# F6/F7: text-format + soft-404 gating counts (warc_metadata_sidecar.py:255-265)
+_Q["soft404_gate"] = (
+    "WITH "
+    + KEPT_CTE
+    + """
+SELECT
+  CAST(sum(CASE WHEN NOT is_media THEN 1 ELSE 0 END) AS BIGINT) AS n_text_gate,
+  CAST(sum(CASE WHEN NOT is_media AND http_status = '200' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_soft404_eligible,
+  CAST(sum(CASE WHEN NOT is_media AND http_status <> '200' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_charset_only
+FROM kept
+"""
+)
+
+# S10: cld2 code -> alpha-3 (merge_cdxj.py:12-27), non-convertible dropped
+_Q["alpha3_codes"] = """
+SELECT lang,
+       CASE lang WHEN 'en' THEN 'eng' WHEN 'es' THEN 'spa' WHEN 'fr' THEN 'fra'
+                 WHEN 'de' THEN 'deu' WHEN 'pt' THEN 'por' WHEN 'it' THEN 'ita'
+                 WHEN 'da' THEN 'dan' WHEN 'zh' THEN 'zho' ELSE NULL END AS alpha3,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY lang
+"""
+
+# time rollup: hourly tumbling aggregation over the events stream table
+_Q["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+"""
+
+# S3/S4 fast path: native content sniffing (the UDF-free mime classifier)
+_Q["mime_sniff_native"] = """
+WITH payloads AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN concat('<!DOCTYPE html><p>', text, '</p>')
+              WHEN doc_id % 4 = 1 THEN concat('<?xml version="1.0"?><d>', text, '</d>')
+              WHEN doc_id % 4 = 2 THEN concat('{"body": "', text, '"}')
+              ELSE text END AS payload
+  FROM documents
+),
+classified AS (
+  SELECT doc_id,
+         CASE WHEN payload LIKE '<!DOCTYPE html%' OR payload LIKE '<html%' THEN 'text/html'
+              WHEN payload LIKE '<?xml%' THEN 'text/xml'
+              WHEN payload LIKE '{%' OR payload LIKE '[%' THEN 'application/json'
+              ELSE 'text/plain' END AS mime
+  FROM payloads
+)
+SELECT mime, CAST(count(*) AS BIGINT) AS n_docs
+FROM classified GROUP BY mime ORDER BY mime
+"""
+
 # --- training-data pipeline: dedup family ------------------------------------
 
 _Q["dedup_exact"] = (
@@ -586,6 +659,20 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@SHIFTR", dialect["SHIFTRIGHT"].format(v="hv", b="CAST((i - 1) % 4 AS INT)"))
     if "@SHIFTL" in sql:
         sql = sql.replace("@SHIFTL", dialect["SHIFTLEFT"].format(b="CAST(b AS INT)"))
+    if "@TS14" in sql:
+        ts14 = (
+            "date_format(ts, 'yyyyMMddHHmmss')"
+            if dialect is SPARK
+            else "strftime(ts, '%Y%m%d%H%M%S')"
+        )
+        sql = sql.replace("@TS14", ts14)
+    if "@REV_HOST" in sql:
+        rev = (
+            "array_join(reverse(split(host, '\\\\.')), ',')"
+            if dialect is SPARK
+            else "array_to_string(list_reverse(string_split(host, '.')), ',')"
+        )
+        sql = sql.replace("@REV_HOST", rev)
     if "@EPOCH_TS" in sql:
         sql = sql.replace("@EPOCH_TS", dialect["EPOCH"].format(t="ts"))
         sql = sql.replace("@EPOCH_PREV", dialect["EPOCH"].format(t="prev_ts"))
