@@ -1,0 +1,69 @@
+"""S9 (sidecar payload deserialization) and SNK1 (WARC byte export) tests."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark.operators.cdxj import parse_sidecar_payload
+from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+from warc_metadata_sidecar_spark.sources.warc_export import export_sidecar_warcs
+
+
+PAYLOAD = (
+    'Identified-Payload-Type: {"fido": "text/html", "python-magic": "text/html"}\n'
+    "Preservation-Identifier: fmt/471\n"
+    'Charset-Detected: {"encoding": "ascii", "confidence": 1.0}\n'
+    'Languages-cld2: {"reliable": true, "text-bytes": 2048, "languages": '
+    '[{"name": "ENGLISH", "code": "en", "text-covered": 90, "score": 1024.0}]}\n'
+    "Soft-404-Detected: 0.025"
+)
+
+
+def test_parse_sidecar_payload_roundtrip(spark):
+    # cf. convert_payload_to_json (sidecar2cdxj.py:18-29) and its test (:41-44)
+    df = spark.createDataFrame([(PAYLOAD,)], ["payload"])
+    row = parse_sidecar_payload(df).first()
+    assert row.mime["fido"] == "text/html"
+    assert row.puid == "fmt/471"
+    assert row.charset.encoding == "ascii" and row.charset.confidence == 1.0
+    assert row.languages.languages[0].code == "en"
+    assert row.soft404 == 0.025
+
+
+def test_parse_sidecar_payload_partial(spark):
+    df = spark.createDataFrame([("Preservation-Identifier: fmt/4",)], ["payload"])
+    row = parse_sidecar_payload(df).first()
+    assert row.puid == "fmt/4"
+    assert row.mime is None and row.charset is None
+    assert row.soft404 is None
+
+
+def test_roundtrip_engine_payload(spark, docs100, media_tbl):
+    # our own serialized payloads parse back to the same structured values
+    side = sidecar_rows(docs100, media_tbl).limit(20)
+    parsed = parse_sidecar_payload(side.select("doc_id", F.col("payload"))).collect()
+    orig = {r.doc_id: r for r in side.collect()}
+    for p in parsed:
+        o = orig[p.doc_id]
+        assert p.mime == o.mime
+        assert p.puid == o.puid
+        assert (p.charset is None) == (o.charset is None)
+        if p.charset:
+            assert p.charset.encoding == o.charset.encoding
+
+
+def test_export_sidecar_warcs(spark, docs100, media_tbl):
+    side = sidecar_rows(docs100, media_tbl)
+    with_src = side.join(docs100.select("doc_id", "source_file"), "doc_id")
+    blobs = export_sidecar_warcs(with_src).collect()
+    assert blobs
+    b = blobs[0]
+    assert b.sidecar_file.endswith("warc.meta.gz")
+    text = bytes(b.warc_bytes).decode()
+    assert text.startswith("WARC/1.0\r\n")
+    assert "WARC-Type: metadata" in text
+    assert text.count("WARC/1.0") == b.n_records
+    # ARC rows carry no Concurrent/Warcinfo headers
+    arc_blob = [x for x in blobs if ".arc" in x.source_file or "arc.gz" in x.source_file]
+    full = "".join(bytes(x.warc_bytes).decode() for x in blobs)
+    assert "Identified-Payload-Type:" in full

@@ -133,6 +133,46 @@ def sidecar_to_cdxj(sidecar: DataFrame) -> DataFrame:
     )
 
 
+def parse_sidecar_payload(sidecar_payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S9: deserialize an externally-produced sidecar payload string back
+    into columns (convert_payload_to_json, sidecar2cdxj.py:18-29).
+
+    Native: split on newline, then each line once on ': '; JSON values via
+    from_json, falling back to the raw string when not JSON (the reference's
+    JSONDecodeError fallback, :26-28). Used when ingesting sidecar WARCs
+    produced by OTHER tools — our own pipeline never leaves columnar form.
+    """
+    lines = F.split(F.col(payload_col), "\n")
+
+    def field(title: str):
+        # value of the line starting with '<title>: ', else NULL
+        # (try_element_at: ANSI mode errors on element_at over empty arrays)
+        return F.try_element_at(
+            F.transform(
+                F.filter(lines, lambda l: l.startswith(title + " ")),
+                lambda l: l.substr(F.lit(len(title) + 2), F.length(l)),
+            ),
+            F.lit(1),
+        )
+
+    mime_raw = field("Identified-Payload-Type:")
+    charset_raw = field("Charset-Detected:")
+    lang_raw = field("Languages-cld2:")
+    return sidecar_payloads.select(
+        "*",
+        F.from_json(mime_raw, "map<string,string>").alias("mime"),
+        field("Preservation-Identifier:").alias("puid"),
+        F.from_json(charset_raw, "struct<encoding:string,confidence:double>").alias("charset"),
+        F.from_json(
+            lang_raw,
+            "struct<reliable:boolean,`text-bytes`:int,"
+            "languages:array<struct<name:string,code:string,"
+            "`text-covered`:int,score:double>>>",
+        ).alias("languages"),
+        field("Soft-404-Detected:").cast("double").alias("soft404"),
+    )
+
+
 def parse_cdxj_lines(lines: DataFrame) -> DataFrame:
     """CDXJ text -> (line_id, urlkey, ts, json) (reference P3: split(' ', 2),
     merge_cdxj.py:67,89). line_id preserves file order for the sink."""

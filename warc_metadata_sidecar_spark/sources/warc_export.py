@@ -1,0 +1,71 @@
+"""SNK1: byte-form sidecar WARC export at the edge.
+
+The reference writes gzipped WARC records via warcio.WARCWriter
+(warc_metadata_sidecar.py:199-203,238-245,278-283). The engine's primary
+sink is the columnar sidecar table; this module renders the byte form for
+interop, one output WARC per source file via groupBy(source_file) +
+applyInPandas (each group = the reference's unit of work, written by one
+task).
+
+warcio is not in this container, so record bytes are rendered by a minimal
+built-in WARC/1.0 serializer (uncompressed; correct header framing and
+Content-Length). With warcio installed, `_render_records` is the swap seam
+for gzip + exact writer parity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("sidecar_file", T.StringType()),
+        T.StructField("n_records", T.IntegerType()),
+        T.StructField("warc_bytes", T.BinaryType()),
+    ]
+)
+
+
+def _render_record(row: pd.Series) -> bytes:
+    payload = (row["payload"] or "").encode()
+    headers = [
+        ("WARC-Type", "metadata"),
+        ("WARC-Record-ID", row["doc_id"]),
+        ("WARC-Target-URI", row["url"]),
+    ]
+    if row.get("warc_date") is not None and not pd.isna(row.get("warc_date")):
+        headers.append(("WARC-Date", pd.Timestamp(row["warc_date"]).strftime("%Y-%m-%dT%H:%M:%SZ")))
+    # ARC-derived rows carry no Concurrent/Warcinfo IDs
+    # (warc_metadata_sidecar.py:216-228)
+    if row.get("concurrent_id"):
+        headers.append(("WARC-Concurrent-To", row["concurrent_id"]))
+    if row.get("warcinfo_id"):
+        headers.append(("WARC-Warcinfo-ID", row["warcinfo_id"]))
+    headers.append(("Content-Length", str(len(payload))))
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return head.encode() + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def export_sidecar_warcs(sidecar_with_source: DataFrame) -> DataFrame:
+    """sidecar rows (+ source_file column) -> one rendered WARC blob per
+    source file: (source_file, sidecar_file, n_records, warc_bytes)."""
+    from warc_metadata_sidecar_spark.operators.cdxj import sidecar_filename
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["warc_date", "doc_id"])
+        blob = b"".join(_render_record(r) for _, r in pdf.iterrows())
+        src = pdf["source_file"].iloc[0]
+        return pd.DataFrame(
+            {
+                "source_file": [src],
+                "sidecar_file": [sidecar_filename(src)],
+                "n_records": [len(pdf)],
+                "warc_bytes": [blob],
+            }
+        )
+
+    return sidecar_with_source.groupBy("source_file").applyInPandas(render, EXPORT_SCHEMA)
