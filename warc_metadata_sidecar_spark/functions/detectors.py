@@ -118,31 +118,44 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
 
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
 _TOKEN_RE = re.compile(r"[\w一-鿿']+", re.UNICODE)
+_CJK_RE = re.compile(r"[一-鿿]")
+
+# inverted marker index: one dict lookup per token instead of one set scan
+# per language profile (this function is the engine's hottest Python path —
+# it runs once per distinct payload digest)
+_MARKER_LANGS: dict[str, list[str]] = {}
+for _code, (_name, _markers) in _LANG_PROFILES.items():
+    for _m in _markers:
+        _MARKER_LANGS.setdefault(_m, []).append(_code)
 
 
 def detect_language(text: str | None) -> dict | None:
     """cld2-shaped result: {'reliable', 'text-bytes', 'languages': [...]}
     or None when nothing identifiable — reference drops 'Unknown' entries and
-    returns None when all are unknown (warc_metadata_sidecar.py:112-126)."""
+    returns None when all are unknown (warc_metadata_sidecar.py:105-126)."""
     if not text:
         return None
     cleaned = _BAD_CHARS.sub("", text)
-    tokens = [t.lower() for t in _TOKEN_RE.findall(cleaned)]
+    raw_tokens = _TOKEN_RE.findall(cleaned)
     # CJK text tokenizes as long runs; split to characters for zh markers
-    expanded: list[str] = []
-    for t in tokens:
-        if any("一" <= ch <= "鿿" for ch in t):
-            expanded.extend(ch for ch in t)
+    n_tokens = 0
+    hit_counts: dict[str, int] = {}
+    for t in raw_tokens:
+        if _CJK_RE.search(t):
+            n_tokens += len(t)
+            for ch in t:
+                for code in _MARKER_LANGS.get(ch, ()):
+                    hit_counts[code] = hit_counts.get(code, 0) + 1
         else:
-            expanded.append(t)
-    tokens = expanded
-    if not tokens:
+            n_tokens += 1
+            for code in _MARKER_LANGS.get(t.lower(), ()):
+                hit_counts[code] = hit_counts.get(code, 0) + 1
+    if not n_tokens:
         return None
     scores: list[tuple[str, str, int, float]] = []
-    for code, (name, markers) in _LANG_PROFILES.items():
-        hits = sum(1 for t in tokens if t in markers)
-        if hits:
-            scores.append((name, code, hits, hits / len(tokens)))
+    for code, hits in hit_counts.items():
+        name = _LANG_PROFILES[code][0]
+        scores.append((name, code, hits, hits / n_tokens))
     if not scores:
         return None  # all 'Unknown'
     scores.sort(key=lambda s: (-s[2], s[1]))
@@ -154,10 +167,10 @@ def detect_language(text: str | None) -> dict | None:
                 "name": name,
                 "code": code,
                 "text-covered": int(round(100.0 * hits / total_hits)),
-                "score": round(1024.0 * hits / len(tokens), 2),
+                "score": round(1024.0 * hits / n_tokens, 2),
             }
         )
-    reliable = entries[0]["text-covered"] >= 70 and len(tokens) >= 8
+    reliable = entries[0]["text-covered"] >= 70 and n_tokens >= 8
     return {
         "reliable": reliable,
         "text-bytes": len(cleaned.encode("utf-8")),
