@@ -68,6 +68,15 @@ def test_surt_col_matches_py(spark):
         "http://user@host01.example.com:8080/p",
         "https://host07.example.com/page/70",
     ]
+    # plus a deterministic spread of generated shapes (ports, userinfo,
+    # query strings, www, trailing slash, no path)
+    for i in range(200):
+        scheme = ["http", "https", "ftp"][i % 3]
+        www = "www." if i % 4 == 0 else ""
+        port = f":{8000 + i}" if i % 5 == 0 else ""
+        user = "u@" if i % 7 == 0 else ""
+        path = ["", "/", f"/P{i}/x?Q={i}&a=B", f"/page/{i}"][i % 4]
+        urls.append(f"{scheme}://{user}{www}Host{i % 13}.Example.com{port}{path}")
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]
     assert got == [py_surt(u) for u in urls]

@@ -53,6 +53,20 @@ def test_merge_join_broadcasts_small_build_side(spark):
     assert has_broadcast_join(merged)
 
 
+def test_documents_partition_pruning(spark, docs100, tmp_path):
+    # write_documents partitions by file_bucket; a bucket-filtered read must
+    # prune partitions at the scan (PartitionFilters, not a post-scan Filter)
+    from warc_metadata_sidecar_spark.sources.tables import write_documents
+
+    path = str(tmp_path / "docs_part")
+    write_documents(docs100, path)
+    df = spark.read.parquet(path).filter(F.col("file_bucket") == 3)
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [isnotnull(file_bucket" in plan or "file_bucket#" in plan.split(
+        "PartitionFilters:"
+    )[1].splitlines()[0], plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
 def test_aggregation_is_partial_and_single_shuffle(spark):
     df = (
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
