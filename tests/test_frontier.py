@@ -133,6 +133,22 @@ def test_crawl_matches_simulator(spark, corpus, robots_df, seeds):
         assert (r.round, r.canonical_url) in engine_schedule
 
 
+def test_crawl_delay_gates_rounds(spark, corpus, robots_df, seeds):
+    # gen.robots: crawl_delay_s = 1 + host_n % 3 — a delay-2 host may only
+    # be scheduled in even rounds, delay-3 only when round % 3 == 0 (N4:
+    # per-host delay as deterministic round gating)
+    result = run_crawl(spark, corpus, seeds, robots_df, rounds=3, universe=UNIVERSE)
+    delays = {
+        r.host: r.crawl_delay_s
+        for r in robots_df.filter(F.col("path_prefix").isNull()).collect()
+    }
+    for row in result.schedule.collect():
+        assert row.round % delays[row.host] == 0, (row.host, row.round)
+    # delayed hosts are not starved: a delay-3 host still appears in round 0
+    hosts_r0 = {r.host for r in result.schedule.collect() if r.round == 0}
+    assert any(delays[h] == 3 for h in hosts_r0)
+
+
 def test_crawl_parallelism_invariance(spark, corpus, robots_df, seeds):
     # same schedule when the frontier is shuffled into a different number of
     # partitions (the sandbox proxy for N vs 4N executors, north rule N8)

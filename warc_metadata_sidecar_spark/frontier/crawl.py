@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warc_metadata_sidecar_spark.frontier.canonical import canonicalize
-from warc_metadata_sidecar_spark.frontier.scheduler import DEFAULT_BUDGET, select_round
+from warc_metadata_sidecar_spark.frontier.scheduler import DEFAULT_BUDGET, select_and_carry
 from warc_metadata_sidecar_spark.frontier.seen import Bloom, build_bloom, filter_new
 
 # deterministic link model: page p links to (p*31+17)%N, (p*57+5)%N,
@@ -164,11 +164,14 @@ def run_crawl(
             bloom = build_bloom(seen)
         new_candidates = filter_new(spark, frontier, seen, bloom)
 
-        selected = select_round(new_candidates, robots, default_budget).withColumn(
-            "round", F.lit(rnd)
+        selected, carryover = select_and_carry(
+            new_candidates, robots, default_budget, round_no=rnd
         )
-        # materialize: selected feeds seen, fetch, and the returned schedule
+        selected = selected.withColumn("round", F.lit(rnd))
+        # materialize: selected feeds seen, fetch, and the returned schedule;
+        # carryover re-enters the next round's frontier (queue semantics)
         selected = selected.localCheckpoint(eager=True)
+        carryover = carryover.localCheckpoint(eager=True)
         n_candidates = new_candidates.count()
         n_selected = selected.count()
 
@@ -202,10 +205,16 @@ def run_crawl(
             selected.select("canonical_url", F.col("round").alias("first_round"))
         ).localCheckpoint(eager=True)
         # N7: keep the frontier partitioned on the salted url-hash key so the
-        # next round's dedup groupBy reuses the partitioning
-        frontier = new_frontier.repartition(
-            max(spark.sparkContext.defaultParallelism, 4), "host_salt"
-        ).localCheckpoint(eager=True)
+        # next round's dedup groupBy reuses the partitioning; carryover rows
+        # (budget overflow + crawl-delay-gated hosts) re-enter the queue
+        frontier = (
+            new_frontier.unionByName(
+                carryover.withColumn("parent_url", F.lit(None).cast("string")),
+                allowMissingColumns=True,
+            )
+            .repartition(max(spark.sparkContext.defaultParallelism, 4), "host_salt")
+            .localCheckpoint(eager=True)
+        )
 
         mx, mn = _skew_stats(frontier)
         lineage.append(

@@ -71,8 +71,15 @@ def select_round(
     candidates: DataFrame,
     robots: DataFrame,
     default_budget: int = DEFAULT_BUDGET,
+    round_no: int | None = None,
 ) -> DataFrame:
-    """The politeness-aware per-round selection."""
+    """The politeness-aware per-round selection.
+
+    crawl-delay semantics: one round = one base politeness interval; a host
+    with crawl_delay_s = k is eligible only when round_no % k == 0 (the
+    deterministic-time analog of per-host delay — no wall-clock in the plan,
+    SURVEY.md N4). round_no=None (single-shot use) skips the gate.
+    """
     deduped = dedup_candidates(candidates)
     allowed = apply_robots(deduped, robots)
     budgets = host_budgets(robots, default_budget)
@@ -80,6 +87,41 @@ def select_round(
     ranked = (
         allowed.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+        .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1)))
+    )
+    if round_no is not None:
+        ranked = ranked.filter(F.lit(round_no) % F.col("crawl_delay_s") == 0)
+    ranked = ranked.withColumn("rnk", F.row_number().over(w))
+    return ranked.filter(F.col("rnk") <= F.col("budget")).drop("budget", "crawl_delay_s")
+
+
+def select_and_carry(
+    candidates: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_no: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(selected, carryover) for one round.
+
+    A real frontier QUEUES what it doesn't schedule: robots-denied rows are
+    dropped permanently, but budget-overflow rows and rows of hosts gated
+    out by crawl_delay this round carry into the next round's frontier.
+    """
+    deduped = dedup_candidates(candidates)
+    allowed = apply_robots(deduped, robots)
+    budgets = host_budgets(robots, default_budget)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
+    ranked = (
+        allowed.join(F.broadcast(budgets), "host", "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+        .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1)))
+        .withColumn("eligible", F.lit(round_no) % F.col("crawl_delay_s") == 0)
         .withColumn("rnk", F.row_number().over(w))
     )
-    return ranked.filter(F.col("rnk") <= F.col("budget")).drop("budget", "crawl_delay_s")
+    selected = ranked.filter(F.col("eligible") & (F.col("rnk") <= F.col("budget"))).drop(
+        "budget", "crawl_delay_s", "eligible"
+    )
+    carryover = ranked.filter(~F.col("eligible") | (F.col("rnk") > F.col("budget"))).drop(
+        "budget", "crawl_delay_s", "eligible", "rnk"
+    )
+    return selected, carryover

@@ -28,11 +28,13 @@ def simulate_crawl(
     """Returns (schedule [(round, canonical_url) in selection order], seen set)."""
     deny: dict[str, list[str]] = {}
     budget: dict[str, int] = {}
+    delay: dict[str, int] = {}
     for r in robots:
         if r["path_prefix"] is not None and not r["allowed"]:
             deny.setdefault(r["host"], []).append(r["path_prefix"])
         if r["path_prefix"] is None and r["allowed"]:
             budget[r["host"]] = min(r["budget"], budget.get(r["host"], 1 << 30))
+            delay[r["host"]] = min(r["crawl_delay_s"] or 1, delay.get(r["host"], 1 << 30))
 
     frontier: list[str] = list(seed_urls)
     seen: set[str] = set()
@@ -48,7 +50,7 @@ def simulate_crawl(
             if cu not in by_canon or url < by_canon[cu]:
                 by_canon[cu] = url
 
-        # robots deny on path prefix
+        # robots deny on path prefix (dropped permanently)
         per_host: dict[str, list[tuple[float, str, str]]] = {}
         for cu, url in by_canon.items():
             cu2, host, priority = py_canonicalize(url)
@@ -58,14 +60,22 @@ def simulate_crawl(
                 continue
             per_host.setdefault(host, []).append((priority, cu2, url))
 
-        # per-host top-budget by (priority desc, canonical asc)
+        # per-host: crawl-delay gating (host eligible when rnd % delay == 0),
+        # then top-budget by (priority desc, canonical asc); the remainder
+        # carries into the next round's frontier (queue semantics)
         selected: list[tuple[str, str]] = []  # (canonical, url)
+        carryover: list[str] = []
         for host in sorted(per_host):
             rows = sorted(per_host[host], key=lambda t: (-t[0], t[1]))
-            for priority, cu, url in rows[: budget.get(host, default_budget)]:
+            if rnd % delay.get(host, 1) != 0:
+                carryover.extend(url for _, _, url in rows)
+                continue
+            b = budget.get(host, default_budget)
+            for priority, cu, url in rows[:b]:
                 selected.append((cu, url))
+            carryover.extend(url for _, _, url in rows[b:])
 
-        next_frontier: list[str] = []
+        next_frontier: list[str] = list(carryover)
         for cu, url in selected:
             schedule.append((rnd, cu))
             seen.add(cu)
