@@ -96,22 +96,30 @@ def main() -> None:
     )
     n_big = big.count()
     robots = gen.robots(spark, 50)
-    t0 = time.time()
-    annotated = sidecar_rows(big).count()
-    frontier = canonicalize(
-        big.filter(~F.col("url").startswith("dns:")).select(
-            "url",
-            F.lit(None).cast("string").alias("canonical_url"),
-            F.lit(None).cast("string").alias("host"),
-            F.lit(None).cast("int").alias("host_salt"),
-            F.lit(None).cast("double").alias("priority"),
-            F.lit(0).alias("discovery_round"),
-            F.lit(0).cast("long").alias("seq"),
-            F.lit(None).cast("string").alias("parent_url"),
+
+    def one_pass() -> tuple[int, int, float]:
+        t0 = time.time()
+        n_annotated = sidecar_rows(big).count()
+        frontier = canonicalize(
+            big.filter(~F.col("url").startswith("dns:")).select(
+                "url",
+                F.lit(None).cast("string").alias("canonical_url"),
+                F.lit(None).cast("string").alias("host"),
+                F.lit(None).cast("int").alias("host_salt"),
+                F.lit(None).cast("double").alias("priority"),
+                F.lit(0).alias("discovery_round"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(None).cast("string").alias("parent_url"),
+            )
         )
-    )
-    scheduled = select_round(frontier, robots).count()
-    dt = time.time() - t0
+        n_scheduled = select_round(frontier, robots).count()
+        return n_annotated, n_scheduled, time.time() - t0
+
+    one_pass()  # warmup (python workers + JIT)
+    annotated, scheduled, dt = one_pass()
+    a2, s2, dt2 = one_pass()
+    if dt2 < dt:
+        annotated, scheduled, dt = a2, s2, dt2
     urls_per_sec = round((annotated + scheduled) / dt, 2)
 
     total = round(sum(times.values()) + dt, 3)
