@@ -61,14 +61,18 @@ def test_bloom_no_false_negatives():
 
 
 def test_bloom_prefilter_equals_exact_antijoin(spark, seeds, corpus):
+    from warc_metadata_sidecar_spark.frontier.seen import build_tiered
+
     cand = canonicalize(seeds)
     seen = cand.limit(7).select("canonical_url", F.lit(0).alias("first_round"))
-    bloom = build_bloom(seen)
     exact = filter_new(spark, cand, seen, bloom=None)
-    with_bloom = filter_new(spark, cand, seen, bloom=bloom)
     a = sorted(r.canonical_url for r in exact.select("canonical_url").collect())
-    b = sorted(r.canonical_url for r in with_bloom.select("canonical_url").collect())
-    assert a == b
+    # bloom prefilter and the tiered bloom+cuckoo prefilter both restore
+    # exactness through the anti-join backstop (N2)
+    for filt in (build_bloom(seen), build_tiered(seen, num_bits=1 << 10)):
+        got = filter_new(spark, cand, seen, bloom=filt)
+        b = sorted(r.canonical_url for r in got.select("canonical_url").collect())
+        assert a == b
 
 
 def test_select_round_budget_and_deny(spark, robots_df, corpus):

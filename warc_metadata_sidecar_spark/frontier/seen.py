@@ -142,6 +142,24 @@ class TieredSeenFilter:
         return self.bloom.might_contain(url) or self.cuckoo.might_contain(url)
 
 
+def build_tiered(
+    seen: DataFrame,
+    key: str = "canonical_url",
+    num_bits: int = DEFAULT_BITS,
+    spill_at: float = 0.5,
+) -> "TieredSeenFilter":
+    """Driver-built tiered filter (bloom primary + cuckoo overflow) from the
+    seen table. The cuckoo tier is not OR-mergeable like Bloom bitmaps, so
+    the tiered build streams keys to the driver via toLocalIterator — right
+    for the sandbox scales; at 10^10 the filters live sharded in a `filters`
+    table, each shard built by the executor owning that url-hash range."""
+    t = TieredSeenFilter(num_bits=num_bits, spill_at=spill_at)
+    for row in seen.select(key).toLocalIterator():
+        if row[0] is not None:
+            t.add(row[0])
+    return t
+
+
 def build_bloom(
     seen: DataFrame,
     key: str = "canonical_url",
@@ -175,24 +193,25 @@ def filter_new(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: Bloom | None = None,
+    bloom=None,
     key: str = "canonical_url",
 ) -> DataFrame:
     """Rows of `candidates` whose key is NOT in `seen` — exact.
 
-    With a bloom, only maybe-seen rows take the anti-join shuffle; rows the
-    filter proves new bypass it. Without, plain left_anti (the correctness
-    baseline the bloom path must equal).
+    `bloom` is any picklable object with might_contain(url) -> bool — a
+    Bloom, a CuckooFilter, or the TieredSeenFilter (bloom + cuckoo overflow,
+    north rule N2). Only maybe-seen rows take the anti-join shuffle; rows
+    the filter proves new bypass it. Without a filter, plain left_anti (the
+    correctness baseline every filter path must equal).
     """
     if bloom is None:
         return candidates.join(seen.select(key), key, "left_anti")
 
-    bc = spark.sparkContext.broadcast((bloom.bits.tobytes(), bloom.num_hashes))
+    bc = spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(urls: pd.Series) -> pd.Series:
-        bits, k = bc.value
-        b = Bloom(np.frombuffer(bits, dtype=np.uint8).copy(), k)
+        b = bc.value
         return urls.map(lambda u: bool(u is not None and b.might_contain(u)))
 
     flagged = candidates.withColumn("_maybe", maybe_seen(F.col(key)))
