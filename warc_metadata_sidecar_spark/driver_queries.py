@@ -389,6 +389,17 @@ SELECT mime, CAST(count(*) AS BIGINT) AS n_docs
 FROM classified GROUP BY mime ORDER BY mime
 """
 
+# rollup: multi-level aggregation over the star schema (relational coverage)
+_Q["orders_rollup"] = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
 # --- training-data pipeline: dedup family ------------------------------------
 
 _Q["dedup_exact"] = (
