@@ -7,12 +7,27 @@ ordering a pure data property (SURVEY.md §1.2, §7.4). Each round is one
 Spark job; the driver loop only moves tiny metric scalars — all row data
 stays distributed.
 
-Checkpoint/lineage (N6): every round writes frontier/seen/schedule parquet
-snapshots under out_dir/round=R/ (parquet `_SUCCESS` markers give atomic
-visibility) plus a lineage row (round, rows in/out, per-partition skew
-stats). `resume_round` finds the latest complete snapshot; re-running the
-loop from there reproduces the identical schedule because no state lives
-outside the snapshots.
+Driver-action budget (VERDICT r1 #3): metrics ride `observe()` on the plans
+that run anyway, so a round executes exactly THREE jobs —
+  1. ranked checkpoint (carries candidate/selected/carryover observations),
+  2. frontier checkpoint (carries fetched/new-link observations),
+  3. sharded filter update (cost O(|round delta| + shards), never O(|seen|)).
+`seen` is never separately materialized: it is a lazy union of scheduled
+filters over the per-round checkpointed ranked frames (each union leg is an
+in-memory scan). Skew stats come from an optional 4th cheap agg over the
+checkpointed (in-memory) frontier, on by default for lineage fidelity.
+
+URL-seen (N2): the tiered bloom+cuckoo filter lives in a sharded `filters`
+table updated INCREMENTALLY each round with only that round's newly
+scheduled keys (frontier/seen.py update_filter_shards) — the r1 full
+rebuild-from-seen is gone. The filters table is checkpointed alongside
+frontier/seen so resume restores it without rescanning seen.
+
+Checkpoint/lineage (N6): every round writes frontier/seen/schedule/filters
+parquet snapshots under out_dir/round=R/ (parquet `_SUCCESS` markers give
+atomic visibility) plus a lineage row. `resume_round` finds the latest
+complete snapshot; re-running the loop from there reproduces the identical
+schedule because no state lives outside the snapshots.
 
 "Fetch" in the sandbox is an equi-join against the synthetic documents
 corpus (N5 — no network); discovered links are a pure function of the
@@ -24,12 +39,17 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from warc_metadata_sidecar_spark.frontier.canonical import canonicalize
-from warc_metadata_sidecar_spark.frontier.scheduler import DEFAULT_BUDGET, select_and_carry
-from warc_metadata_sidecar_spark.frontier.seen import Bloom, build_bloom, filter_new
+from warc_metadata_sidecar_spark.frontier.scheduler import DEFAULT_BUDGET, rank_round
+from warc_metadata_sidecar_spark.frontier.seen import (
+    DEFAULT_SHARDS,
+    load_sharded,
+    update_filter_shards,
+)
+from warc_metadata_sidecar_spark.frontier import seen as seen_mod
 
 # deterministic link model: page p links to (p*31+17)%N, (p*57+5)%N,
 # (p*91+1)%N in the same 50-host universe (simulator twin in simulator.py)
@@ -77,7 +97,7 @@ class CrawlResult:
     lineage: list[RoundMetrics] = field(default_factory=list)
 
 
-def _skew_stats(df: DataFrame, key: str = "host_salt") -> tuple[int, int]:
+def _skew_stats(df: DataFrame) -> tuple[int, int]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("pid"))
         .count()
@@ -120,12 +140,14 @@ def run_crawl(
     annotate: bool = False,
     media: DataFrame | None = None,
     out_dir: str | None = None,
+    num_shards: int = DEFAULT_SHARDS,
+    skew_stats: bool = True,
 ) -> CrawlResult:
     """Run `rounds` politeness rounds from `seeds` over the documents corpus.
 
     Every round:
       1. canonicalize frontier (N1)
-      2. URL-seen filter: bloom prefilter + exact anti-join (N2)
+      2. URL-seen filter: sharded tiered prefilter + exact anti-join (N2)
       3. politeness selection: robots deny + per-host budget window (N3/N4)
       4. fetch = equi-join into documents on url (N5)
       5. sidecar-annotate fetched rows (the §2a stage) when annotate=True
@@ -136,12 +158,24 @@ def run_crawl(
     empty_seen = spark.createDataFrame([], "canonical_url string, first_round int")
 
     start_round = 0
+    filters_df: DataFrame | None = None
+    n_seen = 0
     if out_dir is not None:
         done = resume_round(spark, out_dir)
         if done >= 0:
             start_round = done + 1
             frontier = spark.read.parquet(_ckpt_dir(out_dir, done, "frontier"))
             seen = spark.read.parquet(_ckpt_dir(out_dir, done, "seen"))
+            n_seen = seen.count()
+            filters_path = _ckpt_dir(out_dir, done, "filters")
+            if os.path.exists(os.path.join(filters_path, "_SUCCESS")):
+                filters_df = spark.read.parquet(filters_path).localCheckpoint(eager=True)
+            elif use_bloom and n_seen:
+                # legacy checkpoint without a filters table: one-time
+                # executor-side rebuild from the seen snapshot
+                filters_df = update_filter_shards(
+                    spark, seen, None, num_shards=num_shards
+                ).localCheckpoint(eager=True)
         else:
             frontier = canonicalize(seeds)
             seen = empty_seen
@@ -157,28 +191,44 @@ def run_crawl(
     lineage: list[RoundMetrics] = []
 
     for rnd in range(start_round, rounds):
-        # N2: bloom built from the CURRENT seen set (refreshed per round —
-        # the real deployment persists filter shards in a `filters` table)
-        bloom: Bloom | None = None
-        if use_bloom and seen.limit(1).count() > 0:
-            bloom = build_bloom(seen)
-        new_candidates = filter_new(spark, frontier, seen, bloom)
+        # N2: tiered prefilter served from the sharded filters table —
+        # loaded (fixed-size states), never rebuilt from the seen set
+        seen_filter: seen_mod.ShardedSeenFilter | None = None
+        if use_bloom and filters_df is not None and n_seen > 0:
+            seen_filter = load_sharded(filters_df, num_shards)
+        new_candidates = seen_mod.filter_new(spark, frontier, seen, seen_filter)
 
-        selected, carryover = select_and_carry(
-            new_candidates, robots, default_budget, round_no=rnd
+        # candidate count observed upstream: fills when the ranked
+        # checkpoint (the one action consuming this plan) executes
+        obs_cand = Observation(f"cand_r{rnd}")
+        new_candidates = new_candidates.observe(
+            obs_cand, F.count(F.lit(1)).alias("candidates")
         )
-        selected = selected.withColumn("round", F.lit(rnd))
-        # materialize: selected feeds seen, fetch, and the returned schedule;
-        # carryover re-enters the next round's frontier (queue semantics)
-        selected = selected.localCheckpoint(eager=True)
-        carryover = carryover.localCheckpoint(eager=True)
-        n_candidates = new_candidates.count()
-        n_selected = selected.count()
+        obs_rank = Observation(f"rank_r{rnd}")
+        ranked = rank_round(
+            new_candidates, robots, default_budget, round_no=rnd
+        ).withColumn("round", F.lit(rnd))
+        ranked = ranked.observe(
+            obs_rank,
+            F.sum(F.when(F.col("scheduled"), 1).otherwise(0)).alias("selected"),
+        )
+        # THE round materialization: selected/carryover/schedule/seen are all
+        # cheap filters over this one in-memory frame (action 1 of 3)
+        ranked = ranked.localCheckpoint(eager=True)
+        n_candidates = int(obs_cand.get["candidates"])
+        n_selected = int(obs_rank.get["selected"] or 0)
 
-        fetched = selected.join(fetch_target, "url", "inner")
-        n_fetched = fetched.count()
+        selected = ranked.filter(F.col("scheduled")).drop("eligible", "scheduled")
+        carryover = ranked.filter(~F.col("scheduled")).drop(
+            "eligible", "scheduled", "rnk", "round"
+        )
 
-        if annotate and n_fetched:
+        obs_fetch = Observation(f"fetch_r{rnd}")
+        fetched = selected.join(fetch_target, "url", "inner").observe(
+            obs_fetch, F.count(F.lit(1)).alias("fetched")
+        )
+
+        if annotate and n_selected:
             from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
 
             docs_for_round = documents.join(
@@ -187,6 +237,7 @@ def run_crawl(
             annotated_parts.append(sidecar_rows(docs_for_round, media))
 
         links = extract_links(fetched, universe)
+        obs_links = Observation(f"links_r{rnd}")
         new_frontier = canonicalize(
             links.select(
                 "url",
@@ -198,15 +249,17 @@ def run_crawl(
                 F.lit(0).cast("long").alias("seq"),
                 "parent_url",
             )
-        )
-        n_links = new_frontier.count()
+        ).observe(obs_links, F.count(F.lit(1)).alias("new_links"))
 
         seen = seen.unionByName(
             selected.select("canonical_url", F.col("round").alias("first_round"))
-        ).localCheckpoint(eager=True)
+        )
+        n_seen += n_selected
+
         # N7: keep the frontier partitioned on the salted url-hash key so the
         # next round's dedup groupBy reuses the partitioning; carryover rows
         # (budget overflow + crawl-delay-gated hosts) re-enter the queue
+        # (action 2 of 3 — fills the fetch/link observations upstream of it)
         frontier = (
             new_frontier.unionByName(
                 carryover.withColumn("parent_url", F.lit(None).cast("string")),
@@ -215,8 +268,20 @@ def run_crawl(
             .repartition(max(spark.sparkContext.defaultParallelism, 4), "host_salt")
             .localCheckpoint(eager=True)
         )
+        n_fetched = int(obs_fetch.get["fetched"])
+        n_links = int(obs_links.get["new_links"])
 
-        mx, mn = _skew_stats(frontier)
+        # N2 incremental: fold ONLY this round's newly scheduled keys into
+        # the sharded filter states (action 3 of 3; O(delta + shards))
+        if use_bloom and n_selected:
+            filters_df = update_filter_shards(
+                spark,
+                selected.select("canonical_url"),
+                filters_df,
+                num_shards=num_shards,
+            ).localCheckpoint(eager=True)
+
+        mx, mn = _skew_stats(frontier) if skew_stats else (0, 0)
         lineage.append(
             RoundMetrics(
                 round=rnd,
@@ -224,7 +289,7 @@ def run_crawl(
                 selected=n_selected,
                 fetched=n_fetched,
                 new_links=n_links,
-                seen_after=seen.count(),
+                seen_after=n_seen,
                 max_partition_rows=mx,
                 min_partition_rows=mn,
             )
@@ -235,6 +300,10 @@ def run_crawl(
             frontier.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "frontier"))
             seen.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "seen"))
             selected.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "schedule"))
+            if filters_df is not None:
+                filters_df.write.mode("overwrite").parquet(
+                    _ckpt_dir(out_dir, rnd, "filters")
+                )
             lineage_df = spark.createDataFrame([vars(m) for m in lineage[-1:]])
             lineage_df.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
 

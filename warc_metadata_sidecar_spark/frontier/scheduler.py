@@ -95,6 +95,30 @@ def select_round(
     return ranked.filter(F.col("rnk") <= F.col("budget")).drop("budget", "crawl_delay_s")
 
 
+def rank_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_no: int = 0,
+) -> DataFrame:
+    """The full ranked frame for one round, with a `scheduled` flag instead
+    of a split — callers checkpoint THIS once and derive selected/carryover
+    as cheap filters over it (one action per round, not two)."""
+    deduped = dedup_candidates(candidates)
+    allowed = apply_robots(deduped, robots)
+    budgets = host_budgets(robots, default_budget)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
+    return (
+        allowed.join(F.broadcast(budgets), "host", "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+        .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1)))
+        .withColumn("eligible", F.lit(round_no) % F.col("crawl_delay_s") == 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("scheduled", F.col("eligible") & (F.col("rnk") <= F.col("budget")))
+        .drop("budget", "crawl_delay_s")
+    )
+
+
 def select_and_carry(
     candidates: DataFrame,
     robots: DataFrame,
@@ -107,21 +131,7 @@ def select_and_carry(
     dropped permanently, but budget-overflow rows and rows of hosts gated
     out by crawl_delay this round carry into the next round's frontier.
     """
-    deduped = dedup_candidates(candidates)
-    allowed = apply_robots(deduped, robots)
-    budgets = host_budgets(robots, default_budget)
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
-    ranked = (
-        allowed.join(F.broadcast(budgets), "host", "left")
-        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
-        .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1)))
-        .withColumn("eligible", F.lit(round_no) % F.col("crawl_delay_s") == 0)
-        .withColumn("rnk", F.row_number().over(w))
-    )
-    selected = ranked.filter(F.col("eligible") & (F.col("rnk") <= F.col("budget"))).drop(
-        "budget", "crawl_delay_s", "eligible"
-    )
-    carryover = ranked.filter(~F.col("eligible") | (F.col("rnk") > F.col("budget"))).drop(
-        "budget", "crawl_delay_s", "eligible", "rnk"
-    )
+    ranked = rank_round(candidates, robots, default_budget, round_no)
+    selected = ranked.filter(F.col("scheduled")).drop("eligible", "scheduled")
+    carryover = ranked.filter(~F.col("scheduled")).drop("eligible", "scheduled", "rnk")
     return selected, carryover

@@ -22,6 +22,7 @@ each executor loading only its shard; the sandbox uses one shard.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -31,6 +32,7 @@ from pyspark.sql import types as T
 
 DEFAULT_BITS = 1 << 22  # 4 Mi bits ~ 0.5 MiB; sized for sandbox scales
 DEFAULT_HASHES = 5
+DEFAULT_SHARDS = 32  # url-hash shards of the `filters` table
 
 
 def _indexes(url: str, num_bits: int, num_hashes: int) -> list[int]:
@@ -142,22 +144,168 @@ class TieredSeenFilter:
         return self.bloom.might_contain(url) or self.cuckoo.might_contain(url)
 
 
+# ---------------------------------------------------------------------------
+# Sharded `filters` table (N2 at scale)
+#
+# The tiered filter is built and UPDATED entirely on executors: keys are
+# shuffled to their url-hash shard, each shard's owning task folds the new
+# keys into that shard's (deserialized) filter state, and the states persist
+# as one binary row per shard in a `filters` table. Per-round update cost is
+# O(|delta| + num_shards * state_size) — independent of |seen|, which is the
+# property that makes 10^10 URLs feasible. No URL key ever crosses the
+# driver; only the fixed-size states do (for the broadcast-lookup path).
+# ---------------------------------------------------------------------------
+
+FILTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("state", T.BinaryType()),
+        T.StructField("adds", T.LongType()),
+    ]
+)
+
+_MAGIC = b"TSF1"
+
+
+def serialize_tiered(t: TieredSeenFilter) -> bytes:
+    """Compact deterministic state: header + bloom bitmap + cuckoo table +
+    sorted overflow fingerprints."""
+    ov = np.array(sorted(t.cuckoo.overflowed), dtype=np.uint16)
+    header = _MAGIC + struct.pack(
+        "<QQQQQQQ",
+        t.bloom.num_bits,
+        t.bloom.num_hashes,
+        t._adds,
+        t._spill_after,
+        t.cuckoo.num_buckets,
+        t.cuckoo.slots,
+        len(ov),
+    )
+    return header + t.bloom.bits.tobytes() + t.cuckoo.table.tobytes() + ov.tobytes()
+
+
+def deserialize_tiered(data: bytes) -> TieredSeenFilter:
+    assert data[:4] == _MAGIC, "bad filter state"
+    num_bits, num_hashes, adds, spill_after, n_buckets, slots, n_ov = struct.unpack(
+        "<QQQQQQQ", data[4:60]
+    )
+    t = TieredSeenFilter(num_bits=int(num_bits))
+    t._adds = int(adds)
+    t._spill_after = int(spill_after)
+    off = 60
+    blen = int(num_bits) // 8
+    t.bloom = Bloom(
+        np.frombuffer(data[off : off + blen], dtype=np.uint8).copy(), int(num_hashes)
+    )
+    off += blen
+    clen = int(n_buckets) * int(slots) * 2
+    t.cuckoo = CuckooFilter(num_buckets=int(n_buckets), slots=int(slots))
+    t.cuckoo.table = (
+        np.frombuffer(data[off : off + clen], dtype=np.uint16)
+        .copy()
+        .reshape(int(n_buckets), int(slots))
+    )
+    off += clen
+    t.cuckoo.overflowed = set(
+        int(x) for x in np.frombuffer(data[off : off + int(n_ov) * 2], dtype=np.uint16)
+    )
+    return t
+
+
+def _shard_of(url: str, num_shards: int) -> int:
+    """Python twin of shard_expr — same md5-prefix hash both sides."""
+    return int(hashlib.md5(url.encode()).hexdigest()[:15], 16) % num_shards
+
+
+def shard_expr(key_col, num_shards: int):
+    """Shard id from the url key — 60-bit md5 prefix mod num_shards, exactly
+    matching _shard_of so lookups route to the shard that holds the key."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("long"),
+        F.lit(num_shards),
+    ).cast("int")
+
+
+def update_filter_shards(
+    spark: SparkSession,
+    delta: DataFrame,
+    existing: DataFrame | None = None,
+    key: str = "canonical_url",
+    num_shards: int = DEFAULT_SHARDS,
+    num_bits: int = DEFAULT_BITS,
+    spill_at: float = 0.5,
+) -> DataFrame:
+    """Fold `delta`'s keys into the sharded filter states — executor-side.
+
+    cogroup(delta keys, existing states) by shard: each task deserializes
+    its shard's state (or starts fresh), adds the new keys, re-serializes.
+    Shards untouched by the delta pass through unchanged. Returns the new
+    `filters` DataFrame (shard, state, adds)."""
+    keys = (
+        delta.select(F.col(key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .withColumn("shard", shard_expr(F.col("k"), num_shards))
+    )
+    if existing is None:
+        existing = spark.createDataFrame([], FILTERS_SCHEMA)
+
+    def merge(key_tuple, new_keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key_tuple[0])
+        if len(state):
+            t = deserialize_tiered(bytes(state["state"].iloc[0]))
+        else:
+            t = TieredSeenFilter(num_bits=num_bits, spill_at=spill_at)
+        for u in new_keys["k"]:
+            t.add(u)
+        return pd.DataFrame(
+            [{"shard": shard, "state": serialize_tiered(t), "adds": t._adds}]
+        )
+
+    return (
+        keys.groupBy("shard")
+        .cogroup(existing.groupBy("shard"))
+        .applyInPandas(merge, FILTERS_SCHEMA)
+    )
+
+
+class ShardedSeenFilter:
+    """Driver/broadcast handle over the collected shard states. Lookup
+    routes through the same md5-prefix shard hash used at build time."""
+
+    def __init__(self, shards: dict[int, TieredSeenFilter], num_shards: int):
+        self.shards = shards
+        self.num_shards = num_shards
+
+    def might_contain(self, url: str) -> bool:
+        t = self.shards.get(_shard_of(url, self.num_shards))
+        return t.might_contain(url) if t is not None else False
+
+
+def load_sharded(filters: DataFrame, num_shards: int = DEFAULT_SHARDS) -> ShardedSeenFilter:
+    """Collect the fixed-size shard states (num_shards rows, each a constant
+    few hundred KB regardless of |seen|) into a broadcastable handle."""
+    rows = filters.collect()
+    return ShardedSeenFilter(
+        {r.shard: deserialize_tiered(bytes(r.state)) for r in rows}, num_shards
+    )
+
+
 def build_tiered(
     seen: DataFrame,
     key: str = "canonical_url",
     num_bits: int = DEFAULT_BITS,
     spill_at: float = 0.5,
-) -> "TieredSeenFilter":
-    """Driver-built tiered filter (bloom primary + cuckoo overflow) from the
-    seen table. The cuckoo tier is not OR-mergeable like Bloom bitmaps, so
-    the tiered build streams keys to the driver via toLocalIterator — right
-    for the sandbox scales; at 10^10 the filters live sharded in a `filters`
-    table, each shard built by the executor owning that url-hash range."""
-    t = TieredSeenFilter(num_bits=num_bits, spill_at=spill_at)
-    for row in seen.select(key).toLocalIterator():
-        if row[0] is not None:
-            t.add(row[0])
-    return t
+    num_shards: int = DEFAULT_SHARDS,
+) -> "ShardedSeenFilter":
+    """Executor-side sharded build of the tiered (bloom+cuckoo) filter. Keys
+    never cross the driver — each url-hash shard's filter is built by the
+    task owning that shard; the driver only collects num_shards fixed-size
+    states (the broadcast-lookup path). Incremental updates go through
+    update_filter_shards."""
+    filters = update_filter_shards(
+        seen.sparkSession, seen, None, key, num_shards, num_bits, spill_at
+    )
+    return load_sharded(filters, num_shards)
 
 
 def build_bloom(
