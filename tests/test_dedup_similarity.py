@@ -124,3 +124,66 @@ def test_embedding_cosine_dedup(spark, vectors):
     )
     pairs = embedding_cosine_dedup(vectors.unionByName(dup), threshold=0.9999).collect()
     assert any(p.id_a == 0 and p.id_b == 1000 and p.sim >= 0.9999 for p in pairs)
+
+
+def test_ivf_centroid_scale_path(spark, vectors):
+    """VERDICT r1 #4: centroid-based quantizer (k~sqrt(n), broadcast) with
+    nprobe + bucket truncation — recall holds while the pair space is
+    strictly sub-quadratic."""
+    from warc_metadata_sidecar_spark.operators.similarity import (
+        _assign_buckets,
+        ivf_train_centroids,
+    )
+
+    cents = ivf_train_centroids(vectors, k=8)
+    assert cents.count() <= 8
+    e = vectors.select(
+        F.col("vec_id").alias("_id"), F.col("embedding").cast("array<double>").alias("_v")
+    )
+    sizes = [
+        r["count"]
+        for r in _assign_buckets(e, cents, "_id", "_v", 1).groupBy("bucket").count().collect()
+    ]
+    n = vectors.count()
+    assert sum(s * s for s in sizes) < n * (n - 1) / 2  # pruned pair space
+
+    exact = {(r.vec_id, r.neighbor_id) for r in brute_force_topk(vectors, k=1).collect()}
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in ivf_topk(
+            vectors, k=1, centroids=cents, nprobe=2, max_bucket=30
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+
+def test_ivf_bucket_truncation_caps_candidates(spark, vectors):
+    # max_bucket=3: no probe can meet more than nprobe*3 candidates
+    got = ivf_topk(vectors, k=5, n_centroids=4, nprobe=1, max_bucket=3).collect()
+    per_probe = {}
+    for r in got:
+        per_probe.setdefault(r.vec_id, 0)
+        per_probe[r.vec_id] += 1
+    assert max(per_probe.values()) <= 3
+
+
+def test_cosine_dedup_srp_default_is_blocked(spark, vectors):
+    """VERDICT r1 #4: the no-block default must NOT be an all-pairs
+    crossJoin — candidates come from multi-table SRP buckets, and planted
+    duplicates are still found (identical vectors share every bucket)."""
+    from warc_metadata_sidecar_spark.operators.similarity import srp_candidate_pairs
+
+    dup = vectors.limit(1).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    allv = vectors.unionByName(dup)
+    pairs = embedding_cosine_dedup(allv, threshold=0.9999).collect()
+    assert any(p.id_a == 0 and p.id_b == 1000 and p.sim >= 0.9999 for p in pairs)
+    n = allv.count()
+    cand = srp_candidate_pairs(allv.withColumn("embedding", F.col("embedding").cast("array<double>")))
+    assert cand.count() < n * (n - 1) / 2  # strictly sub-quadratic
+    # exact=True remains the quadratic correctness baseline and agrees on
+    # the planted pair
+    exact_pairs = embedding_cosine_dedup(allv, threshold=0.9999, exact=True).collect()
+    assert any(p.id_a == 0 and p.id_b == 1000 for p in exact_pairs)

@@ -204,3 +204,102 @@ def test_streaming_sidecar_matches_batch(spark, docs100, media_tbl, tmp_path):
     assert g == b
     ledger = spark.read.parquet(str(tmp_path / "ledger"))
     assert ledger.count() == ledger.select("payload_digest").distinct().count()
+
+
+def test_write_sidecar_single_execution(spark, docs100, media_tbl, tmp_path):
+    """VERDICT r1 #5: write_sidecar must execute the detector pipeline
+    exactly once (the r1 count()-then-write ran it twice). A counting source
+    marks every row leaving the documents scan; one extra manual execution
+    of the same plan must add exactly what write_sidecar alone logged."""
+    import os as _os
+
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    mdir = str(marker_dir)
+
+    def mark(batches):
+        import uuid as _uuid
+
+        for pdf in batches:
+            with open(f"{mdir}/{_uuid.uuid4().hex}.cnt", "w") as fh:
+                fh.write(str(len(pdf)))
+            yield pdf
+
+    def logged() -> int:
+        return sum(
+            int(open(_os.path.join(mdir, p)).read()) for p in _os.listdir(mdir)
+        )
+
+    counted = docs100.mapInPandas(mark, docs100.schema)
+    side = sidecar_rows(counted, media_tbl)
+    write_sidecar(side, str(tmp_path / "s"), "crawl.warc.gz")
+    after_write = logged()
+    assert after_write > 0
+    side.count()  # one more full execution of the identical plan
+    assert logged() == 2 * after_write, "write_sidecar executed the plan more than once"
+
+
+def test_streaming_ledger_skips_detectors_on_repeat_digest(spark, tmp_path):
+    """VERDICT r1 #6: a digest already in the ledger must be SERVED from it
+    — detectors never re-run. Proven the same way the reference's cache
+    works (digest wins over content, warc_metadata_sidecar.py:231-246): the
+    second micro-batch repeats batch 1's digest with DIFFERENT payload text;
+    if the metadata still matches batch 1, it came from the ledger."""
+    from warc_metadata_sidecar_spark import schema as sch
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import start_sidecar_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def doc(doc_id, digest, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}],
+            "url": f"https://example.com/{doc_id}",
+            "warc_date": None,
+            "rec_type": "response",
+            "payload_digest": digest,
+            "record_id": doc_id,
+            "warcinfo_id": None,
+            "http_status": "200",
+            "is_arc": False,
+            "source_file": "s.warc",
+        }
+
+    cols = [f.name for f in sch.DOCUMENTS.fields]
+
+    def drop(rows):
+        df = spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) for r in rows], sch.DOCUMENTS
+        )
+        df.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    html = "<!DOCTYPE html><html lang=en><body>the quick brown fox and the lazy dog</body></html>"
+    drop([doc("d1", "sha1:AAAA", html)])
+
+    q = start_sidecar_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    q.processAllAvailable()
+    # batch 2: same digest, different (non-HTML) text + one genuinely new doc
+    drop([doc("d2", "sha1:AAAA", "completely different plain text now"),
+          doc("d3", "sha1:BBBB", html)])
+    q.processAllAvailable()
+    q.stop()
+
+    out = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(out) == {"d1", "d2", "d3"}
+    # d2 served from the ledger: identical metadata payload to d1 even
+    # though its text differs — detectors did not re-run
+    assert out["d2"].payload == out["d1"].payload
+    assert out["d2"].mime == out["d1"].mime
+    # d3 (new digest) went through the detector path
+    assert out["d3"].payload == out["d1"].payload  # same content -> same metadata
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    assert sorted(r.payload_digest for r in ledger.collect()) == ["sha1:AAAA", "sha1:BBBB"]

@@ -140,31 +140,36 @@ def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """(doc_id, simhash): sign-aggregated bit signature over distinct words.
-    Identical arithmetic to driver_queries.dedup_simhash (its oracle)."""
+    Identical arithmetic to driver_queries.dedup_simhash (its oracle):
+    bit b of word w = bit (b%4) of hex nibble (b//4) of md5(w); the doc's
+    signature sets bit b when the sum of ±1 weights over its words is > 0.
+
+    Shuffle shape (VERDICT r1 #7 fix): all `bits` weights are computed as
+    per-word COLUMNS in one pass over md5(w), then summed in a single
+    groupBy(doc_id) — the shuffle carries one row per (doc, word) with
+    `bits` small ints, not the r1 words x bits row explosion (16x fewer
+    shuffle rows at bits=16). sum() combines map-side."""
     words = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).distinct()
-    return (
-        words.select("doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .withColumn(
-            "hv",
-            F.expr(
-                "instr('0123456789abcdef', substr(md5(w), 1 + CAST(floor(b / 4.0) AS INT), 1)) - 1"
-            ),
-        )
-        .withColumn(
-            "wt",
-            F.expr("CASE WHEN (shiftright(hv, CAST(b % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("wt").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(sum(CASE WHEN s > 0 THEN shiftleft(1, CAST(b AS INT)) ELSE 0 END) AS BIGINT)"
-            ).alias("simhash")
-        )
+    # constant-folded per-bit expressions: nibble index b//4 and bit b%4 are
+    # literals, so each weight is a pure JVM-side expression over md5(w)
+    weights = [
+        F.expr(
+            f"CASE WHEN (shiftright("
+            f"instr('0123456789abcdef', substr(md5(w), {1 + b // 4}, 1)) - 1, "
+            f"{b % 4}) & 1) = 1 THEN 1 ELSE -1 END"
+        ).alias(f"wt{b}")
+        for b in range(bits)
+    ]
+    sums = words.select("doc_id", *weights).groupBy("doc_id").agg(
+        *[F.sum(f"wt{b}").alias(f"s{b}") for b in range(bits)]
     )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_dedup_buckets(

