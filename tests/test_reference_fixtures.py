@@ -1,0 +1,130 @@
+"""The reference's own test fixtures run through the engine (VERDICT r1
+task 2): /root/reference/tests/*.warc + text.arc -> ingest -> sidecar, with
+the reference suite's expectations re-asserted at table level
+(reference tests/test_warc_metadata_sidecar.py:118-233).
+
+Detector VALUES for the text fixtures use this engine's documented
+deterministic stand-ins (fido/chardet/cld2 absent from the image), so the
+assertions here pin structure + counters + the stand-ins' stable outputs
+(`fmt/471`, `ascii`), exactly the classes of checks the reference suite
+makes with its own mocks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark import schema
+from warc_metadata_sidecar_spark.operators.sidecar import sidecar_counters, sidecar_rows
+from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+REF = "/root/reference/tests"
+
+
+def _docs(spark, name):
+    with open(f"{REF}/{name}", "rb") as fh:
+        rows = parse_warc_bytes(f"{REF}/{name}", fh.read())
+    cols = [f.name for f in schema.DOCUMENTS.fields]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], schema.DOCUMENTS
+    )
+
+
+def _counters(spark, name):
+    return sidecar_counters(_docs(spark, name)).first()
+
+
+def test_text_warc(spark):
+    # reference :118-142: 1 record read, 1 annotated, all detectors fired
+    docs = _docs(spark, "text.warc")
+    assert docs.count() == 1
+    c = sidecar_counters(docs).first()
+    assert (c.total_records_read, c.mime_type_records, c.records_written) == (1, 1, 1)
+    row = sidecar_rows(docs).first()
+    assert row.mime == {"fido": "text/html", "python-magic": "text/html"}
+    assert row.puid == "fmt/471"
+    # the 82 KB unt.edu body carries non-ascii bytes; the stand-in (like
+    # chardet) then reports utf-8 — the reference's ascii/1.0 golden is for
+    # its small inline RECORD1 payload, covered in test_detectors.py
+    assert row.charset.encoding in ("ascii", "utf-8")
+    assert row.languages is not None and row.languages.languages[0].code == "en"
+    assert row.soft404 is not None  # 200 + html -> gate open (:262-265)
+    assert row.payload.startswith("Identified-Payload-Type: ")
+
+
+def test_dns_warc(spark):
+    # reference :144-153: dns record filtered, 0 metadata records
+    c = _counters(spark, "dns.warc")
+    assert (c.total_records_read, c.mime_type_records, c.records_written) == (1, 0, 0)
+
+
+def test_gif_warc(spark):
+    # reference :155-175: mime/puid only — no charset/language/soft404
+    docs = _docs(spark, "gif.warc")
+    c = sidecar_counters(docs).first()
+    assert (c.total_records_read, c.mime_type_records, c.records_written) == (1, 1, 1)
+    row = sidecar_rows(docs).first()
+    assert row.mime["python-magic"] == "image/gif"
+    assert row.charset is None and row.languages is None and row.soft404 is None
+    # exact payload shape: two lines, mime json + puid (reference :159-174)
+    lines = row.payload.split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("Identified-Payload-Type: ")
+    assert lines[1].startswith("Preservation-Identifier: fmt/")
+
+
+def test_revisit_warc(spark):
+    # reference :177-186: revisit rec_type filtered out entirely
+    c = _counters(spark, "revisit.warc")
+    assert (c.total_records_read, c.mime_type_records, c.records_written) == (1, 0, 0)
+
+
+def test_text_arc(spark):
+    # reference :188-197: filedesc -> warcinfo (filtered); the content row is
+    # annotated with NO Concurrent-ID / Warcinfo-ID and no digest sharing
+    docs = _docs(spark, "text.arc")
+    assert docs.count() == 2
+    types = {r.rec_type for r in docs.select("rec_type").collect()}
+    assert types == {"warcinfo", "response"}
+    assert all(r.is_arc for r in docs.collect())
+    c = sidecar_counters(docs).first()
+    assert (c.total_records_read, c.mime_type_records) == (2, 1)
+    row = sidecar_rows(docs).first()
+    assert row.concurrent_id is None and row.warcinfo_id is None
+
+
+def test_digest_multiples_warc(spark):
+    # reference :199-233: 5 records read (1 warcinfo + 4 responses), 4
+    # annotated, only 2 distinct digests -> detectors run twice, same-digest
+    # rows share identical metadata payloads (DIGEST_CACHE semantics)
+    docs = _docs(spark, "digest_multiples.warc")
+    assert docs.count() == 5
+    c = sidecar_counters(docs).first()
+    assert (c.total_records_read, c.mime_type_records, c.records_written) == (5, 4, 4)
+    side = sidecar_rows(docs).collect()
+    assert len(side) == 4
+    digests = {
+        r.doc_id: r.payload_digest
+        for r in docs.filter(F.col("payload_digest").isNotNull()).collect()
+    }
+    assert len(set(digests.values())) == 2
+    by_digest = {}
+    for r in side:
+        by_digest.setdefault(digests[r.doc_id], set()).add(r.payload)
+    # every digest group produced ONE payload (shared detector result)
+    assert all(len(v) == 1 for v in by_digest.values())
+    assert len(by_digest) == 2
+
+
+def test_golden_sidecar_gz_parses(spark):
+    # the golden gzipped sidecar itself ingests (gzip member support):
+    # 1 warcinfo + 1 metadata record for the text.warc url
+    docs = _docs(spark, "warc.warc.meta.gz")
+    rows = docs.collect()
+    assert len(rows) == 2
+    assert {r.rec_type for r in rows} == {"warcinfo", "metadata"}
+    meta = [r for r in rows if r.rec_type == "metadata"][0]
+    assert meta.url == "https://www.unt.edu"
+    # its payload is the reference's serialized 'Title: value' block
+    text = meta.spans[0].text
+    assert text.startswith("Identified-Payload-Type: ")
+    assert "Charset-Detected: " in text

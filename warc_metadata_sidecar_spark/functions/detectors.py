@@ -70,6 +70,14 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
         if head[4:12].startswith(b"ftyp"):
             return "video/mp4", "video/mp4", "fmt/199"
     if text:
+        # binary magic first, like the reference sniffing raw payload bytes
+        # (find_mime_and_puid gets the BytesIO regardless of content kind):
+        # ascii-representable signatures (GIF8, %PDF, PK..) survive the
+        # utf-8-replace decode of an ingested binary payload
+        prefix = text[:16].encode("latin-1", "replace")
+        for sig, fido_mime, magic_mime, puid in _BINARY_SIGNATURES:
+            if prefix.startswith(sig):
+                return fido_mime, magic_mime, puid
         if _HTML_RE.search(text[:4096]):
             return "text/html", "text/html", "fmt/471"
         if _XML_RE.match(text[:256]):
@@ -120,6 +128,13 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
 _TOKEN_RE = re.compile(r"[\w一-鿿']+", re.UNICODE)
 _CJK_RE = re.compile(r"[一-鿿]")
+# cld2 parses HTML by default (pycld2 isPlainText=0): markup, scripts and
+# styles never count as text. The stand-in mirrors that with a cheap strip —
+# without it, attribute soup ('a', 'de', 'no', ...) misreads as Romance
+# languages on real crawled pages (seen on reference tests/text.warc).
+_HTML_NOISE_RE = re.compile(
+    r"(?is)<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->|<[^>]*>|&[#\w]+;"
+)
 
 # inverted marker index: one dict lookup per token instead of one set scan
 # per language profile (this function is the engine's hottest Python path —
@@ -137,6 +152,8 @@ def detect_language(text: str | None) -> dict | None:
     if not text:
         return None
     cleaned = _BAD_CHARS.sub("", text)
+    if "<" in cleaned and _HTML_NOISE_RE.search(cleaned):
+        cleaned = _HTML_NOISE_RE.sub(" ", cleaned)
     raw_tokens = _TOKEN_RE.findall(cleaned)
     hit_counts: dict[str, int] = {}
     if not _CJK_RE.search(cleaned):

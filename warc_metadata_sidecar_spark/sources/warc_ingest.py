@@ -69,55 +69,146 @@ def _parse_with_warcio(path: str, data: bytes) -> list[dict]:  # pragma: no cove
 _HDR = re.compile(r"^([A-Za-z0-9-]+): *(.*)$")
 
 
-def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
-    """Minimal uncompressed-WARC parser (fallback when warcio is absent):
-    splits on 'WARC/' record boundaries, reads headers until the blank line,
-    rest of block is the payload. Good enough for fixture-shaped files; the
-    production path is warcio."""
-    if HAVE_WARCIO:  # pragma: no cover
-        return _parse_with_warcio(path, data)
-    text = data.decode("utf-8", "replace")
-    is_arc = bool(ARC_NAME.match(path))
-    rows = []
-    blocks = re.split(r"(?m)^WARC/\d+\.\d+\r?\n", text)
-    for i, block in enumerate(blocks[1:]):
-        head, _, body = block.partition("\r\n\r\n")
-        if not body:
-            head, _, body = block.partition("\n\n")
-        headers = {}
-        for line in head.splitlines():
+def _strip_http(body: bytes) -> tuple[str | None, bytes]:
+    """(status_code, payload): parse and drop an embedded HTTP response
+    envelope, like warcio's content_stream()/http_headers split."""
+    if not body.startswith(b"HTTP/"):
+        return None, body
+    line_end = body.find(b"\n")
+    status_line = body[: line_end if line_end != -1 else len(body)].decode(
+        "latin-1", "replace"
+    )
+    parts = status_line.split(" ")
+    status = parts[1].strip() if len(parts) > 1 else None
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        ix = body.find(sep)
+        if ix != -1:
+            return status, body[ix + len(sep):]
+    return status, b""
+
+
+def _warc_records(data: bytes) -> list[tuple[dict, bytes]]:
+    """Content-Length-driven WARC record walk (binary-safe — a payload
+    containing 'WARC/' can never split a record, unlike a regex split)."""
+    records: list[tuple[dict, bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n or not data.startswith(b"WARC/", pos):
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        sep = 4
+        if hdr_end == -1:
+            hdr_end = data.find(b"\n\n", pos)
+            sep = 2
+        if hdr_end == -1:
+            break
+        head = data[pos:hdr_end].decode("utf-8", "replace")
+        headers: dict[str, str] = {}
+        for line in head.splitlines()[1:]:
             m = _HDR.match(line)
             if m:
                 headers[m.group(1)] = m.group(2)
-        status = None
-        payload = body
-        if payload.startswith("HTTP/"):
-            status_line, _, payload = payload.partition("\r\n")
-            if not payload:
-                status_line, _, payload = body.partition("\n")
-            parts = status_line.split(" ")
-            status = parts[1] if len(parts) > 1 else None
-            # drop http headers
-            for sep in ("\r\n\r\n", "\n\n"):
-                if sep in payload:
-                    payload = payload.split(sep, 1)[1]
-                    break
-        payload = payload.rstrip("\r\n")
+        try:
+            clen = int(headers.get("Content-Length", "0"))
+        except ValueError:
+            clen = 0
+        body = data[hdr_end + sep : hdr_end + sep + clen]
+        pos = hdr_end + sep + clen
+        records.append((headers, body))
+    return records
+
+
+def _arc_records(data: bytes) -> list[tuple[list[str], bytes]]:
+    """ARC v1 record walk: '<url> <ip> <yyyymmddhhmmss> <mime> <length>'
+    header line, then `length` payload bytes. The leading filedesc:// record
+    carries the file's version block (arc2warc maps it to warcinfo)."""
+    records: list[tuple[list[str], bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            break
+        line_end = data.find(b"\n", pos)
+        if line_end == -1:
+            break
+        fields = data[pos:line_end].decode("utf-8", "replace").strip().split(" ")
+        if len(fields) < 5:
+            break
+        try:
+            length = int(fields[-1])
+        except ValueError:
+            break
+        body = data[line_end + 1 : line_end + 1 + length]
+        pos = line_end + 1 + length
+        records.append((fields, body))
+    return records
+
+
+def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
+    """WARC/ARC bytes -> documents rows (fallback when warcio is absent).
+
+    Handles the reference's full input surface (warc_metadata_sidecar.py:
+    192,205 via warcio ArchiveIterator(arc2warc=True)):
+      - gzip members (`.warc.gz` / `.arc.gz` / the golden warc.warc.meta.gz)
+        via multi-member gzip.decompress;
+      - uncompressed WARC, records delimited by Content-Length (binary-safe);
+      - ARC v1 files: filedesc record -> warcinfo row, content records ->
+        response rows with no digest/warcinfo/concurrent ids (the arc2warc
+        mapping asserted by reference tests/test_warc_metadata_sidecar.py:
+        188-197).
+    """
+    if HAVE_WARCIO:  # pragma: no cover
+        return _parse_with_warcio(path, data)
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)  # multi-member capable
+    is_arc = bool(ARC_NAME.match(path))
+    source_file = path.rsplit("/", 1)[-1]
+    rows: list[dict] = []
+
+    def row(doc_id, payload, url, rec_type, digest, warcinfo_id, status):
+        text = payload.decode("utf-8", "replace").rstrip("\r\n")
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+            if text
+            else [],
+            "url": url,
+            "warc_date": None,
+            "rec_type": rec_type,
+            "payload_digest": None if is_arc else digest,
+            "warcinfo_id": None if is_arc else warcinfo_id,
+            "http_status": status,
+            "is_arc": is_arc,
+            "source_file": source_file,
+        }
+
+    if is_arc:
+        for i, (fields, body) in enumerate(_arc_records(data)):
+            url = fields[0]
+            rec_type = "warcinfo" if url.startswith("filedesc://") else "response"
+            status, payload = _strip_http(body)
+            rows.append(
+                row(f"<{source_file}:{i}>", payload, url, rec_type, None, None, status)
+            )
+        return rows
+
+    for i, (headers, body) in enumerate(_warc_records(data)):
+        status, payload = _strip_http(body)
         rows.append(
-            {
-                "doc_id": headers.get("WARC-Record-ID", f"<{path}:{i}>"),
-                "spans": [{"kind": "text", "text": payload, "media_ref": None, "offset": 0}]
-                if payload
-                else [],
-                "url": headers.get("WARC-Target-URI"),
-                "warc_date": None,
-                "rec_type": headers.get("WARC-Type", "response"),
-                "payload_digest": None if is_arc else headers.get("WARC-Payload-Digest"),
-                "warcinfo_id": None if is_arc else headers.get("WARC-Warcinfo-ID"),
-                "http_status": status,
-                "is_arc": is_arc,
-                "source_file": path.rsplit("/", 1)[-1],
-            }
+            row(
+                headers.get("WARC-Record-ID", f"<{path}:{i}>"),
+                payload,
+                headers.get("WARC-Target-URI"),
+                headers.get("WARC-Type", "response"),
+                headers.get("WARC-Payload-Digest"),
+                headers.get("WARC-Warcinfo-ID"),
+                status,
+            )
         )
     return rows
 
