@@ -21,6 +21,7 @@ partition-iteration accident.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,35 +29,54 @@ from pyspark.sql import types as T
 from warc_metadata_sidecar_spark.functions.surt import surt_col, timestamp14_col
 
 # cld2 code -> ISO-639-3 (merge_cdxj.py:12-27 uses langcodes; cld2 emits a
-# closed code set so a static map is exact — SURVEY.md S10). Codes without a
-# 3-letter form are dropped, like the reference's LookupError/len!=3 path.
+# closed code set so a static map is exact — SURVEY.md S10). The table is
+# the full ISO-639-1 -> 639-3 mapping (terminological/T codes, which is what
+# langcodes' to_alpha3() returns) plus cld2's legacy aliases (iw/in/ji/jw).
+# cld2 codes that are ALREADY 3 letters (haw, ceb, hmn, ...) pass through in
+# alpha3_codes_col; anything else (xx-Qaai script codes, 'un') is dropped,
+# like the reference's LookupError / len != 3 path.
 ALPHA3 = {
-    "en": "eng",
-    "es": "spa",
-    "fr": "fra",
-    "de": "deu",
-    "pt": "por",
-    "it": "ita",
-    "da": "dan",
-    "nl": "nld",
-    "sv": "swe",
-    "no": "nor",
-    "fi": "fin",
-    "ru": "rus",
-    "ja": "jpn",
-    "ko": "kor",
-    "zh": "zho",
-    "ar": "ara",
-    "tr": "tur",
-    "pl": "pol",
-    "cs": "ces",
-    "el": "ell",
-    "he": "heb",
-    "hi": "hin",
-    "th": "tha",
-    "vi": "vie",
-    "id": "ind",
-    "uk": "ukr",
+    "aa": "aar", "ab": "abk", "af": "afr", "ak": "aka", "am": "amh",
+    "ar": "ara", "an": "arg", "as": "asm", "av": "ava", "ae": "ave",
+    "ay": "aym", "az": "aze", "ba": "bak", "bm": "bam", "be": "bel",
+    "bn": "ben", "bi": "bis", "bo": "bod", "bs": "bos", "br": "bre",
+    "bg": "bul", "ca": "cat", "cs": "ces", "ch": "cha", "ce": "che",
+    "cu": "chu", "cv": "chv", "kw": "cor", "co": "cos", "cr": "cre",
+    "cy": "cym", "da": "dan", "de": "deu", "dv": "div", "dz": "dzo",
+    "el": "ell", "en": "eng", "eo": "epo", "et": "est", "eu": "eus",
+    "ee": "ewe", "fo": "fao", "fa": "fas", "fj": "fij", "fi": "fin",
+    "fr": "fra", "fy": "fry", "ff": "ful", "gd": "gla", "ga": "gle",
+    "gl": "glg", "gv": "glv", "gn": "grn", "gu": "guj", "ht": "hat",
+    "ha": "hau", "he": "heb", "hz": "her", "hi": "hin", "ho": "hmo",
+    "hr": "hrv", "hu": "hun", "hy": "hye", "ig": "ibo", "io": "ido",
+    "ii": "iii", "iu": "iku", "ie": "ile", "ia": "ina", "id": "ind",
+    "ik": "ipk", "is": "isl", "it": "ita", "jv": "jav", "ja": "jpn",
+    "kl": "kal", "kn": "kan", "ks": "kas", "ka": "kat", "kr": "kau",
+    "kk": "kaz", "km": "khm", "ki": "kik", "rw": "kin", "ky": "kir",
+    "kv": "kom", "kg": "kon", "ko": "kor", "kj": "kua", "ku": "kur",
+    "lo": "lao", "la": "lat", "lv": "lav", "li": "lim", "ln": "lin",
+    "lt": "lit", "lb": "ltz", "lu": "lub", "lg": "lug", "mh": "mah",
+    "ml": "mal", "mr": "mar", "mk": "mkd", "mg": "mlg", "mt": "mlt",
+    "mn": "mon", "mi": "mri", "ms": "msa", "my": "mya", "na": "nau",
+    "nv": "nav", "nr": "nbl", "nd": "nde", "ng": "ndo", "ne": "nep",
+    "nl": "nld", "nn": "nno", "nb": "nob", "no": "nor", "ny": "nya",
+    "oc": "oci", "oj": "oji", "or": "ori", "om": "orm", "os": "oss",
+    "pa": "pan", "pi": "pli", "pl": "pol", "pt": "por", "ps": "pus",
+    "qu": "que", "rm": "roh", "ro": "ron", "rn": "run", "ru": "rus",
+    "sg": "sag", "sa": "san", "si": "sin", "sk": "slk", "sl": "slv",
+    "se": "sme", "sm": "smo", "sn": "sna", "sd": "snd", "so": "som",
+    "st": "sot", "es": "spa", "sq": "sqi", "sc": "srd", "sr": "srp",
+    "ss": "ssw", "su": "sun", "sw": "swa", "sv": "swe", "ty": "tah",
+    "ta": "tam", "tt": "tat", "te": "tel", "tg": "tgk", "tl": "tgl",
+    "th": "tha", "ti": "tir", "to": "ton", "tn": "tsn", "ts": "tso",
+    "tk": "tuk", "tr": "tur", "tw": "twi", "ug": "uig", "uk": "ukr",
+    "ur": "urd", "uz": "uzb", "ve": "ven", "vi": "vie", "vo": "vol",
+    "wa": "wln", "wo": "wol", "xh": "xho", "yi": "yid", "yo": "yor",
+    "za": "zha", "zh": "zho", "zu": "zul",
+    # cld2 legacy aliases (pre-1989 ISO codes still emitted by cld2)
+    "iw": "heb", "in": "ind", "ji": "yid", "jw": "jav",
+    # cld2 script-qualified variants
+    "zh-Hant": "zho", "sr-Latn": "srp",
 }
 
 # schema of the sidecar CDXJ JSON block (hyphenated reference titles)
@@ -189,13 +209,21 @@ def parse_cdxj_lines(lines: DataFrame) -> DataFrame:
 
 def alpha3_codes_col(lang_struct_col: str = "meta.`Languages-cld2`"):
     """Comma-joined alpha-3 codes from a parsed Languages-cld2 block
-    (merge_cdxj.py:12-27). Non-convertible codes dropped; '' when none."""
+    (merge_cdxj.py:12-27). Mapped via ALPHA3; codes cld2 already emits as
+    bare 3-letter (haw, ceb, hmn...) pass through, everything else (script
+    extensions, 'un') drops — the reference's LookupError/len!=3 path.
+    '' when none convert."""
     mapping = F.create_map(*[F.lit(x) for kv in ALPHA3.items() for x in kv])
     return F.array_join(
         F.filter(
             F.transform(
                 F.col(f"{lang_struct_col}.languages"),
-                lambda e: F.element_at(mapping, e.getField("code")),
+                lambda e: F.coalesce(
+                    F.element_at(mapping, e.getField("code")),
+                    F.when(
+                        e.getField("code").rlike("^[a-z]{3}$"), e.getField("code")
+                    ),
+                ),
             ),
             lambda c: c.isNotNull(),
         ),
@@ -203,7 +231,36 @@ def alpha3_codes_col(lang_struct_col: str = "meta.`Languages-cld2`"):
     )
 
 
-def merge_cdxj(original: DataFrame, meta: DataFrame, meta_is_small: bool = True) -> DataFrame:
+def canonical_json_col(col: str = "json"):
+    """json.loads -> json.dumps normalization of a schemaless JSON block
+    (merge_cdxj.py:75-77): field order preserved, whitespace normalized to
+    the Python dumps defaults (', ' / ': ' separators, ensure_ascii). The
+    block is schemaless so this is a pandas UDF (a fixed StructType cannot
+    express it); unparseable blocks pass through raw."""
+
+    @F.pandas_udf(T.StringType())
+    def _canon(vals: pd.Series) -> pd.Series:
+        import json
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return json.dumps(json.loads(v))
+            except (ValueError, TypeError):
+                return v
+
+        return vals.map(one)
+
+    return _canon(F.col(col))
+
+
+def merge_cdxj(
+    original: DataFrame,
+    meta: DataFrame,
+    meta_is_small: bool = True,
+    canonicalize_json: bool = False,
+) -> DataFrame:
     """J1+J2: left join original on (urlkey, ts); overlay the five sidecar
     fields into the original JSON block (merge_cdxj.py:59-82,30-56).
 
@@ -216,9 +273,15 @@ def merge_cdxj(original: DataFrame, meta: DataFrame, meta_is_small: bool = True)
         sidecar is dropped here (:53-55; SURVEY.md "subtle semantics");
       - original JSON field order preserved, sidecar fields appended — done
         by string surgery on the original block rather than re-parsing it
-        into an unordered map.
+        into an unordered map;
+      - canonicalize_json=True additionally re-serializes the original block
+        through json.loads -> json.dumps first (merge_cdxj.py:75-77), making
+        the output byte-identical to the reference even when the original
+        CDXJ uses non-canonical spacing (VERDICT r1 missing #4).
     Returns (line_id, urlkey, ts, json, edited) ordered by line_id.
     """
+    if canonicalize_json:
+        original = original.withColumn("json", canonical_json_col("json"))
     meta_cols = ["urlkey", "ts", F.from_json("json", META_JSON_SCHEMA).alias("meta")]
     if "line_id" in meta.columns:
         order_col = F.col("line_id")
