@@ -1,0 +1,59 @@
+"""CLI e2e (reference C1: the three entry points + crawl), in-process via
+main() — build_session getOrCreate reuses the test session, so these drive
+the real argparse -> command -> output path."""
+
+import sys
+
+from warc_metadata_sidecar_spark import cli, gen
+
+REF = "/root/reference/tests"
+
+
+def _run(monkeypatch, capsys, argv):
+    monkeypatch.setattr(sys, "argv", ["warc_metadata_sidecar_spark"] + argv)
+    cli.main()
+    return capsys.readouterr().out
+
+
+def test_cli_merge_matches_reference_golden(spark, tmp_path, capsys, monkeypatch):
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "merge", "-m", f"{REF}/meta.cdxj", "-w", f"{REF}/warc_1.cdxj",
+         "-d", str(tmp_path)],
+    )
+    assert "Total merged records: 1" in out
+    merged = spark.read.text(str(tmp_path / "merged")).collect()
+    assert len(merged) == 1
+    assert merged[0].value == (
+        'com,example) 20091111212121 {"url": "http://www.example.com", '
+        '"mime": "text/html", "mime-detected": "text/html", "puid": "fmt/96", '
+        '"charset": "ascii", "languages": "eng", '
+        '"soft-404-detected": 0.08195022044249829}'
+    )
+
+
+def test_cli_sidecar_and_cdxj(spark, docs100, tmp_path, capsys, monkeypatch):
+    docs_path = str(tmp_path / "docs")
+    docs100.write.mode("overwrite").parquet(docs_path)
+    arc_dir = str(tmp_path / "archive")
+    out = _run(monkeypatch, capsys, ["--cpus", "4", "sidecar", arc_dir, docs_path])
+    assert "Records with Mime Types:" in out
+    assert "Total Records for this WARC file: 100" in out
+    out2 = _run(monkeypatch, capsys, ["--cpus", "4", "cdxj", f"{arc_dir}/sidecar", arc_dir])
+    lines = spark.read.text(f"{arc_dir}/cdxj").collect()
+    assert lines and all(len(line.value.split(" ", 2)) == 3 for line in lines)
+
+
+def test_cli_crawl(spark, tmp_path, capsys, monkeypatch):
+    docs_path = str(tmp_path / "docs")
+    gen.documents(spark, 200).write.mode("overwrite").parquet(docs_path)
+    ckpt = str(tmp_path / "ckpt")
+    out = _run(
+        monkeypatch, capsys,
+        ["--cpus", "4", "crawl", docs_path, ckpt, "--rounds", "2"],
+    )
+    assert "round=0" in out and "round=1" in out
+    import os
+
+    assert os.path.exists(os.path.join(ckpt, "round=1", "filters", "_SUCCESS"))

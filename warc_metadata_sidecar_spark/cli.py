@@ -51,7 +51,9 @@ def cmd_merge(args) -> None:
     spark = build_session("merge-cli", cpus=args.cpus)
     meta = read_cdxj(spark, args.metadata_cdxj)
     orig = read_cdxj(spark, args.warc_cdxj)
-    merged = merge_cdxj(orig, meta)
+    # canonicalize_json: the reference CLI always re-dumps the original JSON
+    # block (merge_cdxj.py:75-77), so the file-level tool matches its bytes
+    merged = merge_cdxj(orig, meta, canonicalize_json=True)
     out = os.path.join(args.cdxj_dir, "merged")
     write_cdxj(merged.select("line_id", "urlkey", "ts", "json"), out)
     counts = merge_counters(merged).first()
