@@ -76,33 +76,52 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_low = int(os.environ.get("SCALE_N", "2"))
     n_high = 4 * n_low
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
     input_dir = os.environ.get("SCALE_INPUT_DIR", f"/tmp/scale_docs_{n_rows}")
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         generate_input(n_rows, input_dir)
 
-    rlo = run_level(n_low, input_dir)
-    rhi = run_level(n_high, input_dir)
-    eff = (rhi["rows_per_sec"] / rlo["rows_per_sec"]) / 4.0
+    # interleaved paired trials (N, 4N, N, 4N, ...): host noise hits both
+    # levels of a pair alike; MEDIAN pair efficiency is the reported number
+    # (VERDICT r1 task 9 — not best-of)
+    pairs: list[tuple[dict, dict, float]] = []
+    for _ in range(trials):
+        rlo = run_level(n_low, input_dir)
+        rhi = run_level(n_high, input_dir)
+        pairs.append((rlo, rhi, (rhi["rows_per_sec"] / rlo["rows_per_sec"]) / 4.0))
+    effs = sorted(p[2] for p in pairs)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
+    ) / 2
     control = cpu_ceiling_control(n_low)
 
+    rows_md = "\n".join(
+        f"| {i + 1} | {rlo['sec']} | {rlo['rows_per_sec']} | {rhi['sec']} | "
+        f"{rhi['rows_per_sec']} | {eff:.3f} |"
+        for i, (rlo, rhi, eff) in enumerate(pairs)
+    )
+    best = pairs[0]
     md = f"""# BENCH/BASELINE — scaling evidence (north rule N8)
 
 Protocol (BASELINE.md): identical job, identical pre-generated input
 ({n_rows:,} documents, ~3 KB payloads, seed=42, 64 parquet partitions), two
 parallelism levels in separate JVMs — the sandbox proxy for N vs 4N
 executors (driver instruction: "e.g. local[8] and local[32], or N and 4N
-cores"). Each level: warmup run, then best-of-2 steady-state timing.
+cores"). {trials} interleaved paired trials; each level does a warmup run,
+then steady-state timing. The reported number is the MEDIAN pair
+efficiency (T_4N / T_N) / 4.
 
 Job = the north-star workload: sidecar annotation (filters -> digest dedup
 -> vectorized pandas-UDF detectors) over every document + frontier
 canonicalize/URL-seen/politeness schedule over every URL.
 
-| level | cores | wall sec | throughput (docs/sec) | annotated | scheduled |
+| pair | N={n_low} wall s | N docs/s | 4N={n_high} wall s | 4N docs/s | efficiency |
 |---|---|---|---|---|---|
-| N  | {n_low} | {rlo["sec"]} | {rlo["rows_per_sec"]} | {rlo["annotated"]} | {rlo["scheduled"]} |
-| 4N | {n_high} | {rhi["sec"]} | {rhi["rows_per_sec"]} | {rhi["annotated"]} | {rhi["scheduled"]} |
+{rows_md}
 
-**Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** (criterion: >= 0.8).
+**Median scaling efficiency = {median_eff:.3f}** (criterion: >= 0.8;
+annotated={best[0]["annotated"]}, scheduled={best[0]["scheduled"]} identical at
+both levels in every pair).
 
 ## Hardware ceiling control
 
@@ -126,10 +145,9 @@ Run: {dt.datetime.now(dt.timezone.utc).isoformat()} — `python BENCH/scaling.py
     print(
         json.dumps(
             {
-                "efficiency": round(eff, 3),
+                "efficiency_median": round(median_eff, 3),
+                "efficiencies": [round(e, 3) for e in effs],
                 "ceiling": control["ceiling_efficiency"],
-                "t_low": rlo,
-                "t_high": rhi,
             }
         )
     )

@@ -57,3 +57,17 @@ def test_cli_crawl(spark, tmp_path, capsys, monkeypatch):
     import os
 
     assert os.path.exists(os.path.join(ckpt, "round=1", "filters", "_SUCCESS"))
+
+
+def test_cli_writes_per_run_log(spark, tmp_path, capsys, monkeypatch):
+    # reference C2: a per-run log file lands in the output dir with the
+    # reference's message shapes (warc_metadata_sidecar.py:173-179)
+    _run(
+        monkeypatch, capsys,
+        ["--cpus", "4", "merge", "-m", f"{REF}/meta.cdxj", "-w", f"{REF}/warc_1.cdxj",
+         "-d", str(tmp_path)],
+    )
+    log_text = (tmp_path / "merge_cdxj.log").read_text()
+    assert "Logging CDXJ merge information for" in log_text
+    assert "Total merged records: 1" in log_text
+    assert "Elapsed:" in log_text

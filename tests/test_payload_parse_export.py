@@ -55,7 +55,7 @@ def test_roundtrip_engine_payload(spark, docs100, media_tbl):
 def test_export_sidecar_warcs(spark, docs100, media_tbl):
     side = sidecar_rows(docs100, media_tbl)
     with_src = side.join(docs100.select("doc_id", "source_file"), "doc_id")
-    blobs = export_sidecar_warcs(with_src).collect()
+    blobs = export_sidecar_warcs(with_src, gzip=False).collect()
     assert blobs
     b = blobs[0]
     assert b.sidecar_file.endswith("warc.meta.gz")
@@ -67,3 +67,23 @@ def test_export_sidecar_warcs(spark, docs100, media_tbl):
     arc_blob = [x for x in blobs if ".arc" in x.source_file or "arc.gz" in x.source_file]
     full = "".join(bytes(x.warc_bytes).decode() for x in blobs)
     assert "Identified-Payload-Type:" in full
+
+
+def test_export_gzip_members_roundtrip(spark, docs100, media_tbl):
+    """SNK1 gzip framing (reference WARCWriter gzip=True): one gzip member
+    per record; the engine's own gz ingest parses the export back."""
+    import gzip
+
+    from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+    side = sidecar_rows(docs100, media_tbl)
+    with_src = side.join(docs100.select("doc_id", "source_file"), "doc_id")
+    blob = export_sidecar_warcs(with_src, gzip=True).collect()[0]
+    data = bytes(blob.warc_bytes)
+    assert data[:2] == b"\x1f\x8b"
+    # standard .warc.gz = one member per record (random access framing)
+    assert data.count(b"\x1f\x8b\x08") >= blob.n_records
+    rows = parse_warc_bytes(blob.sidecar_file, data)
+    assert len(rows) == blob.n_records
+    assert all(r["rec_type"] == "metadata" for r in rows)
+    assert gzip.decompress(data).decode().startswith("WARC/1.0\r\n")

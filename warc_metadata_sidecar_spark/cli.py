@@ -15,22 +15,49 @@ knobs added for the distributed runtime.
 from __future__ import annotations
 
 import argparse
+import logging
 import os
+import time
 
 from warc_metadata_sidecar_spark.session import build_session
+
+
+def _run_log(out_dir: str, name: str) -> logging.Logger:
+    """Per-run log file (reference C2: warc_metadata_sidecar.py:173-179,
+    merge_cdxj.py:116-123 — one <name>.log in the output dir)."""
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logging.getLogger(f"warc_metadata_sidecar_spark.{name}")
+    logger.setLevel(logging.INFO)
+    logger.handlers = [logging.FileHandler(os.path.join(out_dir, f"{name}.log"))]
+    logger.handlers[0].setFormatter(
+        logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    )
+    return logger
 
 
 def cmd_sidecar(args) -> None:
     from warc_metadata_sidecar_spark.operators.sidecar import sidecar_counters, sidecar_rows
     from warc_metadata_sidecar_spark.sources.tables import write_sidecar
 
+    log = _run_log(args.archive_dir, "metadata_sidecar")
+    t0 = time.time()
     spark = build_session("sidecar-cli", cpus=args.cpus)
     docs = spark.read.parquet(args.documents_path)
+    log.info("Logging WARC metadata record information for %s", args.documents_path)
     media = spark.read.parquet(args.media) if args.media else None
     side = sidecar_rows(docs, media)
     out = os.path.join(args.archive_dir, "sidecar")
-    write_sidecar(side, out, os.path.basename(args.documents_path), args.operator, args.publisher)
+    info = write_sidecar(
+        side, out, os.path.basename(args.documents_path), args.operator, args.publisher
+    )
+    if info["description"].endswith("; 0 metadata sidecar records"):
+        log.info("No metadata records to write, updating warcinfo")
     counters = sidecar_counters(docs, media).first()
+    log.info(
+        "Determined sidecar information for %s response/resource record(s)",
+        counters.mime_type_records,
+    )
+    log.info("Elapsed: %.3fs", time.time() - t0)
     print(f"Records with Mime Types: {counters.mime_type_records}")
     print(f"Total Records for this WARC file: {counters.total_records_read}")
 
@@ -48,7 +75,14 @@ def cmd_merge(args) -> None:
     from warc_metadata_sidecar_spark.operators.cdxj import merge_cdxj, merge_counters
     from warc_metadata_sidecar_spark.sources.cdxj_text import read_cdxj, write_cdxj
 
+    log = _run_log(args.cdxj_dir, "merge_cdxj")
+    t0 = time.time()
     spark = build_session("merge-cli", cpus=args.cpus)
+    log.info(
+        "Logging CDXJ merge information for %s and %s",
+        args.warc_cdxj,
+        args.metadata_cdxj,
+    )
     meta = read_cdxj(spark, args.metadata_cdxj)
     orig = read_cdxj(spark, args.warc_cdxj)
     # canonicalize_json: the reference CLI always re-dumps the original JSON
@@ -57,6 +91,9 @@ def cmd_merge(args) -> None:
     out = os.path.join(args.cdxj_dir, "merged")
     write_cdxj(merged.select("line_id", "urlkey", "ts", "json"), out)
     counts = merge_counters(merged).first()
+    log.info("Total merged records: %s", counts.edited_count)
+    log.info("Total unmerged records: %s", counts.non_edited_count)
+    log.info("Elapsed: %.3fs", time.time() - t0)
     print(f"Total merged records: {counts.edited_count}")
 
 

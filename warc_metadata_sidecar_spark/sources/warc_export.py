@@ -7,13 +7,16 @@ interop, one output WARC per source file via groupBy(source_file) +
 applyInPandas (each group = the reference's unit of work, written by one
 task).
 
-warcio is not in this container, so record bytes are rendered by a minimal
-built-in WARC/1.0 serializer (uncompressed; correct header framing and
-Content-Length). With warcio installed, `_render_records` is the swap seam
-for gzip + exact writer parity.
+Record bytes come from a built-in WARC/1.0 serializer (correct header
+framing and Content-Length); gzip=True (default, like WARCWriter's
+gzip=True) emits standard .warc.gz framing — each record its own gzip
+member, which is what makes per-record random access possible and what
+warcio/our ingest's multi-member gzip.decompress expects.
 """
 
 from __future__ import annotations
+
+import gzip as _gzip
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -50,14 +53,21 @@ def _render_record(row: pd.Series) -> bytes:
     return head.encode() + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def export_sidecar_warcs(sidecar_with_source: DataFrame) -> DataFrame:
+def export_sidecar_warcs(sidecar_with_source: DataFrame, gzip: bool = True) -> DataFrame:
     """sidecar rows (+ source_file column) -> one rendered WARC blob per
-    source file: (source_file, sidecar_file, n_records, warc_bytes)."""
+    source file: (source_file, sidecar_file, n_records, warc_bytes).
+    gzip=True (reference default) writes one gzip member per record —
+    deterministic (mtime=0) so exports are byte-reproducible."""
     from warc_metadata_sidecar_spark.operators.cdxj import sidecar_filename
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["warc_date", "doc_id"])
-        blob = b"".join(_render_record(r) for _, r in pdf.iterrows())
+        if gzip:
+            blob = b"".join(
+                _gzip.compress(_render_record(r), mtime=0) for _, r in pdf.iterrows()
+            )
+        else:
+            blob = b"".join(_render_record(r) for _, r in pdf.iterrows())
         src = pdf["source_file"].iloc[0]
         return pd.DataFrame(
             {
