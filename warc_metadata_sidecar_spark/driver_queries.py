@@ -767,6 +767,53 @@ def flagship_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sidecar_counters(docs)
 
 
+def url_seen_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 through the ENGINE's sharded tiered filter path (executor-built
+    bloom+cuckoo shards + exact anti-join backstop), oracled by the SAME
+    DuckDB SQL as url_seen_antijoin — the strongest correctness statement
+    about the prefilter: its output is exactly the exact anti-join's."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.seen import build_tiered, filter_new
+
+    register_views(spark, sf_dir)
+    base = spark.sql(
+        _render("WITH " + KEPT_CTE + "\nSELECT host, url, doc_id FROM kept", SPARK)
+    )
+    seen = base.filter(F.col("doc_id") % 3 == 0).select("url")
+    filt = build_tiered(seen, key="url")
+    new = filter_new(spark, base, seen, filt, key="url")
+    return (
+        new.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+        .orderBy("host")
+    )
+
+
+def ann_ivf_centroid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based IVF (the scale path: trained quantizer, nprobe=2,
+    bucket truncation). Rows-only driver check — Lloyd iterations are not
+    single-statement SQL; recall vs brute force is pinned in
+    tests/test_dedup_similarity.py."""
+    from warc_metadata_sidecar_spark.operators.similarity import ivf_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=1, n_centroids=16, nprobe=2, max_bucket=200)
+
+
+def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection with the default multi-table SRP
+    blocking (rows-only: the hyperplane fold is impractical as one SQL
+    statement; the exact=True twin equality is pinned in
+    tests/test_dedup_similarity.py)."""
+    from warc_metadata_sidecar_spark.operators.similarity import embedding_cosine_dedup
+
+    register_views(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_dedup(emb, threshold=0.9)
+
+
 def crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule frontier loop (rows-only check): 3 politeness rounds over
     the driver documents mapped into the engine schema; returns the
@@ -805,8 +852,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["flagship_sidecar"] = flagship_sidecar
     out["flagship_counters"] = flagship_counters
     out["crawl_rounds"] = crawl_rounds
+    out["url_seen_sharded"] = url_seen_sharded
+    out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
+    out["dedup_cosine_srp"] = dedup_cosine_srp
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: duck_sql_for(name) for name in ORACLE_QUERY_NAMES}
+    oracles = {name: duck_sql_for(name) for name in ORACLE_QUERY_NAMES}
+    # the sharded-filter path must equal the exact anti-join — same oracle
+    oracles["url_seen_sharded"] = duck_sql_for("url_seen_antijoin")
+    return oracles
