@@ -46,6 +46,9 @@ HEADLINE = [
     "fingerprint_winnow",
     "embedding_cosine_pairs",
     "ann_ivf_top1",
+    "ann_ivf_centroid_top1",
+    "dedup_cosine_srp",
+    "url_seen_sharded",
     "flagship_sidecar",
     "flagship_counters",
 ]

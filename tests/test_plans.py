@@ -99,3 +99,35 @@ def test_sidecar_shuffle_inventory(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "payload_text" not in line
+
+
+def test_cosine_dedup_default_has_no_cross_join(spark):
+    """VERDICT r1 #4: the no-block default must not plan a CartesianProduct/
+    BroadcastNestedLoop over the corpus — SRP bucket equi-joins only."""
+    from warc_metadata_sidecar_spark.operators.similarity import embedding_cosine_dedup
+    from warc_metadata_sidecar_spark.plans.audit import formatted_plan
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    plan = formatted_plan(embedding_cosine_dedup(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the exact baseline, by contrast, is the cross join
+    plan_exact = formatted_plan(embedding_cosine_dedup(emb, threshold=0.9, exact=True))
+    assert "CartesianProduct" in plan_exact or "BroadcastNestedLoopJoin" in plan_exact
+
+
+def test_ivf_centroid_assignment_broadcasts(spark):
+    """Centroid assignment must broadcast the k centroid rows (never shuffle
+    the vectors against them)."""
+    from warc_metadata_sidecar_spark.operators.similarity import ivf_topk
+    from warc_metadata_sidecar_spark.plans.audit import formatted_plan
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    plan = formatted_plan(ivf_topk(emb, k=1, n_centroids=4, nprobe=2, max_bucket=20))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
