@@ -59,6 +59,15 @@ def test_py_surt():
     assert py_surt("https://www.UNT.edu/About?X=1") == "edu,unt)/about?x=1"
     assert py_surt("http://user@host01.example.com:8080/p") == "com,example,host01)/p"
     assert py_surt(None) is None
+    # surt-library default-canonicalizer rules (S1 fidelity):
+    # query args sorted; session-id params dropped; emptied '?' removed;
+    # fragment dropped; www2. stripped; path ;jsessionid stripped
+    assert py_surt("https://unt.edu/p?b=2&a=1") == "edu,unt)/p?a=1&b=2"
+    assert py_surt("https://unt.edu/p?b=2&PHPSESSID=abc&a=1") == "edu,unt)/p?a=1&b=2"
+    assert py_surt("https://unt.edu/p?JSESSIONID=abc") == "edu,unt)/p"
+    assert py_surt("https://unt.edu/p#frag") == "edu,unt)/p"
+    assert py_surt("https://www2.unt.edu/p") == "edu,unt)/p"
+    assert py_surt("https://unt.edu/p;jsessionid=XYZ?a=1") == "edu,unt)/p?a=1"
 
 
 def test_surt_col_matches_py(spark):
@@ -75,7 +84,15 @@ def test_surt_col_matches_py(spark):
         www = "www." if i % 4 == 0 else ""
         port = f":{8000 + i}" if i % 5 == 0 else ""
         user = "u@" if i % 7 == 0 else ""
-        path = ["", "/", f"/P{i}/x?Q={i}&a=B", f"/page/{i}"][i % 4]
+        path = [
+            "",
+            "/",
+            f"/P{i}/x?Q={i}&a=B",
+            f"/page/{i}",
+            f"/p?z={i}&a=1&PHPSESSID=s{i}#frag",
+            f"/p;jsessionid=S{i}?b=2&a=1",
+        ][i % 6]
+        www = ["", "www.", "www2."][i % 3] if i % 4 == 0 else www
         urls.append(f"{scheme}://{user}{www}Host{i % 13}.Example.com{port}{path}")
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]

@@ -110,12 +110,21 @@ def _warc_records(data: bytes) -> list[tuple[dict, bytes]]:
             m = _HDR.match(line)
             if m:
                 headers[m.group(1)] = m.group(2)
-        try:
-            clen = int(headers.get("Content-Length", "0"))
-        except ValueError:
-            clen = 0
-        body = data[hdr_end + sep : hdr_end + sep + clen]
-        pos = hdr_end + sep + clen
+        if "Content-Length" in headers:
+            try:
+                clen = int(headers["Content-Length"])
+            except ValueError:
+                clen = 0
+            body = data[hdr_end + sep : hdr_end + sep + clen]
+            pos = hdr_end + sep + clen
+        else:
+            # tolerant fallback for length-less records (not valid WARC but
+            # seen in hand-made fixtures): body runs to the next record
+            # boundary at a line start, or EOF
+            nxt = data.find(b"\nWARC/", hdr_end + sep)
+            end = nxt + 1 if nxt != -1 else len(data)
+            body = data[hdr_end + sep : end]
+            pos = end
         records.append((headers, body))
     return records
 
