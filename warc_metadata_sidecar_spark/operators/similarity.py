@@ -102,10 +102,18 @@ def ivf_train_centroids(
     )
     if sample_mod and sample_mod > 1:
         e = e.filter(F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(sample_mod)) == 0)
-    w_init = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+    # init = the k vectors with the smallest md5(id): orderBy().limit(k)
+    # plans as distributed TakeOrderedAndProject (per-partition top-k then
+    # merge), NOT a global single-task window sort; the row_number window
+    # then runs over just k rows
+    seeds = (
+        e.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)
+    )
+    w_init = Window.orderBy("_h", "_id")
     centroids = (
-        e.withColumn("_rn", F.row_number().over(w_init))
-        .filter(F.col("_rn") <= k)
+        seeds.withColumn("_rn", F.row_number().over(w_init))
         .select((F.col("_rn") - 1).alias("centroid_id"), F.col("_v").alias("centroid"))
         .localCheckpoint(eager=True)
     )
