@@ -107,3 +107,68 @@ def test_serialize_field_presence(fido, magic, puid, enc, soft404):
     assert any(l.startswith("Charset-Detected:") for l in lines) == bool(enc)
     # soft404 emitted whenever not None — including 0.0 (reference :162)
     assert any(l.startswith("Soft-404-Detected:") for l in lines) == (soft404 is not None)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=string.ascii_letters + string.digits + " .,!<>/-",
+            min_size=1,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_warc_render_parse_roundtrip(payloads):
+    """Export serializer <-> ingest parser are inverses on record payloads
+    (SNK1 <-> SRC1), uncompressed and as per-record gzip members."""
+    import gzip
+
+    import pandas as pd
+
+    from warc_metadata_sidecar_spark.sources.warc_export import _render_record
+    from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+    rows = [
+        pd.Series(
+            {
+                "payload": p,
+                "doc_id": f"<urn:uuid:rt-{i}>",
+                "url": f"https://example.com/{i}",
+                "warc_date": None,
+                "concurrent_id": None,
+                "warcinfo_id": None,
+            }
+        )
+        for i, p in enumerate(payloads)
+    ]
+    blob = b"".join(_render_record(r) for r in rows)
+    parsed = parse_warc_bytes("rt.warc", blob)
+    assert len(parsed) == len(payloads)
+    for rec, p in zip(parsed, payloads):
+        got = rec["spans"][0]["text"] if rec["spans"] else ""
+        assert got == p.rstrip("\r\n")
+    gz = b"".join(gzip.compress(_render_record(r), mtime=0) for r in rows)
+    parsed_gz = parse_warc_bytes("rt.warc.gz", gz)
+    assert [r["doc_id"] for r in parsed_gz] == [r["doc_id"] for r in parsed]
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=50, deadline=None)
+def test_warc_parser_total_on_garbage(data):
+    """The ingest parser never raises on arbitrary bytes — it returns a
+    (possibly empty) row list (crawl inputs are untrusted)."""
+    from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+    rows = parse_warc_bytes("junk.warc", data)
+    assert isinstance(rows, list)
+    rows2 = parse_warc_bytes("junk.arc", data)
+    assert isinstance(rows2, list)
+
+
+def test_warc_parser_corrupt_gzip_returns_empty():
+    from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+    assert parse_warc_bytes("x.warc.gz", b"\x1f\x8b\x08corrupt!!") == []

@@ -174,7 +174,10 @@ def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":
         import gzip
 
-        data = gzip.decompress(data)  # multi-member capable
+        try:
+            data = gzip.decompress(data)  # multi-member capable
+        except (OSError, EOFError):
+            return []  # corrupt archive: no parsable records (untrusted input)
     is_arc = bool(ARC_NAME.match(path))
     source_file = path.rsplit("/", 1)[-1]
     rows: list[dict] = []
