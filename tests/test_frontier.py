@@ -176,6 +176,12 @@ def test_checkpoint_resume(spark, corpus, robots_df, seeds, tmp_path):
     lineage = spark.read.parquet(f"{out}/lineage")
     assert lineage.count() == 4
     assert full.lineage[0].selected > 0
+    # per-partition lineage (N6): every checkpointed round recorded
+    plineage = spark.read.parquet(f"{out}/partition_lineage")
+    assert {r.round for r in plineage.select("round").distinct().collect()} == {0, 1, 2, 3}
+    per_round = {r.round: r.total for r in plineage.groupBy("round").agg(
+        F.sum("rows").alias("total")).collect()}
+    assert all(v >= 0 for v in per_round.values())
 
 
 def test_crawl_annotate_feeds_sidecar(spark, corpus, robots_df, seeds, media_tbl):

@@ -97,11 +97,18 @@ class CrawlResult:
     lineage: list[RoundMetrics] = field(default_factory=list)
 
 
+def _partition_rows(df: DataFrame) -> DataFrame:
+    """(partition, rows) over a checkpointed frame — the per-partition
+    lineage the north rule asks for (cheap: in-memory scan, 1 agg)."""
+    return df.groupBy(F.spark_partition_id().alias("partition")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+
+
 def _skew_stats(df: DataFrame) -> tuple[int, int]:
     rows = (
-        df.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
-        .agg(F.max("count").alias("mx"), F.min("count").alias("mn"))
+        _partition_rows(df)
+        .agg(F.max("rows").alias("mx"), F.min("rows").alias("mn"))
         .first()
     )
     return (rows.mx or 0, rows.mn or 0)
@@ -306,6 +313,10 @@ def run_crawl(
                 )
             lineage_df = spark.createDataFrame([vars(m) for m in lineage[-1:]])
             lineage_df.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+            # N6: per-partition lineage of the checkpointed frontier
+            _partition_rows(frontier).withColumn("round", F.lit(rnd)).write.mode(
+                "append"
+            ).parquet(os.path.join(out_dir, "partition_lineage"))
 
     if schedules:
         schedule = schedules[0]
