@@ -229,19 +229,10 @@ def ivf_topk(
     )
 
 
-def lsh_srp_buckets(
-    embeddings: DataFrame,
-    planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    table: int = 0,
-) -> DataFrame:
-    """Sign-random-projection bucket per vector: bit p = sign(v . h_p) where
-    hyperplane component h_p[d] = (nibble of md5('t:p:d') - 7.5) — a fixed,
-    engine-reproducible pseudo-random direction. `table` salts the planes so
-    independent hash tables (LSH bands) can be unioned for recall.
-    Returns (vec_id, srp_bucket)."""
-    e = _as_double(embeddings, vec_col)
+def _srp_bucket_expr(vec_col: str, planes: int, table: int = 0) -> F.Column:
+    """The SRP bucket as a pure column expression over an array<double>
+    column: bit p = sign(v . h_p), hyperplane component
+    h_p[d] = (nibble of md5('t:p:d') - 7.5) — fixed, engine-reproducible."""
 
     def plane_component(p: int):
         # one-arg lambda on purpose: a second parameter would make pyspark
@@ -274,7 +265,24 @@ def lsh_srp_buckets(
     bucket = bits[0]
     for bcol in bits[1:]:
         bucket = bucket + bcol
-    return e.select(F.col(id_col).alias("vec_id"), bucket.alias("srp_bucket"))
+    return bucket
+
+
+def lsh_srp_buckets(
+    embeddings: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: int = 0,
+) -> DataFrame:
+    """Sign-random-projection bucket per vector. `table` salts the planes so
+    independent hash tables (LSH bands) can be unioned for recall.
+    Returns (vec_id, srp_bucket)."""
+    e = _as_double(embeddings, vec_col)
+    return e.select(
+        F.col(id_col).alias("vec_id"),
+        _srp_bucket_expr(vec_col, planes, table).alias("srp_bucket"),
+    )
 
 
 def srp_candidate_pairs(
@@ -288,13 +296,26 @@ def srp_candidate_pairs(
     """(id_a, id_b) pairs sharing an SRP bucket in at least one of `tables`
     independent hash tables. Multi-table union gives ~95% recall at cosine
     0.9 with 6 planes x 6 tables; `max_bucket` drops degenerate buckets
-    (the same boilerplate guard as dedup.lsh_candidate_pairs)."""
-    bands = None
-    for t in range(tables):
-        part = lsh_srp_buckets(embeddings, planes, id_col, vec_col, table=t).select(
-            "vec_id", F.concat(F.lit(f"{t}:"), F.col("srp_bucket").cast("string")).alias("band")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    (the same boilerplate guard as dedup.lsh_candidate_pairs).
+
+    One scan: all `tables` bucket expressions are computed per row in a
+    single pass and posexploded into (vec_id, band) — not one scan of the
+    corpus per table (at 100 TB the scan is the dominant cost)."""
+    e = _as_double(embeddings, vec_col)
+    with_buckets = e.select(
+        F.col(id_col).alias("vec_id"),
+        *[_srp_bucket_expr(vec_col, planes, table=t).alias(f"b{t}") for t in range(tables)],
+    )
+    stacked = with_buckets.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias("_t", "_b"),
+    )
+    bands = stacked.select(
+        "vec_id",
+        F.concat(F.col("_t").cast("string"), F.lit(":"), F.col("_b").cast("string")).alias(
+            "band"
+        ),
+    )
     sized = bands.withColumn("bucket_n", F.count("*").over(Window.partitionBy("band")))
     bounded = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     left = bounded.select(F.col("vec_id").alias("id_a"), "band")
