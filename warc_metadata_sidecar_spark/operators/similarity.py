@@ -139,10 +139,32 @@ def _assign_buckets(
     e: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int = 1
 ) -> DataFrame:
     """Nearest-centroid assignment via a broadcast of the k centroid rows:
-    input columns + (bucket, probe_rank), one row per (vector, probed list)."""
+    input columns + (bucket, probe_rank), one row per (vector, probed list).
+
+    nprobe=1 (the bulk assignment path) aggregates max(struct(sim, ...)) —
+    map-side combinable, so the exchange carries ~one row per vector, not
+    the n x k window-sort input. Multi-probe keeps the window."""
     joined = e.crossJoin(F.broadcast(centroids)).withColumn(
         "_csim", _cosine(vec_col, "centroid")
     )
+    if nprobe == 1:
+        # deterministic argmax: ties on sim break to the LOWEST centroid_id
+        # (negated id inside the max struct), matching the window ordering
+        best = joined.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("_csim").alias("s"),
+                    (-F.col("centroid_id")).cast("long").alias("nc"),
+                    F.col(vec_col).alias("v"),
+                )
+            ).alias("m")
+        )
+        return best.select(
+            id_col,
+            F.col("m.v").alias(vec_col),
+            (-F.col("m.nc")).cast("int").alias("bucket"),
+            F.lit(1).alias("probe_rank"),
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
     return (
         joined.withColumn("probe_rank", F.row_number().over(w))
