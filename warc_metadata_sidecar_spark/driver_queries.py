@@ -814,6 +814,33 @@ def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dedup(emb, threshold=0.9)
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end to end (rows-only): media blobs -> mapInPandas
+    feature extraction (deterministic stand-in decode) + video frame-sample
+    fan-out counts. The blob table is the deterministic seed=42 generator's
+    (the driver parquet set carries no binary media column)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    media = gen.media(spark)
+    feats = extract_media_features(media).select(
+        "media_ref",
+        "media_type",
+        "n_bytes",
+        "sniffed_mime",
+        F.size("features").alias("feature_dim"),
+    )
+    frames = frame_sample_plan(media).groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return feats.join(frames, "media_ref", "left").orderBy("media_ref")
+
+
 def crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule frontier loop (rows-only check): 3 politeness rounds over
     the driver documents mapped into the engine schema; returns the
@@ -855,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["url_seen_sharded"] = url_seen_sharded
     out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
     out["dedup_cosine_srp"] = dedup_cosine_srp
+    out["multimodal_features"] = multimodal_features
     return out
 
 
