@@ -131,3 +131,25 @@ def test_ivf_centroid_assignment_broadcasts(spark):
     )
     plan = formatted_plan(ivf_topk(emb, k=1, n_centroids=4, nprobe=2, max_bucket=20))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_documents_skip_digest_shuffle(spark, docs100, tmp_path):
+    """100 TB layout: a payload_digest-bucketed documents table feeds the
+    digest-keyed rep election with NO exchange — the shuffle the sandbox
+    pays on plain parquet disappears at the storage layer (Iceberg
+    bucket(payload_digest) in production)."""
+    from warc_metadata_sidecar_spark.plans.audit import exchange_count
+    from warc_metadata_sidecar_spark.sources.tables import write_documents_bucketed
+
+    write_documents_bucketed(
+        docs100, "docs_bucketed_test", str(tmp_path / "docs_bucketed"), buckets=8
+    )
+    try:
+        t = spark.table("docs_bucketed_test")
+        agg = t.groupBy("payload_digest").count()
+        assert exchange_count(agg) == 0, "bucketed groupBy still shuffles"
+        # plain parquet pays the exchange — the bucketing is what removes it
+        plain = spark.read.parquet(str(tmp_path / "docs_bucketed"))
+        assert exchange_count(plain.groupBy("payload_digest").count()) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")

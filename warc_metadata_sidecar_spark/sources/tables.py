@@ -44,6 +44,31 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("file_bucket")
 
 
+def write_documents_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+) -> None:
+    """The 100 TB layout: documents hash-bucketed by payload_digest
+    (Iceberg `bucket(payload_digest)` in production; Spark bucketed table
+    here — same property). Digest-keyed aggregations and joins then read
+    pre-partitioned data: the rep-election groupBy and the detector
+    join-back run WITHOUT an exchange (pinned by
+    tests/test_plans.test_bucketed_documents_skip_digest_shuffle)."""
+    from warc_metadata_sidecar_spark.operators.sidecar import normalize_spans_col
+
+    (
+        df.withColumn("spans", normalize_spans_col())
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "payload_digest")
+        .sortBy("payload_digest")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def warcinfo_provenance(new_file: str, operator: str | None = None, publisher: str | None = None) -> dict:
     """SNK4: the warcinfo payload (create_warcinfo_payload,
     warc_metadata_sidecar.py:134-148) as a provenance dict. Hostname/ip come
