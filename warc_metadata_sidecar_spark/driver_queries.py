@@ -279,6 +279,35 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+# TPC-H Q6 shape: tight filter conjunction + single agg — the predicate-
+# pushdown showcase (every filter reaches the parquet scan)
+_Q["tpch_q6"] = """
+SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# TPC-H Q3 shape: 3-way join + grouped revenue + top-10 — join-order and
+# broadcast decisions left to Catalyst/AQE
+_Q["tpch_q3"] = """
+SELECT l.l_orderkey,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
 _Q["revenue_by_nation"] = """
 SELECT n.n_name AS nation,
        CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue,
