@@ -153,3 +153,23 @@ def test_bucketed_documents_skip_digest_shuffle(spark, docs100, tmp_path):
         assert exchange_count(plain.groupBy("payload_digest").count()) == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")
+
+
+def test_sidecar_over_bucketed_table_drops_rep_shuffle(spark, docs100, tmp_path):
+    """Flagship over the digest-bucketed layout: the rep-election exchange
+    disappears (groupBy on the raw bucketed column), so the full pipeline
+    plans strictly fewer shuffles than over plain parquet."""
+    from warc_metadata_sidecar_spark.plans.audit import exchange_count
+    from warc_metadata_sidecar_spark.sources.tables import write_documents_bucketed
+
+    write_documents_bucketed(
+        docs100, "docs_b2", str(tmp_path / "docs_b2"), buckets=8
+    )
+    try:
+        bucketed = spark.table("docs_b2")
+        plain = spark.read.parquet(str(tmp_path / "docs_b2"))
+        n_b = exchange_count(sidecar_rows(bucketed))
+        n_p = exchange_count(sidecar_rows(plain))
+        assert n_b < n_p, f"bucketed {n_b} vs plain {n_p}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_b2")

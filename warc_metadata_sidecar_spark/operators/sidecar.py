@@ -154,11 +154,27 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
     probe = header_filters(documents).select(
         "doc_id", "url", "warc_date", "warcinfo_id", "is_arc", dedup_key.alias("dedup_key")
     )
-    reps = (
-        probe.groupBy("dedup_key")
+    # Rep election runs ONLY on digest-bearing rows, grouped on the RAW
+    # payload_digest column: null-digest (ARC) rows have per-row keys and
+    # are trivially their own representatives — they never need the
+    # exchange. Grouping on the raw column (not the coalesce) also means a
+    # payload_digest-bucketed documents table (tables.write_documents_bucketed,
+    # Iceberg bucket(payload_digest) in production) satisfies the grouping
+    # with ZERO shuffle.
+    digest_probe = header_filters(documents).filter(
+        F.col("payload_digest").isNotNull()
+    )
+    digest_reps = (
+        digest_probe.groupBy("payload_digest")
         .agg(F.min(F.struct(F.col("warc_date").alias("_o1"), F.col("doc_id").alias("_o2"))).alias("o"))
         .select(F.col("o._o2").alias("rep_id"))
     )
+    arc_reps = (
+        header_filters(documents)
+        .filter(F.col("payload_digest").isNull())
+        .select(F.col("doc_id").alias("rep_id"))
+    )
+    reps = digest_reps.unionByName(arc_reps)
 
     keyed = _with_payload_projection(base_filters(documents), media).withColumn(
         "dedup_key", dedup_key
