@@ -828,19 +828,31 @@ def ann_ivf_centroid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, k=1, n_centroids=16, nprobe=2, max_bucket=200)
+    return ivf_topk(emb, k=1, n_centroids=16, nprobe=2, max_bucket=200, iters=1)
 
 
 def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection with the default multi-table SRP
     blocking (rows-only: the hyperplane fold is impractical as one SQL
     statement; the exact=True twin equality is pinned in
-    tests/test_dedup_similarity.py)."""
+    tests/test_dedup_similarity.py). The driver corpus has no natural
+    >=0.9-cosine pairs (verified against the exact all-pairs baseline), so
+    duplicates are PLANTED deterministically — every vec_id % 10 == 0 row
+    re-enters as vec_id + 1000000, like the text CORPUS_CTE's planted dups
+    — and each must be recovered through the SRP bucket join."""
+    from pyspark.sql import functions as F
+
     from warc_metadata_sidecar_spark.operators.similarity import embedding_cosine_dedup
 
     register_views(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_cosine_dedup(emb, threshold=0.9)
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_cosine_dedup(corpus, threshold=0.9, planes=6, tables=4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
