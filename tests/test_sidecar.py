@@ -136,3 +136,57 @@ def test_span_sequence_preserved(spark, docs100):
     assert [s.offset for s in row.spans] == sorted(s.offset for s in row.spans)
     rebuilt = "".join(s.text or "" for s in sorted(row.spans, key=lambda s: s.offset))
     assert rebuilt
+
+
+def test_hot_digest_skew_detectors_once(spark):
+    """Beacon-page skew (SURVEY §4: digest_multiples at scale): one digest
+    carried by 5,000 rows plus 200 distinct rows. The rep election's partial
+    aggregation absorbs the hot key map-side; detectors run once for the hot
+    digest (identical payload on every duplicate row); every row still gets
+    annotated."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(5000).select(
+        F.concat(F.lit("hot-"), F.col("id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("<!DOCTYPE html><html><body>beacon pixel page</body></html>").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+        F.concat(F.lit("https://beacon.example.com/p/"), F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_date"),
+        F.lit("response").alias("rec_type"),
+        F.lit("sha1:HOTDIGEST").alias("payload_digest"),
+        F.lit(None).cast("string").alias("warcinfo_id"),
+        F.lit("200").alias("http_status"),
+        F.lit(False).alias("is_arc"),
+        F.lit("skew.warc").alias("source_file"),
+    )
+    cold = spark.range(200).select(
+        F.concat(F.lit("cold-"), F.col("id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("<html><body>distinct page "), F.col("id"), F.lit("</body></html>")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+        F.concat(F.lit("https://site.example.com/p/"), F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_date"),
+        F.lit("response").alias("rec_type"),
+        F.concat(F.lit("sha1:C"), F.col("id")).alias("payload_digest"),
+        F.lit(None).cast("string").alias("warcinfo_id"),
+        F.lit("200").alias("http_status"),
+        F.lit(False).alias("is_arc"),
+        F.lit("skew.warc").alias("source_file"),
+    )
+    docs = hot.unionByName(cold).repartition(16)
+    side = sidecar_rows(docs)
+    rows = side.collect()
+    assert len(rows) == 5200  # every row annotated
+    hot_payloads = {r.payload for r in rows if r.doc_id.startswith("hot-")}
+    assert len(hot_payloads) == 1  # one detector result shared by all 5,000
