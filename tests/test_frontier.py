@@ -229,3 +229,27 @@ def test_crawl_round_action_budget(spark, corpus, robots_df, seeds, monkeypatch)
     # 2 rounds: 3 checkpoints each + 1 collect (filter load, round 1) = 7
     assert total <= 8, f"driver-action storm: {calls}"
     assert calls["count"] == 0, f"count() crept back into the loop: {calls}"
+
+
+def test_two_phase_topk_equals_single_phase(spark, robots_df, corpus):
+    """prune_salts two-phase selection is EXACT: identical schedule to the
+    single-phase window (distributed top-k containment), while the final
+    per-host sort input is bounded by budget * salts."""
+    frontier = canonicalize(
+        corpus.filter(~F.col("url").startswith("dns:")).select(
+            "url",
+            F.lit(None).cast("string").alias("canonical_url"),
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("int").alias("host_salt"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(0).alias("discovery_round"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+    one = {(r.host, r.canonical_url, r.rnk) for r in select_round(frontier, robots_df).collect()}
+    two = {
+        (r.host, r.canonical_url, r.rnk)
+        for r in select_round(frontier, robots_df, prune_salts=8).collect()
+    }
+    assert one == two and one

@@ -72,6 +72,7 @@ def select_round(
     robots: DataFrame,
     default_budget: int = DEFAULT_BUDGET,
     round_no: int | None = None,
+    prune_salts: int | None = None,
 ) -> DataFrame:
     """The politeness-aware per-round selection.
 
@@ -79,11 +80,19 @@ def select_round(
     with crawl_delay_s = k is eligible only when round_no % k == 0 (the
     deterministic-time analog of per-host delay — no wall-clock in the plan,
     SURVEY.md N4). round_no=None (single-shot use) skips the gate.
+
+    prune_salts enables EXACT two-phase top-k for mega-hosts: candidates are
+    first ranked within (host, salt) subgroups and cut to the per-host
+    budget, so the final per-host window sorts at most budget*salts rows
+    instead of the host's whole candidate list (distributed top-k: the
+    global top-B is contained in the union of subgroup top-Bs, so the
+    result is identical — asserted in tests). Use it for stateless
+    selection only: the crawl loop's carryover queue needs the non-selected
+    rows, which pruning drops.
     """
     deduped = dedup_candidates(candidates)
     allowed = apply_robots(deduped, robots)
     budgets = host_budgets(robots, default_budget)
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
     ranked = (
         allowed.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
@@ -91,6 +100,16 @@ def select_round(
     )
     if round_no is not None:
         ranked = ranked.filter(F.lit(round_no) % F.col("crawl_delay_s") == 0)
+    if prune_salts and prune_salts > 1:
+        wp = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("canonical_url"), F.lit(prune_salts))
+        ).orderBy(F.desc("priority"), F.asc("canonical_url"))
+        ranked = (
+            ranked.withColumn("_prnk", F.row_number().over(wp))
+            .filter(F.col("_prnk") <= F.col("budget"))
+            .drop("_prnk")
+        )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
     ranked = ranked.withColumn("rnk", F.row_number().over(w))
     return ranked.filter(F.col("rnk") <= F.col("budget")).drop("budget", "crawl_delay_s")
 
