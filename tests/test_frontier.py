@@ -253,3 +253,53 @@ def test_two_phase_topk_equals_single_phase(spark, robots_df, corpus):
         for r in select_round(frontier, robots_df, prune_salts=8).collect()
     }
     assert one == two and one
+
+
+def test_parse_robots_txt(spark):
+    """N4: robots.txt bodies -> robots table rows, native expressions only;
+    wildcard-group scoping, empty-Disallow allow-all, crawl-delay pickup."""
+    from warc_metadata_sidecar_spark.frontier.robots import parse_robots_txt
+
+    bodies = [
+        (
+            "a.example.com",
+            "# comment\nUser-agent: *\nDisallow: /private\nDisallow: /tmp\nCrawl-delay: 3\n",
+        ),
+        (
+            "b.example.com",
+            "User-agent: googlebot\nDisallow: /only-for-google\n"
+            "User-agent: *\nDisallow:\n",  # empty Disallow = allow all
+        ),
+        ("c.example.com", ""),  # no robots.txt content
+    ]
+    raw = spark.createDataFrame(bodies, ["host", "robots_txt"])
+    rows = parse_robots_txt(raw).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    a_deny = {r.path_prefix for r in by_host["a.example.com"] if not r.allowed}
+    assert a_deny == {"/private", "/tmp"}
+    assert all(r.crawl_delay_s == 3 for r in by_host["a.example.com"])
+    # googlebot-only disallow never reaches the wildcard table
+    assert all(r.allowed for r in by_host["b.example.com"])
+    assert [r.allowed for r in by_host["c.example.com"]] == [True]
+
+    # the parsed table drives the scheduler end-to-end
+    frontier = canonicalize(
+        spark.createDataFrame(
+            [(f"https://a.example.com/private/{i}",) for i in range(3)]
+            + [(f"https://a.example.com/ok/{i}",) for i in range(3)],
+            ["url"],
+        ).select(
+            "url",
+            F.lit(None).cast("string").alias("canonical_url"),
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("int").alias("host_salt"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(0).alias("discovery_round"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+    sel = select_round(frontier, parse_robots_txt(raw)).collect()
+    assert sel and all("/ok/" in r.url for r in sel)
