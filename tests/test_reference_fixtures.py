@@ -176,3 +176,36 @@ def test_alpha3_full_code_set(spark):
     )
     got = df.select(alpha3_codes_col().alias("codes")).first()
     assert got.codes == "haw,heb"
+
+
+def test_extract_hrefs_from_real_page(spark):
+    """Real link discovery over the ingested reference page: absolute links
+    kept, root-relative resolved against the origin, fragments dropped —
+    feeding canonicalize gives valid frontier candidates."""
+    from warc_metadata_sidecar_spark.frontier.canonical import canonicalize
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    docs = _docs(spark, "text.warc")
+    links = extract_hrefs(docs).collect()
+    urls = {r.url for r in links}
+    assert len(urls) > 20
+    assert all(u.startswith("http") for u in urls)
+    assert "https://www.unt.edu/" in urls
+    # root-relative favicon resolved against https://www.unt.edu
+    assert any(u.startswith("https://www.unt.edu/sites/") for u in urls)
+    assert all(r.parent_url == "https://www.unt.edu" for r in links)
+
+    frontier = canonicalize(
+        spark.createDataFrame([(u,) for u in sorted(urls)], ["url"]).select(
+            "url",
+            F.lit(None).cast("string").alias("canonical_url"),
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("int").alias("host_salt"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(0).alias("discovery_round"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+    rows = frontier.collect()
+    assert all(r.canonical_url and r.host for r in rows)

@@ -57,6 +57,46 @@ LINK_MULTS = (31, 57, 91)
 LINK_ADDS = (17, 5, 1)
 
 
+def extract_hrefs(
+    documents: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """REAL link discovery: hrefs from fetched page text, native expressions
+    only (regexp_extract_all + relative resolution). Returns
+    (parent_url, url) with absolute http(s) links kept as-is and
+    root-relative paths resolved against the parent's scheme+host; other
+    relative forms and fragments are dropped (documented subset).
+
+    This is the production discovery path for ingested pages; the crawl
+    LOOP keeps the synthetic deterministic link model (extract_links) so its
+    schedule stays bit-reproducible against the single-threaded simulator.
+    """
+    from warc_metadata_sidecar_spark.operators.sidecar import payload_text_col
+
+    base = documents.select(
+        F.col(url_col).alias("parent_url"),
+        F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1).alias(
+            "_origin"
+        ),
+        F.regexp_extract_all(
+            payload_text_col(),
+            F.lit(r"""(?i)href\s*=\s*["']([^"'#>]+)"""),
+            F.lit(1),
+        ).alias("_hrefs"),
+    )
+    links = base.select(
+        "parent_url", "_origin", F.explode("_hrefs").alias("_href")
+    ).select(
+        "parent_url",
+        F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
+        .when(
+            F.col("_href").startswith("/") & (F.length("_origin") > 0),
+            F.concat(F.col("_origin"), F.col("_href")),
+        )
+        .alias("url"),
+    )
+    return links.filter(F.col("url").isNotNull()).distinct()
+
+
 def extract_links(fetched: DataFrame, universe: int) -> DataFrame:
     """Discovered URLs from fetched pages — native expressions only."""
     page = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("long")
