@@ -209,3 +209,25 @@ def test_extract_hrefs_from_real_page(spark):
     )
     rows = frontier.collect()
     assert all(r.canonical_url and r.host for r in rows)
+
+
+def test_full_pipeline_golden_cdxj_line(spark):
+    """The reference's complete pipeline over its own fixture: text.warc ->
+    ingest -> sidecar -> CDXJ. The key+timestamp must be the reference
+    golden 'edu,unt)/ 20211111211111' (tests/test_sidecar2cdxj.py:47-54) —
+    WARC-Date now parses through ingest, SURT through the native S1."""
+    from warc_metadata_sidecar_spark.operators.cdxj import sidecar_to_cdxj
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+
+    docs = _docs(spark, "text.warc")
+    line = sidecar_to_cdxj(sidecar_rows(docs)).first()
+    assert line.urlkey == "edu,unt)/"
+    assert line.ts == "20211111211111"
+    import json
+
+    block = json.loads(line.json)
+    assert block["Identified-Payload-Type"] == {
+        "fido": "text/html", "python-magic": "text/html"
+    }
+    assert block["Preservation-Identifier"] == "fmt/471"
+    assert "Charset-Detected" in block and "Languages-cld2" in block

@@ -182,7 +182,7 @@ def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
     source_file = path.rsplit("/", 1)[-1]
     rows: list[dict] = []
 
-    def row(doc_id, payload, url, rec_type, digest, warcinfo_id, status):
+    def row(doc_id, payload, url, rec_type, digest, warcinfo_id, status, warc_date):
         text = payload.decode("utf-8", "replace").rstrip("\r\n")
         return {
             "doc_id": doc_id,
@@ -190,7 +190,7 @@ def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
             if text
             else [],
             "url": url,
-            "warc_date": None,
+            "warc_date": warc_date,
             "rec_type": rec_type,
             "payload_digest": None if is_arc else digest,
             "warcinfo_id": None if is_arc else warcinfo_id,
@@ -205,7 +205,10 @@ def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
             rec_type = "warcinfo" if url.startswith("filedesc://") else "response"
             status, payload = _strip_http(body)
             rows.append(
-                row(f"<{source_file}:{i}>", payload, url, rec_type, None, None, status)
+                row(
+                    f"<{source_file}:{i}>", payload, url, rec_type, None, None,
+                    status, _parse_arc_date(fields[2]),
+                )
             )
         return rows
 
@@ -220,9 +223,33 @@ def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
                 headers.get("WARC-Payload-Digest"),
                 headers.get("WARC-Warcinfo-ID"),
                 status,
+                _parse_warc_date(headers.get("WARC-Date")),
             )
         )
     return rows
+
+
+def _parse_warc_date(value: str | None):
+    """ISO-8601 WARC-Date -> naive-UTC datetime (session TZ is UTC)."""
+    if not value:
+        return None
+    import datetime as _dt
+
+    try:
+        d = _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+        return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def _parse_arc_date(value: str):
+    """ARC yyyymmddhhmmss date -> naive-UTC datetime."""
+    import datetime as _dt
+
+    try:
+        return _dt.datetime.strptime(value, "%Y%m%d%H%M%S")
+    except ValueError:
+        return None
 
 
 def ingest_warc_files(spark, glob_path: str) -> DataFrame:
