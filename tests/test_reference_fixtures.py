@@ -231,3 +231,42 @@ def test_full_pipeline_golden_cdxj_line(spark):
     }
     assert block["Preservation-Identifier"] == "fmt/471"
     assert "Charset-Detected" in block and "Languages-cld2" in block
+
+
+def test_full_three_script_pipeline_with_merge(spark):
+    """All three reference scripts chained over the real fixture: text.warc
+    -> sidecar -> CDXJ -> merge into an original-CDXJ line with the same
+    key. The merged block keeps the original field order and appends the
+    five overlay fields (merge_cdxj.py:30-56)."""
+    import json
+
+    from warc_metadata_sidecar_spark.operators.cdxj import (
+        merge_cdxj,
+        parse_cdxj_lines,
+        sidecar_to_cdxj,
+    )
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+
+    docs = _docs(spark, "text.warc")
+    meta = sidecar_to_cdxj(sidecar_rows(docs))
+    orig = parse_cdxj_lines(
+        spark.createDataFrame(
+            [
+                (
+                    'edu,unt)/ 20211111211111 {"url": "https://www.unt.edu", '
+                    '"mime": "text/html"}',
+                )
+            ],
+            ["value"],
+        )
+    )
+    merged = merge_cdxj(orig, meta, canonicalize_json=True).first()
+    assert merged.edited
+    block = json.loads(merged.json)
+    assert list(block)[:2] == ["url", "mime"]  # original order preserved
+    assert block["mime-detected"] == "text/html"
+    assert block["puid"] == "fmt/471"
+    # primary language english; the marker stand-in may report extra minor
+    # entries where cld2 would not (documented detector divergence class)
+    assert block["languages"].startswith("eng")
+    assert "charset" in block and "soft-404-detected" in block
