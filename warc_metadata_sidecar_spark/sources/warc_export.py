@@ -79,3 +79,35 @@ def export_sidecar_warcs(sidecar_with_source: DataFrame, gzip: bool = True) -> D
         )
 
     return sidecar_with_source.groupBy("source_file").applyInPandas(render, EXPORT_SCHEMA)
+
+
+def write_sidecar_warc_files(exported: DataFrame, out_dir: str) -> None:
+    """SNK1 file sink: one <name>.warc.meta.gz per source file, written by
+    the executor that holds the blob (foreachPartition — no driver funnel).
+    `exported` is export_sidecar_warcs output; out_dir must be a filesystem
+    visible to executors (true for local mode and any shared FS).
+
+    Collision guard: the reference's rename rule maps BOTH foo.arc.gz and
+    foo.warc.gz to foo.warc.meta.gz (it processes one file per run, so it
+    never notices); a batch writer must not let the second blob silently
+    overwrite the first, so colliding names fall back to
+    '<source_file>.meta.gz' verbatim."""
+    import os
+
+    from pyspark.sql import Window
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_dupes = F.count("*").over(Window.partitionBy("sidecar_file"))
+    named = exported.withColumn(
+        "out_file",
+        F.when(n_dupes > 1, F.concat(F.col("source_file"), F.lit(".meta.gz"))).otherwise(
+            F.col("sidecar_file")
+        ),
+    )
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, r.out_file), "wb") as fh:
+                fh.write(bytes(r.warc_bytes))
+
+    named.foreachPartition(write_part)
