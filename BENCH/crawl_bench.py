@@ -1,0 +1,111 @@
+"""Loop-level crawl bench: the FULL frontier loop (sharded URL-seen filter,
+politeness window, fetch join, link discovery, per-round checkpointing
+semantics) at a larger universe — evidence that the iterative driver itself
+holds up, separate from scale_job's single-pass throughput.
+
+Usage: python BENCH/crawl_bench.py [universe] [rounds] [cpus]
+Prints one JSON line and writes BENCH/CRAWL.md.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    universe = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.frontier.crawl import run_crawl
+    from warc_metadata_sidecar_spark.session import build_session
+
+    spark = build_session("crawl-bench", cpus=cpus, shuffle_partitions=2 * cpus)
+    docs_path = f"/tmp/crawl_bench_docs_{universe}"
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        gen.documents(spark, universe).repartition(64).write.mode("overwrite").parquet(
+            docs_path
+        )
+    docs = spark.read.parquet(docs_path)
+    seeds = gen.seed_frontier(spark, n_seeds=20_000)
+    # wide-open robots (budget 10k/host, no delay gating): the bench measures
+    # the LOOP's machinery, not the politeness cap — gen.robots' 1-4/host
+    # budgets over 50 hosts would bound every round at ~150 URLs regardless
+    # of engine speed
+    from warc_metadata_sidecar_spark import schema
+
+    robots = spark.createDataFrame(
+        [
+            {
+                "host": f"host{h:02d}.example.com",
+                "path_prefix": None,
+                "allowed": True,
+                "crawl_delay_s": 1,
+                "budget": 10_000,
+            }
+            for h in range(50)
+        ],
+        schema.ROBOTS,
+    )
+
+    t0 = time.time()
+    result = run_crawl(
+        spark, docs, seeds, robots, rounds=rounds, universe=universe, skew_stats=False
+    )
+    wall = time.time() - t0
+    total_candidates = sum(m.candidates for m in result.lineage)
+    total_selected = sum(m.selected for m in result.lineage)
+    seen_after = result.lineage[-1].seen_after if result.lineage else 0
+    urls_per_sec = round(total_candidates / wall, 2)
+
+    lineage_md = "\n".join(
+        f"| {m.round} | {m.candidates} | {m.selected} | {m.fetched} | "
+        f"{m.new_links} | {m.seen_after} |"
+        for m in result.lineage
+    )
+    md = f"""# BENCH/CRAWL — full-loop crawl bench
+
+{rounds} politeness rounds over a {universe:,}-URL universe at local[{cpus}]
+(sharded bloom+cuckoo URL-seen with incremental per-round updates, robots +
+per-host budget window, fetch join, link discovery; 3 driver actions/round,
+metrics via observe()).
+
+| round | candidates | selected | fetched | new links | seen after |
+|---|---|---|---|---|---|
+{lineage_md}
+
+Wall: {wall:.1f}s; **{urls_per_sec:,} candidate URLs/s through the full
+URL-seen -> politeness -> fetch -> discover loop** ({total_selected}
+scheduled; {seen_after} cumulative seen).
+
+Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
+`python BENCH/crawl_bench.py {universe} {rounds} {cpus}`.
+"""
+    with open(os.path.join(REPO, "BENCH", "CRAWL.md"), "w") as f:
+        f.write(md)
+    print(
+        json.dumps(
+            {
+                "universe": universe,
+                "rounds": rounds,
+                "cpus": cpus,
+                "wall_sec": round(wall, 1),
+                "candidate_urls_per_sec": urls_per_sec,
+                "selected": total_selected,
+                "seen_after": seen_after,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
