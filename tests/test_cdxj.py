@@ -246,3 +246,31 @@ def test_full_pipeline_sidecar_to_merged(spark, docs100, media_tbl):
     assert counts.edited_count == orig.count()
     sample = json.loads(merged.first().json)
     assert "mime-detected" in sample
+
+
+def test_merge_canonicalize_only_matched_lines(spark):
+    """ADVICE r2: the reference re-dumps ONLY matched lines (merge_cdxj.py:
+    75-77); unmatched lines pass through verbatim (:80-81). A non-canonically
+    spaced unmatched line must keep its bytes; a matched one normalizes."""
+    noncanon_unmatched = 'com,a) 20200101000000 {"x":1,  "y"  : 2}'
+    noncanon_matched = 'com,b) 20200101000000 {"x":1,  "y"  : 2}'
+    orig = _cdxj_df(spark, [noncanon_unmatched, noncanon_matched])
+    meta = _cdxj_df(
+        spark, ['com,b) 20200101000000 {"Preservation-Identifier": "fmt/471"}']
+    )
+    rows = {r.urlkey: r.json for r in merge_cdxj(orig, meta, canonicalize_json=True).collect()}
+    # unmatched: raw spacing preserved
+    assert rows["com,a)"] == '{"x":1,  "y"  : 2}'
+    # matched: loads->dumps normalized, then sidecar fields appended
+    assert rows["com,b)"] == '{"x": 1, "y": 2, "puid": "fmt/471"}'
+
+
+def test_merge_matched_line_with_no_surviving_fields_still_redumps(spark):
+    """A matched meta whose every field fails the truthiness gates still
+    re-dumps the original block (json.dumps(updated_obj) unconditional,
+    merge_cdxj.py:77) when canonicalize_json=True."""
+    orig = _cdxj_df(spark, ['com,c) 20200101000000 {"x":1,  "y":2}'])
+    meta = _cdxj_df(spark, ['com,c) 20200101000000 {"Soft-404-Detected": 0.0}'])
+    row = merge_cdxj(orig, meta, canonicalize_json=True).first()
+    assert row.edited
+    assert row.json == '{"x": 1, "y": 2}'

@@ -45,6 +45,46 @@ def test_cli_sidecar_and_cdxj(spark, docs100, tmp_path, capsys, monkeypatch):
     assert lines and all(len(line.value.split(" ", 2)) == 3 for line in lines)
 
 
+def test_cli_sidecar_single_detector_execution(spark, docs100, tmp_path, capsys, monkeypatch):
+    """VERDICT r2 #1: cmd_sidecar must execute the detector pipeline exactly
+    once (the write); counters ride observe() on that job. Instrumented the
+    same way as test_crawl_round_action_budget: extract_sidecar is invoked
+    once, and NO collect/first action runs a second pipeline on top of the
+    write (docs.count() is the only count — a detector-free parquet scan)."""
+    from pyspark.sql import DataFrame
+
+    from warc_metadata_sidecar_spark.operators import sidecar as sidecar_mod
+
+    calls = {"extract": 0, "first": 0, "collect": 0, "count": 0}
+    orig_extract = sidecar_mod.extract_sidecar
+
+    def counting_extract(*a, **kw):
+        calls["extract"] += 1
+        return orig_extract(*a, **kw)
+
+    monkeypatch.setattr(sidecar_mod, "extract_sidecar", counting_extract)
+    for name in ("first", "collect", "count"):
+        orig = getattr(DataFrame, name)
+
+        def wrapped(self, *a, _n=name, _o=orig, **kw):
+            calls[_n] += 1
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, wrapped)
+
+    docs_path = str(tmp_path / "docs")
+    docs100.write.mode("overwrite").parquet(docs_path)
+    arc_dir = str(tmp_path / "archive")
+    out = _run(monkeypatch, capsys, ["--cpus", "4", "sidecar", arc_dir, docs_path])
+    assert "Records with Mime Types:" in out
+    assert calls["extract"] == 1, calls
+    assert calls["first"] == 0 and calls["collect"] == 0, calls
+    # write_sidecar's footer count + the CLI's total_records_read scan
+    assert calls["count"] <= 2, calls
+    log_text = (tmp_path / "archive" / "metadata_sidecar.log").read_text()
+    assert "response/resource record(s)" in log_text
+
+
 def test_cli_crawl(spark, tmp_path, capsys, monkeypatch):
     docs_path = str(tmp_path / "docs")
     gen.documents(spark, 200).write.mode("overwrite").parquet(docs_path)

@@ -303,3 +303,29 @@ def test_parse_robots_txt(spark):
     )
     sel = select_round(frontier, parse_robots_txt(raw)).collect()
     assert sel and all("/ok/" in r.url for r in sel)
+
+
+def test_parse_robots_multi_agent_group(spark):
+    """RFC 9309 §2.2.1 (ADVICE r2): consecutive User-agent lines form ONE
+    group — 'User-agent: *' + 'User-agent: foo' + 'Disallow: /x' must deny /x
+    for the wildcard crawler; a later separate foo-only group must not."""
+    from warc_metadata_sidecar_spark.frontier.robots import parse_robots_txt
+
+    bodies = [
+        (
+            "multi.example.com",
+            "User-agent: *\nUser-agent: foo\nDisallow: /x\n"
+            "\nUser-agent: foo\nDisallow: /foo-only\n",
+        ),
+        (
+            "preamble.example.com",
+            # rules before any user-agent line belong to no group (invalid)
+            "Disallow: /orphan\nUser-agent: *\nDisallow: /real\n",
+        ),
+    ]
+    raw = spark.createDataFrame(bodies, ["host", "robots_txt"])
+    rows = parse_robots_txt(raw).collect()
+    multi_deny = {r.path_prefix for r in rows if r.host == "multi.example.com" and not r.allowed}
+    assert multi_deny == {"/x"}
+    pre_deny = {r.path_prefix for r in rows if r.host == "preamble.example.com" and not r.allowed}
+    assert pre_deny == {"/real"}

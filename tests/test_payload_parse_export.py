@@ -109,3 +109,29 @@ def test_write_sidecar_warc_files_roundtrip(spark, docs100, media_tbl, tmp_path)
     n_expected = sum(r.n_records for r in exported.select("n_records").collect())
     assert back.count() == n_expected
     assert {r.rec_type for r in back.select("rec_type").distinct().collect()} == {"metadata"}
+
+
+def test_lf_headers_with_crlf_in_payload_frame_correctly():
+    """ADVICE r2: a record with LF-terminated headers whose payload contains
+    a CRLF-CRLF sequence must not absorb payload bytes into the header block
+    — the EARLIEST of \\r\\n\\r\\n / \\n\\n terminates headers."""
+    from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+    payload = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\nhello\r\n\r\nworld"
+    rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Record-ID: <urn:uuid:lf-1>\n"
+        b"WARC-Target-URI: https://lf.example.com/\n"
+        b"WARC-Date: 2021-11-11T21:11:11Z\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\n"
+        b"\n" + payload + b"\r\n\r\n"
+    )
+    rows = parse_warc_bytes("lf.warc", rec)
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["http_status"] == "200"
+    text = "".join(s["text"] or "" for s in row["spans"])
+    # HTTP envelope stripped at ITS first blank line (the LF-LF), leaving the
+    # full body including the CRLF-CRLF bytes
+    assert text == "hello\r\n\r\nworld"

@@ -4,12 +4,13 @@ The scheduler consumes (host, path_prefix, allowed, crawl_delay_s, budget)
 rows; in production those come from fetched robots.txt bodies. This module
 turns a (host, robots_txt) DataFrame into that table with NATIVE column
 expressions — explode lines, regexp-extract directives, window-scope them
-to the preceding `User-agent: *` group — no Python in the path.
+to their RFC 9309 group (consecutive User-agent lines = one group) — no
+Python in the path.
 
-Scope (documented subset of REP, RFC 9309): the `User-agent: *` group's
-Disallow/Allow/Crawl-delay directives; an empty `Disallow:` means
-allow-all; other agent groups, wildcards inside paths, and Sitemap lines
-are ignored. `budget` is not a robots.txt concept — callers supply it
+Scope (documented subset of REP, RFC 9309): Disallow/Allow/Crawl-delay
+directives of any group that names `*` among its (possibly several)
+user-agent lines; an empty `Disallow:` means allow-all; groups naming only
+specific agents, wildcards inside paths, and Sitemap lines are ignored. `budget` is not a robots.txt concept — callers supply it
 (default politeness budget), like gen.robots does.
 """
 
@@ -38,17 +39,37 @@ def parse_robots_txt(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     ).withColumn("line", F.regexp_replace(F.trim(F.lower("line")), r"#.*$", ""))
 
-    # scope: lines belong to the most recent 'user-agent:' directive above
-    # them; we keep only the wildcard group's lines
+    # scope (RFC 9309 §2.2.1): CONSECUTIVE user-agent lines form ONE group
+    # whose rules apply to every listed agent — a group starts at a UA line
+    # not directly preceded by another UA line, directives attach to the
+    # latest group, and the group is wildcard-scoped if ANY of its UA lines
+    # is '*' ('User-agent: *' + 'User-agent: foo' + 'Disallow: /x' must deny
+    # /x for the wildcard crawler; last-UA-wins scoping lost that rule).
+    is_ua = F.col("line").rlike(r"^user-agent\s*:")
     agent = F.when(
-        F.col("line").rlike(r"^user-agent\s*:"),
-        F.trim(F.regexp_extract("line", r"^user-agent\s*:\s*(.*)$", 1)),
+        is_ua, F.trim(F.regexp_extract("line", r"^user-agent\s*:\s*(.*)$", 1))
     )
-    w = Window.partitionBy("host").orderBy("line_no").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_seq = Window.partitionBy("host").orderBy("line_no")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = lines.withColumn("_is_ua", is_ua).withColumn(
+        "_grp",
+        F.sum(
+            F.when(
+                F.col("_is_ua") & ~F.coalesce(F.lag("_is_ua").over(w_seq), F.lit(False)),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
     )
-    scoped = lines.withColumn("agent", F.last(agent, ignorenulls=True).over(w)).filter(
-        F.col("agent") == "*"
+    w_grp = Window.partitionBy("host", "_grp")
+    scoped = (
+        grouped.withColumn(
+            "_star",
+            F.max(F.when(F.col("_is_ua") & (agent == "*"), 1).otherwise(0)).over(w_grp),
+        )
+        # _grp > 0 drops rules preceding any user-agent line (invalid per
+        # RFC 9309 — they belong to no group)
+        .filter((F.col("_star") == 1) & (F.col("_grp") > 0) & ~F.col("_is_ua"))
+        .drop("_is_ua", "_grp", "_star")
     )
 
     disallows = scoped.filter(F.col("line").rlike(r"^disallow\s*:")).select(

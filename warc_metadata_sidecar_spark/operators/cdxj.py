@@ -274,14 +274,14 @@ def merge_cdxj(
       - original JSON field order preserved, sidecar fields appended — done
         by string surgery on the original block rather than re-parsing it
         into an unordered map;
-      - canonicalize_json=True additionally re-serializes the original block
-        through json.loads -> json.dumps first (merge_cdxj.py:75-77), making
-        the output byte-identical to the reference even when the original
-        CDXJ uses non-canonical spacing (VERDICT r1 missing #4).
+      - canonicalize_json=True re-serializes MATCHED lines' original block
+        through json.loads -> json.dumps (merge_cdxj.py:75-77 runs only in
+        the matched branch); NON-matched lines pass through raw bytes
+        (merge_cdxj.py:80-81 appends `line` verbatim) — so with
+        non-canonical input spacing, only merged lines normalize, exactly
+        like the reference.
     Returns (line_id, urlkey, ts, json, edited) ordered by line_id.
     """
-    if canonicalize_json:
-        original = original.withColumn("json", canonical_json_col("json"))
     meta_cols = ["urlkey", "ts", F.from_json("json", META_JSON_SCHEMA).alias("meta")]
     if "line_id" in meta.columns:
         order_col = F.col("line_id")
@@ -339,13 +339,22 @@ def merge_cdxj(
         ),
     )
 
-    merged_json = F.when(F.col("meta").isNull() | (F.length(fragments) == 0), F.col("json")).otherwise(
-        F.when(
-            F.regexp_replace(F.col("json"), r"\s", "") == "{}",
+    # the block the string surgery operates on: matched lines get the
+    # reference's loads->dumps normalization when requested; unmatched lines
+    # never see it (their raw json is selected by the meta-null branch below,
+    # so the UDF value is computed-but-unused there)
+    base_json = canonical_json_col("json") if canonicalize_json else F.col("json")
+    merged_json = F.when(F.col("meta").isNull(), F.col("json")).otherwise(
+        # matched: reference re-dumps even when no field survives the
+        # truthiness gates (json.dumps(updated_obj) unconditionally, :77)
+        F.when(F.length(fragments) == 0, base_json)
+        .when(
+            F.regexp_replace(base_json, r"\s", "") == "{}",
             F.concat(F.lit("{"), fragments, F.lit("}")),
-        ).otherwise(
+        )
+        .otherwise(
             F.concat(
-                F.regexp_replace(F.col("json"), r"\}\s*$", ""),
+                F.regexp_replace(base_json, r"\}\s*$", ""),
                 F.lit(", "),
                 fragments,
                 F.lit("}"),

@@ -80,11 +80,25 @@ def _strip_http(body: bytes) -> tuple[str | None, bytes]:
     )
     parts = status_line.split(" ")
     status = parts[1].strip() if len(parts) > 1 else None
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        ix = body.find(sep)
-        if ix != -1:
-            return status, body[ix + len(sep):]
+    # whichever terminator occurs FIRST wins: an LF-terminated header block
+    # whose payload contains CRLF-CRLF must not absorb payload bytes into
+    # the header (preferring \r\n\r\n unconditionally mis-framed that case)
+    ix, sep = _first_blank_line(body, 0)
+    if ix != -1:
+        return status, body[ix + sep:]
     return status, b""
+
+
+def _first_blank_line(data: bytes, pos: int) -> tuple[int, int]:
+    """(offset, separator_len) of the earliest header terminator — the
+    first of \\r\\n\\r\\n / \\n\\n, or (-1, 0) when neither occurs."""
+    ix_crlf = data.find(b"\r\n\r\n", pos)
+    ix_lf = data.find(b"\n\n", pos)
+    if ix_crlf != -1 and (ix_lf == -1 or ix_crlf <= ix_lf):
+        return ix_crlf, 4
+    if ix_lf != -1:
+        return ix_lf, 2
+    return -1, 0
 
 
 def _warc_records(data: bytes) -> list[tuple[dict, bytes]]:
@@ -97,11 +111,7 @@ def _warc_records(data: bytes) -> list[tuple[dict, bytes]]:
             pos += 1
         if pos >= n or not data.startswith(b"WARC/", pos):
             break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
+        hdr_end, sep = _first_blank_line(data, pos)
         if hdr_end == -1:
             break
         head = data[pos:hdr_end].decode("utf-8", "replace")
