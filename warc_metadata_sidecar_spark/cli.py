@@ -135,6 +135,9 @@ def cmd_crawl(args) -> None:
         default_budget=args.budget,
         out_dir=args.out_dir,
         annotate=True,
+        # the 100 TB seen layout: exchange-free anti-join + O(delta)
+        # checkpoints (BENCH/SEEN.md)
+        bucketed_seen=True,
     )
     for m in result.lineage:
         print(

@@ -127,6 +127,32 @@ class RoundMetrics:
     seen_after: int
     max_partition_rows: int = 0
     min_partition_rows: int = 0
+    # per-round executor shuffle bytes (read/write deltas from the status
+    # API) — the N2 scale evidence: with the bucketed seen layout these stay
+    # flat as |seen| grows. -1 = not measured (spark.ui.enabled=false).
+    shuffle_read_bytes: int = -1
+    shuffle_write_bytes: int = -1
+
+
+def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all stages
+    from the status REST API; None when the UI is disabled."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as fh:
+            stages = _json.load(fh)
+    except Exception:
+        return None
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
 
 
 @dataclass
@@ -160,17 +186,23 @@ def _ckpt_dir(out_dir: str, rnd: int, name: str) -> str:
 
 def resume_round(spark: SparkSession, out_dir: str) -> int:
     """Latest round R with complete snapshots, or -1. Complete = parquet
-    _SUCCESS marker present for both frontier and seen."""
+    _SUCCESS marker present for frontier plus the seen snapshot — the full
+    `seen` copy (union layout) or the O(delta) `seen_delta` (bucketed
+    layout)."""
     best = -1
     if not os.path.isdir(out_dir):
         return best
     for entry in os.listdir(out_dir):
         if entry.startswith("round="):
             rnd = int(entry.split("=")[1])
-            if all(
+            frontier_ok = os.path.exists(
+                os.path.join(out_dir, entry, "frontier", "_SUCCESS")
+            )
+            seen_ok = any(
                 os.path.exists(os.path.join(out_dir, entry, name, "_SUCCESS"))
-                for name in ("frontier", "seen")
-            ):
+                for name in ("seen", "seen_delta")
+            )
+            if frontier_ok and seen_ok:
                 best = max(best, rnd)
     return best
 
@@ -189,6 +221,7 @@ def run_crawl(
     out_dir: str | None = None,
     num_shards: int = DEFAULT_SHARDS,
     skew_stats: bool = True,
+    bucketed_seen: bool = False,
 ) -> CrawlResult:
     """Run `rounds` politeness rounds from `seeds` over the documents corpus.
 
@@ -201,18 +234,46 @@ def run_crawl(
       6. discover links -> next round's frontier appends (N7: appends are
          repartitioned on canonical-url hash via host_salt)
       7. checkpoint + lineage (N6)
+
+    bucketed_seen=True (requires out_dir) stores `seen` as a hash-bucketed
+    table (VERDICT r2 #1): the exact anti-join backstop then co-locates on
+    the bucketed side with NO exchange — per-round shuffle bytes stay
+    O(|maybe-seen|) instead of O(|seen|) — and the per-round checkpoint
+    writes only the O(delta) `seen_delta` instead of re-copying the full
+    seen set. Schedule/seen results are identical in both layouts (pinned
+    by tests).
     """
     empty_seen = spark.createDataFrame([], "canonical_url string, first_round int")
+    if bucketed_seen and out_dir is None:
+        raise ValueError("bucketed_seen requires out_dir (the table's location)")
 
     start_round = 0
     filters_df: DataFrame | None = None
+    seen_tbl: str | None = None
     n_seen = 0
+    resumed_seen: DataFrame | None = None
     if out_dir is not None:
         done = resume_round(spark, out_dir)
         if done >= 0:
             start_round = done + 1
             frontier = spark.read.parquet(_ckpt_dir(out_dir, done, "frontier"))
-            seen = spark.read.parquet(_ckpt_dir(out_dir, done, "seen"))
+            seen_snap = _ckpt_dir(out_dir, done, "seen")
+            if os.path.exists(os.path.join(seen_snap, "_SUCCESS")):
+                resumed_seen = spark.read.parquet(seen_snap)
+            else:
+                # bucketed-layout checkpoints carry O(delta) snapshots; the
+                # full set is the union of deltas of the complete rounds
+                delta_paths = [
+                    _ckpt_dir(out_dir, r, "seen_delta")
+                    for r in range(done + 1)
+                    if os.path.exists(
+                        os.path.join(_ckpt_dir(out_dir, r, "seen_delta"), "_SUCCESS")
+                    )
+                ]
+                resumed_seen = (
+                    spark.read.parquet(*delta_paths) if delta_paths else empty_seen
+                )
+            seen = resumed_seen
             n_seen = seen.count()
             filters_path = _ckpt_dir(out_dir, done, "filters")
             if os.path.exists(os.path.join(filters_path, "_SUCCESS")):
@@ -229,6 +290,13 @@ def run_crawl(
     else:
         frontier = canonicalize(seeds)
         seen = empty_seen
+    if bucketed_seen:
+        # one-time (re)build at start; every later round is an O(delta)
+        # append — the anti-join's seen side never shuffles again
+        seen_tbl = seen_mod.create_seen_bucketed(
+            spark, os.path.join(out_dir, "seen_table"), df=resumed_seen
+        )
+        seen = spark.table(seen_tbl)
 
     fetch_target = documents.select(
         "url", F.col("doc_id").alias("f_doc_id"), F.col("spans").alias("f_spans")
@@ -238,6 +306,7 @@ def run_crawl(
     lineage: list[RoundMetrics] = []
 
     for rnd in range(start_round, rounds):
+        shuffle_before = shuffle_totals(spark)
         # N2: tiered prefilter served from the sharded filters table —
         # loaded (fixed-size states), never rebuilt from the seen set
         seen_filter: seen_mod.ShardedSeenFilter | None = None
@@ -298,9 +367,16 @@ def run_crawl(
             )
         ).observe(obs_links, F.count(F.lit(1)).alias("new_links"))
 
-        seen = seen.unionByName(
-            selected.select("canonical_url", F.col("round").alias("first_round"))
+        seen_delta = selected.select(
+            "canonical_url", F.col("round").alias("first_round")
         )
+        if bucketed_seen:
+            # O(delta) bucketed append; next round's anti-join reads the
+            # table snapshot including these files, exchange-free
+            seen_mod.append_seen_bucketed(seen_delta, seen_tbl)
+            seen = spark.table(seen_tbl)
+        else:
+            seen = seen.unionByName(seen_delta)
         n_seen += n_selected
 
         # N7: keep the frontier partitioned on the salted url-hash key so the
@@ -329,6 +405,12 @@ def run_crawl(
             ).localCheckpoint(eager=True)
 
         mx, mn = _skew_stats(frontier) if skew_stats else (0, 0)
+        shuffle_after = shuffle_totals(spark)
+        sr, sw = (
+            (shuffle_after[0] - shuffle_before[0], shuffle_after[1] - shuffle_before[1])
+            if shuffle_before is not None and shuffle_after is not None
+            else (-1, -1)
+        )
         lineage.append(
             RoundMetrics(
                 round=rnd,
@@ -339,13 +421,23 @@ def run_crawl(
                 seen_after=n_seen,
                 max_partition_rows=mx,
                 min_partition_rows=mn,
+                shuffle_read_bytes=sr,
+                shuffle_write_bytes=sw,
             )
         )
         schedules.append(selected)
 
         if out_dir is not None:
             frontier.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "frontier"))
-            seen.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "seen"))
+            if bucketed_seen:
+                # the bucketed table IS the persistent seen store; the round
+                # snapshot records only this round's delta (O(delta), not a
+                # full O(|seen|) re-copy)
+                seen_delta.write.mode("overwrite").parquet(
+                    _ckpt_dir(out_dir, rnd, "seen_delta")
+                )
+            else:
+                seen.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "seen"))
             selected.write.mode("overwrite").parquet(_ckpt_dir(out_dir, rnd, "schedule"))
             if filters_df is not None:
                 filters_df.write.mode("overwrite").parquet(

@@ -337,6 +337,69 @@ def build_bloom(
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Bucketed `seen` table (VERDICT r2 #1 — the 100 TB layout for the exact
+# anti-join backstop)
+#
+# The prefilter already shrinks the LEFT side of the anti-join to the
+# maybe-seen rows, but a plain-parquet `seen` re-SHUFFLES the full seen set
+# every round: O(rounds x |seen|) shuffle bytes. Stored hash-bucketed by the
+# url key (Spark bucketed table here; Iceberg bucket(canonical_url) in
+# production), the seen side of the left_anti co-locates with ZERO exchange —
+# per-round shuffle bytes are O(|maybe-seen|), independent of |seen|; the
+# remaining per-round cost is a sequential key-column scan (the classic
+# Mercator batch URL-seen merge). Appends are O(delta): each round adds one
+# file set per touched bucket.
+# ---------------------------------------------------------------------------
+
+SEEN_BUCKETS = 32
+
+
+def seen_table_name(path: str) -> str:
+    """Deterministic catalog name for the bucketed seen table at `path`."""
+    return "seen_bucketed_" + hashlib.md5(path.encode()).hexdigest()[:12]
+
+
+def create_seen_bucketed(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame | None = None,
+    table: str | None = None,
+    buckets: int = SEEN_BUCKETS,
+) -> str:
+    """(Re)create the bucketed seen table (canonical_url, first_round) at
+    `path`, seeded from `df` (empty when None). Returns the table name."""
+    import shutil
+
+    tbl = table or seen_table_name(path)
+    if df is None:
+        df = spark.createDataFrame([], "canonical_url string, first_round int")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "canonical_url")
+        .sortBy("canonical_url")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
+def append_seen_bucketed(
+    delta: DataFrame, table: str, buckets: int = SEEN_BUCKETS
+) -> None:
+    """O(delta) append of one round's newly scheduled keys."""
+    (
+        delta.write.mode("append")
+        .bucketBy(buckets, "canonical_url")
+        .sortBy("canonical_url")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def filter_new(
     spark: SparkSession,
     candidates: DataFrame,
