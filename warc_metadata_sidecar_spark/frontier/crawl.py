@@ -222,6 +222,7 @@ def run_crawl(
     num_shards: int = DEFAULT_SHARDS,
     skew_stats: bool = True,
     bucketed_seen: bool = False,
+    prune_salts: int | None = 16,
 ) -> CrawlResult:
     """Run `rounds` politeness rounds from `seeds` over the documents corpus.
 
@@ -321,8 +322,13 @@ def run_crawl(
             obs_cand, F.count(F.lit(1)).alias("candidates")
         )
         obs_rank = Observation(f"rank_r{rnd}")
+        # N3 mega-host guard (VERDICT r2 #2): two-phase top-k is the default
+        # — the per-host window's single task sorts <= budget*prune_salts
+        # rows; phase-1-pruned rows flow into carryover unchanged, so the
+        # schedule is provably identical (rank_round docstring, tests)
         ranked = rank_round(
-            new_candidates, robots, default_budget, round_no=rnd
+            new_candidates, robots, default_budget, round_no=rnd,
+            prune_salts=prune_salts,
         ).withColumn("round", F.lit(rnd))
         ranked = ranked.observe(
             obs_rank,

@@ -81,14 +81,36 @@ def select_round(
     deterministic-time analog of per-host delay — no wall-clock in the plan,
     SURVEY.md N4). round_no=None (single-shot use) skips the gate.
 
-    prune_salts enables EXACT two-phase top-k for mega-hosts: candidates are
-    first ranked within (host, salt) subgroups and cut to the per-host
-    budget, so the final per-host window sorts at most budget*salts rows
-    instead of the host's whole candidate list (distributed top-k: the
-    global top-B is contained in the union of subgroup top-Bs, so the
-    result is identical — asserted in tests). Use it for stateless
-    selection only: the crawl loop's carryover queue needs the non-selected
-    rows, which pruning drops.
+    prune_salts enables EXACT two-phase top-k for mega-hosts — see
+    rank_round, which this wraps.
+    """
+    ranked = rank_round(candidates, robots, default_budget, round_no, prune_salts)
+    return ranked.filter(F.col("scheduled")).drop("eligible", "scheduled")
+
+
+def rank_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_no: int | None = 0,
+    prune_salts: int | None = None,
+) -> DataFrame:
+    """The full ranked frame for one round, with a `scheduled` flag instead
+    of a split — callers checkpoint THIS once and derive selected/carryover
+    as cheap filters over it (one action per round, not two).
+
+    prune_salts (VERDICT r2 #2) bounds the mega-host straggler: phase 1
+    ranks within (host, salt) subgroups and only the per-subgroup top-budget
+    rows enter the final per-host window, so its single-task sort input is
+    <= budget*salts per host instead of the host's whole candidate list.
+    EXACT by top-k containment: a row ranked below `budget` inside its salt
+    subgroup has >= budget better rows on its host, so it could never be
+    scheduled — phase-1-pruned rows re-enter the output unchanged with
+    scheduled=false / rnk=null, i.e. they ARE carryover, and the crawl
+    loop's schedule and queue are identical with or without pruning
+    (pinned by tests).
+
+    round_no=None (stateless use) skips the crawl-delay eligibility gate.
     """
     deduped = dedup_candidates(candidates)
     allowed = apply_robots(deduped, robots)
@@ -97,45 +119,33 @@ def select_round(
         allowed.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
         .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1)))
+        .withColumn(
+            "eligible",
+            F.lit(True)
+            if round_no is None
+            else F.lit(round_no) % F.col("crawl_delay_s") == 0,
+        )
     )
-    if round_no is not None:
-        ranked = ranked.filter(F.lit(round_no) % F.col("crawl_delay_s") == 0)
+    pruned = None
     if prune_salts and prune_salts > 1:
         wp = Window.partitionBy(
             "host", F.pmod(F.xxhash64("canonical_url"), F.lit(prune_salts))
         ).orderBy(F.desc("priority"), F.asc("canonical_url"))
-        ranked = (
-            ranked.withColumn("_prnk", F.row_number().over(wp))
-            .filter(F.col("_prnk") <= F.col("budget"))
+        ranked = ranked.withColumn("_prnk", F.row_number().over(wp))
+        pruned = (
+            ranked.filter(F.col("_prnk") > F.col("budget"))
             .drop("_prnk")
+            .withColumn("rnk", F.lit(None).cast("int"))
+            .withColumn("scheduled", F.lit(False))
         )
+        ranked = ranked.filter(F.col("_prnk") <= F.col("budget")).drop("_prnk")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
-    ranked = ranked.withColumn("rnk", F.row_number().over(w))
-    return ranked.filter(F.col("rnk") <= F.col("budget")).drop("budget", "crawl_delay_s")
-
-
-def rank_round(
-    candidates: DataFrame,
-    robots: DataFrame,
-    default_budget: int = DEFAULT_BUDGET,
-    round_no: int = 0,
-) -> DataFrame:
-    """The full ranked frame for one round, with a `scheduled` flag instead
-    of a split — callers checkpoint THIS once and derive selected/carryover
-    as cheap filters over it (one action per round, not two)."""
-    deduped = dedup_candidates(candidates)
-    allowed = apply_robots(deduped, robots)
-    budgets = host_budgets(robots, default_budget)
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canonical_url"))
-    return (
-        allowed.join(F.broadcast(budgets), "host", "left")
-        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
-        .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1)))
-        .withColumn("eligible", F.lit(round_no) % F.col("crawl_delay_s") == 0)
-        .withColumn("rnk", F.row_number().over(w))
-        .withColumn("scheduled", F.col("eligible") & (F.col("rnk") <= F.col("budget")))
-        .drop("budget", "crawl_delay_s")
+    out = ranked.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "scheduled", F.col("eligible") & (F.col("rnk") <= F.col("budget"))
     )
+    if pruned is not None:
+        out = out.unionByName(pruned)
+    return out.drop("budget", "crawl_delay_s")
 
 
 def select_and_carry(
