@@ -303,3 +303,98 @@ def test_streaming_ledger_skips_detectors_on_repeat_digest(spark, tmp_path):
     assert out["d3"].payload == out["d1"].payload  # same content -> same metadata
     ledger = spark.read.parquet(str(tmp_path / "ledger"))
     assert sorted(r.payload_digest for r in ledger.collect()) == ["sha1:AAAA", "sha1:BBBB"]
+
+
+def test_streaming_ledger_join_not_forced_broadcast(spark, tmp_path):
+    """VERDICT r2 #2 (streaming): the ledger joins must not carry a
+    broadcast HINT — the ledger grows without bound, so the join shape is
+    AQE's choice (broadcast while small, co-located bucketed join at scale).
+    Audited on the logical plans of split_by_ledger."""
+    from warc_metadata_sidecar_spark import schema as sch
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        LEDGER,
+        split_by_ledger,
+    )
+
+    docs = spark.createDataFrame([], sch.DOCUMENTS)
+    known = spark.createDataFrame([], LEDGER)
+    served, fresh = split_by_ledger(docs, known)
+    for df in (served, fresh):
+        logical = df._jdf.queryExecution().logical().toString()
+        assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical
+
+
+def test_streaming_ledger_bucketed_join_colocates(spark, tmp_path):
+    """The bucketed ledger side of the serve/anti joins reads pre-bucketed:
+    with broadcast disabled, the anti-join plans one exchange (batch side
+    only), vs two over the same data as plain parquet."""
+    from warc_metadata_sidecar_spark.plans.audit import exchange_count
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        LEDGER,
+        _write_ledger,
+        ensure_ledger_table,
+    )
+
+    ledger_dir = str(tmp_path / "ledger")
+    rows = spark.range(2000).select(
+        F.concat(F.lit("sha1:"), F.col("id")).alias("payload_digest"),
+        F.create_map(F.lit("fido"), F.lit("text/html")).alias("mime"),
+        F.lit("fmt/471").alias("puid"),
+        F.expr("named_struct('encoding', 'ascii', 'confidence', cast(1.0 as double))").alias("charset"),
+        F.lit(None).cast(LEDGER["languages"].dataType).alias("languages"),
+        F.lit(None).cast("double").alias("soft404"),
+        F.lit("p").alias("payload"),
+    )
+    tbl = _write_ledger(rows, ledger_dir, "overwrite")
+    assert ensure_ledger_table(spark, ledger_dir) == tbl
+    batch = spark.range(100).select(F.concat(F.lit("sha1:"), F.col("id") * 3).alias("payload_digest"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = batch.join(
+            spark.table(tbl).select("payload_digest"), "payload_digest", "left_anti"
+        )
+        plain = batch.join(
+            spark.read.parquet(ledger_dir).select("payload_digest"),
+            "payload_digest",
+            "left_anti",
+        )
+        assert exchange_count(bucketed) == 1
+        assert exchange_count(plain) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_ledger_compaction(spark, tmp_path):
+    """Per-batch appends fragment the ledger; compaction rewrites one row
+    per digest and bounds the file count."""
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        LEDGER,
+        _ledger_files,
+        _write_ledger,
+        compact_ledger,
+    )
+
+    ledger_dir = str(tmp_path / "ledger")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("sha1:"), F.col("id")).alias("payload_digest"),
+            F.lit(None).cast(LEDGER["mime"].dataType).alias("mime"),
+            F.lit("fmt/471").alias("puid"),
+            F.lit(None).cast(LEDGER["charset"].dataType).alias("charset"),
+            F.lit(None).cast(LEDGER["languages"].dataType).alias("languages"),
+            F.lit(None).cast("double").alias("soft404"),
+            F.lit("p").alias("payload"),
+        )
+
+    _write_ledger(rows(0, 50), ledger_dir, "overwrite")
+    for i in range(1, 6):
+        _write_ledger(rows(i * 50, (i + 1) * 50), ledger_dir, "append")
+    frag = _ledger_files(ledger_dir)
+    assert not compact_ledger(spark, ledger_dir, max_files=frag + 1)  # under threshold
+    assert compact_ledger(spark, ledger_dir, max_files=4)
+    assert _ledger_files(ledger_dir) < frag
+    got = spark.read.parquet(ledger_dir)
+    assert got.count() == 300 == got.select("payload_digest").distinct().count()

@@ -10,6 +10,17 @@ metadata — the detectors never run on it again. Matching the reference's
 cache-fill rule (:270-276), only F4 survivors (rows where a detector fired)
 are ledgered; ARC rows (null digest) are never cached (:226-228).
 
+Ledger scale shape (VERDICT r2 #5 — the r2 version forced a broadcast of an
+unboundedly growing ledger and re-listed the whole directory per batch):
+  - the ledger is a digest-BUCKETED table (Iceberg bucket(payload_digest)
+    in production): the serve join and the anti-join co-locate on the
+    ledger side with no exchange of the (big) ledger;
+  - no broadcast hint — AQE broadcasts a small ledger at runtime and keeps
+    the co-located join once it outgrows the threshold;
+  - appends are O(batch); a file-count-triggered COMPACTION rewrites one
+    row per digest when appends fragment the table (Iceberg:
+    rewrite_data_files).
+
 The crawl frontier itself intentionally stays ITERATIVE BATCH (SURVEY.md
 §1.2): reproducible ordering needs deterministic rounds, which streaming
 triggers do not give. Streaming applies to the extraction stage, which is
@@ -18,6 +29,7 @@ order-free (a pure per-payload function).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,11 +46,105 @@ LEDGER = T.StructType(
        ("mime", "puid", "charset", "languages", "soft404", "payload")]
 )
 
+LEDGER_BUCKETS = 16
+LEDGER_COMPACT_FILES = 64
 
-def _ledger_nonempty(ledger_dir: str) -> bool:
-    return os.path.isdir(ledger_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(ledger_dir)
+
+def _ledger_table_name(ledger_dir: str) -> str:
+    return "sidecar_ledger_" + hashlib.md5(
+        os.path.abspath(ledger_dir).encode()
+    ).hexdigest()[:12]
+
+
+def _ledger_files(ledger_dir: str) -> int:
+    if not os.path.isdir(ledger_dir):
+        return 0
+    return sum(1 for f in os.listdir(ledger_dir) if f.endswith(".parquet"))
+
+
+def _write_ledger(df: DataFrame, ledger_dir: str, mode: str) -> str:
+    tbl = _ledger_table_name(ledger_dir)
+    (
+        df.write.mode(mode)
+        .option("path", ledger_dir)
+        .bucketBy(LEDGER_BUCKETS, "payload_digest")
+        .sortBy("payload_digest")
+        .format("parquet")
+        .saveAsTable(tbl)
     )
+    return tbl
+
+
+def ensure_ledger_table(spark: SparkSession, ledger_dir: str) -> str | None:
+    """The ledger table handle, or None when no ledger exists yet. A session
+    restart (files on disk, table missing from the in-memory catalog)
+    rebuilds the bucketed table once — which doubles as a compaction."""
+    if not _ledger_files(ledger_dir):
+        return None
+    tbl = _ledger_table_name(ledger_dir)
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    recovered = (
+        spark.read.schema(LEDGER)
+        .parquet(ledger_dir)
+        .dropDuplicates(["payload_digest"])
+        .localCheckpoint(eager=True)
+    )
+    return _write_ledger(recovered, ledger_dir, "overwrite")
+
+
+def split_by_ledger(
+    batch_df: DataFrame, known: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(served, fresh_docs): batch rows whose digest is ledgered become
+    sidecar rows straight from the stored metadata; the rest go to the
+    detector path. Plain equi-joins on payload_digest — NO broadcast hint
+    (the ledger grows without bound; over the bucketed layout the ledger
+    side co-locates, and AQE may still broadcast while it is small). NULL
+    digests (ARC) never equi-join, so they stay on the detector path,
+    matching the reference's never-cache-ARC rule."""
+    filtered = base_filters(batch_df)
+    served = filtered.join(known, "payload_digest", "inner").select(
+        "doc_id",
+        "url",
+        "warc_date",
+        F.when(F.col("is_arc"), F.lit(None).cast("string"))
+        .otherwise(F.col("doc_id"))
+        .alias("concurrent_id"),
+        F.when(F.col("is_arc"), F.lit(None).cast("string"))
+        .otherwise(F.col("warcinfo_id"))
+        .alias("warcinfo_id"),
+        "mime",
+        "puid",
+        "charset",
+        "languages",
+        "soft404",
+        "payload",
+    )
+    fresh_docs = batch_df.join(
+        known.select("payload_digest"), "payload_digest", "left_anti"
+    )
+    return served, fresh_docs
+
+
+def compact_ledger(
+    spark: SparkSession, ledger_dir: str, max_files: int = LEDGER_COMPACT_FILES
+) -> bool:
+    """Rewrite the ledger to one row per digest when per-batch appends have
+    fragmented it past `max_files` parquet files. Returns True when a
+    rewrite happened. The compacted frame is materialized first so the
+    overwrite never reads under itself (Iceberg's rewrite_data_files commits
+    a new snapshot instead)."""
+    if _ledger_files(ledger_dir) <= max_files:
+        return False
+    tbl = ensure_ledger_table(spark, ledger_dir)
+    if tbl is None:
+        return False
+    compacted = (
+        spark.table(tbl).dropDuplicates(["payload_digest"]).localCheckpoint(eager=True)
+    )
+    _write_ledger(compacted, ledger_dir, "overwrite")
+    return True
 
 
 def start_sidecar_stream(
@@ -48,6 +154,7 @@ def start_sidecar_stream(
     checkpoint_dir: str,
     media: DataFrame | None = None,
     ledger_dir: str | None = None,
+    compact_every_files: int = LEDGER_COMPACT_FILES,
 ):
     """readStream(parquet documents) -> sidecar rows -> parquet sink.
 
@@ -60,32 +167,9 @@ def start_sidecar_stream(
         spark_l = batch_df.sparkSession
         new_docs = batch_df
         served = None
-        if ledger_dir is not None and _ledger_nonempty(ledger_dir):
-            known = spark_l.read.schema(LEDGER).parquet(ledger_dir)
-            # serve known digests from stored metadata — detector-free path.
-            # NULL digests (ARC) never equi-join, so they stay on the
-            # detector path, matching the reference's never-cache-ARC rule.
-            filtered = base_filters(batch_df)
-            served = filtered.join(F.broadcast(known), "payload_digest", "inner").select(
-                "doc_id",
-                "url",
-                "warc_date",
-                F.when(F.col("is_arc"), F.lit(None).cast("string"))
-                .otherwise(F.col("doc_id"))
-                .alias("concurrent_id"),
-                F.when(F.col("is_arc"), F.lit(None).cast("string"))
-                .otherwise(F.col("warcinfo_id"))
-                .alias("warcinfo_id"),
-                "mime",
-                "puid",
-                "charset",
-                "languages",
-                "soft404",
-                "payload",
-            )
-            new_docs = batch_df.join(
-                known.select("payload_digest"), "payload_digest", "left_anti"
-            )
+        tbl = ensure_ledger_table(spark_l, ledger_dir) if ledger_dir else None
+        if tbl is not None:
+            served, new_docs = split_by_ledger(batch_df, spark_l.table(tbl))
         # detectors run exactly ONCE per batch: the checkpoint materializes
         # the fresh rows; both the sink write and the ledger fill read the
         # in-memory result instead of re-executing the Arrow stage
@@ -112,7 +196,8 @@ def start_sidecar_stream(
                 )
                 .dropDuplicates(["payload_digest"])
             )
-            additions.write.mode("append").parquet(ledger_dir)
+            _write_ledger(additions, ledger_dir, "append" if tbl else "overwrite")
+            compact_ledger(spark_l, ledger_dir, compact_every_files)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
