@@ -60,9 +60,9 @@ def test_export_sidecar_warcs(spark, docs100, media_tbl):
     b = blobs[0]
     assert b.sidecar_file.endswith("warc.meta.gz")
     text = bytes(b.warc_bytes).decode()
-    assert text.startswith("WARC/1.0\r\n")
+    assert text.startswith("WARC/1.0\r\nWARC-Type: warcinfo\r\n")  # warcinfo FIRST
     assert "WARC-Type: metadata" in text
-    assert text.count("WARC/1.0") == b.n_records
+    assert text.count("WARC/1.0") == b.n_records + 1  # + the warcinfo record
     # ARC rows carry no Concurrent/Warcinfo headers
     arc_blob = [x for x in blobs if ".arc" in x.source_file or "arc.gz" in x.source_file]
     full = "".join(bytes(x.warc_bytes).decode() for x in blobs)
@@ -84,8 +84,9 @@ def test_export_gzip_members_roundtrip(spark, docs100, media_tbl):
     # standard .warc.gz = one member per record (random access framing)
     assert data.count(b"\x1f\x8b\x08") >= blob.n_records
     rows = parse_warc_bytes(blob.sidecar_file, data)
-    assert len(rows) == blob.n_records
-    assert all(r["rec_type"] == "metadata" for r in rows)
+    assert len(rows) == blob.n_records + 1  # + warcinfo
+    assert rows[0]["rec_type"] == "warcinfo"
+    assert all(r["rec_type"] == "metadata" for r in rows[1:])
     assert gzip.decompress(data).decode().startswith("WARC/1.0\r\n")
 
 
@@ -106,9 +107,13 @@ def test_write_sidecar_warc_files_roundtrip(spark, docs100, media_tbl, tmp_path)
     # writer must keep BOTH (collision guard), so every exported record
     # survives the roundtrip
     back = ingest_warc_files(spark, str(out / "*.meta.gz"))
+    n_blobs = exported.count()
     n_expected = sum(r.n_records for r in exported.select("n_records").collect())
-    assert back.count() == n_expected
-    assert {r.rec_type for r in back.select("rec_type").distinct().collect()} == {"metadata"}
+    assert back.count() == n_expected + n_blobs  # one warcinfo per file
+    assert {r.rec_type for r in back.select("rec_type").distinct().collect()} == {
+        "metadata",
+        "warcinfo",
+    }
 
 
 def test_lf_headers_with_crlf_in_payload_frame_correctly():
@@ -135,3 +140,75 @@ def test_lf_headers_with_crlf_in_payload_frame_correctly():
     # HTTP envelope stripped at ITS first blank line (the LF-LF), leaving the
     # full body including the CRLF-CRLF bytes
     assert text == "hello\r\n\r\nworld"
+
+
+def test_export_reference_golden_byte_roundtrip(spark):
+    """VERDICT r2 #3: export(parse(golden)) == golden, BYTE FOR BYTE — the
+    reference sidecar fixture (tests/warc.warc.meta.gz, warcio-written,
+    stored uncompressed) re-frames identically: warcinfo first, warcio
+    header order, WARC-Concurrent-ID, sha1/base32 payload+block digests,
+    Content-Type/Content-Length, CRLF record separation. Record ids and the
+    warcinfo payload/date ride along from the parse; NO tolerated diffs."""
+    import datetime as dt
+
+    from warc_metadata_sidecar_spark.sources.warc_ingest import _warc_records
+
+    golden = open("/root/reference/tests/warc.warc.meta.gz", "rb").read()
+    recs = _warc_records(golden)
+    assert [h.get("WARC-Type") for h, _ in recs] == ["warcinfo", "metadata"]
+    winfo_h, winfo_body = recs[0]
+
+    def ts(v):
+        return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+
+    ddl = (
+        "doc_id string, record_id string, url string, warc_date timestamp, "
+        "concurrent_id string, warcinfo_id string, payload string, "
+        "source_file string, winfo_payload string, winfo_id string, "
+        "winfo_date timestamp"
+    )
+    rows = [
+        {
+            "doc_id": h["WARC-Record-ID"],
+            "record_id": h["WARC-Record-ID"],
+            "url": h["WARC-Target-URI"],
+            "warc_date": ts(h["WARC-Date"]),
+            "concurrent_id": h.get("WARC-Concurrent-ID"),
+            "warcinfo_id": h.get("WARC-Warcinfo-ID"),
+            "payload": body.decode(),
+            "source_file": "warc.warc",
+            "winfo_payload": winfo_body.decode().removesuffix("\r\n"),
+            "winfo_id": winfo_h["WARC-Record-ID"],
+            "winfo_date": ts(winfo_h["WARC-Date"]),
+        }
+        for h, body in recs[1:]
+    ]
+    df = spark.createDataFrame(rows, schema=ddl)
+    out = export_sidecar_warcs(df, gzip=False).collect()
+    assert len(out) == 1
+    assert out[0].sidecar_file == "warc.warc.meta.gz"
+    assert bytes(out[0].warc_bytes) == golden
+
+
+def test_export_fresh_warcinfo_shape(spark, docs100, media_tbl):
+    """Synthesized warcinfo (fresh exports): deterministic id/date, the
+    reference's payload key order, and self-consistent digests; re-export is
+    byte-stable run to run."""
+    import re
+
+    side = sidecar_rows(docs100, media_tbl)
+    with_src = side.join(docs100.select("doc_id", "source_file"), "doc_id")
+    one = export_sidecar_warcs(
+        with_src, gzip=False, publisher="University of North Texas - Digital Projects Unit"
+    )
+    a = {r.sidecar_file: bytes(r.warc_bytes) for r in one.collect()}
+    b = {r.sidecar_file: bytes(r.warc_bytes) for r in one.collect()}
+    assert a == b  # deterministic re-render
+    blob = next(iter(a.values())).decode()
+    head = blob.split("\r\n\r\n", 1)[0]
+    assert head.startswith("WARC/1.0\r\nWARC-Type: warcinfo")
+    assert "WARC-Filename: " in head and "WARC-Block-Digest: sha1:" in head
+    payload = blob.split("\r\n\r\n", 2)[1]
+    keys = [line.split(":", 1)[0] for line in payload.splitlines() if line]
+    assert keys[:5] == ["software", "hostname", "ip", "conformsTo", "description"]
+    assert re.search(r"WARC-Record-ID: <urn:uuid:[0-9a-f-]{36}>", head)

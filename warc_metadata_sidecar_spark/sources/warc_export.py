@@ -1,22 +1,37 @@
 """SNK1: byte-form sidecar WARC export at the edge.
 
 The reference writes gzipped WARC records via warcio.WARCWriter
-(warc_metadata_sidecar.py:199-203,238-245,278-283). The engine's primary
-sink is the columnar sidecar table; this module renders the byte form for
-interop, one output WARC per source file via groupBy(source_file) +
-applyInPandas (each group = the reference's unit of work, written by one
-task).
+(warc_metadata_sidecar.py:199-203,238-245,278-283), warcinfo FIRST
+(:199-203). The engine's primary sink is the columnar sidecar table; this
+module renders the byte form for interop, one output WARC per source file
+via groupBy(source_file) + applyInPandas (each group = the reference's unit
+of work, written by one task).
 
-Record bytes come from a built-in WARC/1.0 serializer (correct header
-framing and Content-Length); gzip=True (default, like WARCWriter's
-gzip=True) emits standard .warc.gz framing — each record its own gzip
-member, which is what makes per-record random access possible and what
-warcio/our ingest's multi-member gzip.decompress expects.
+Framing is byte-compatible with the reference golden
+(tests/warc.warc.meta.gz, produced by warcio 1.7): CRLF headers in warcio's
+order, `WARC-Concurrent-ID` (the reference's custom header name,
+warc_metadata_sidecar.py:223 — not the standard Concurrent-To),
+sha1/base32 WARC-Payload-Digest + WARC-Block-Digest computed over the
+block, `Content-Type: application/warc-fields`, and `payload + CRLF CRLF`
+record separation. Roundtrip equality against the golden is pinned in
+tests/test_reference_fixtures.py. Deliberate diffs from the reference for
+FRESH exports (both deterministic where the reference is not):
+  - WARC-Record-ID / warcinfo record id: uuid5 of the record content
+    (reference: random uuid4);
+  - warcinfo WARC-Date: the max record date of the output file
+    (reference: wall-clock now()).
+
+gzip=True (default, like WARCWriter's gzip=True) emits one gzip member per
+record with mtime=0 — deterministic, per-record random access, and what
+warcio / our ingest's multi-member gzip.decompress expect.
 """
 
 from __future__ import annotations
 
+import base64
 import gzip as _gzip
+import hashlib
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,47 +47,139 @@ EXPORT_SCHEMA = T.StructType(
     ]
 )
 
+_UUID_NS = uuid.NAMESPACE_URL
 
-def _render_record(row: pd.Series) -> bytes:
-    payload = (row["payload"] or "").encode()
-    headers = [
-        ("WARC-Type", "metadata"),
-        ("WARC-Record-ID", row["doc_id"]),
-        ("WARC-Target-URI", row["url"]),
-    ]
-    if row.get("warc_date") is not None and not pd.isna(row.get("warc_date")):
-        headers.append(("WARC-Date", pd.Timestamp(row["warc_date"]).strftime("%Y-%m-%dT%H:%M:%SZ")))
-    # ARC-derived rows carry no Concurrent/Warcinfo IDs
-    # (warc_metadata_sidecar.py:216-228)
-    if row.get("concurrent_id"):
-        headers.append(("WARC-Concurrent-To", row["concurrent_id"]))
-    if row.get("warcinfo_id"):
-        headers.append(("WARC-Warcinfo-ID", row["warcinfo_id"]))
-    headers.append(("Content-Length", str(len(payload))))
+
+def _sha1_b32(block: bytes) -> str:
+    return "sha1:" + base64.b32encode(hashlib.sha1(block).digest()).decode()
+
+
+def _warc_ts(value) -> str:
+    return pd.Timestamp(value).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _frame(headers: list[tuple[str, str]], payload: bytes) -> bytes:
     head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
     return head.encode() + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def export_sidecar_warcs(sidecar_with_source: DataFrame, gzip: bool = True) -> DataFrame:
+def _render_record(row: pd.Series) -> bytes:
+    """One metadata record, warcio header order (header dict first, then
+    Type/Record-ID/URI/digests/Content-Type/Content-Length)."""
+    payload = (row["payload"] or "").encode()
+    digest = _sha1_b32(payload)
+    headers: list[tuple[str, str]] = []
+    if row.get("warc_date") is not None and not pd.isna(row.get("warc_date")):
+        headers.append(("WARC-Date", _warc_ts(row["warc_date"])))
+    # ARC-derived rows carry no Concurrent/Warcinfo IDs
+    # (warc_metadata_sidecar.py:216-228)
+    if row.get("concurrent_id"):
+        headers.append(("WARC-Concurrent-ID", row["concurrent_id"]))
+    if row.get("warcinfo_id"):
+        headers.append(("WARC-Warcinfo-ID", row["warcinfo_id"]))
+    record_id = row.get("record_id") or (
+        "<urn:uuid:%s>" % uuid.uuid5(_UUID_NS, "record:" + digest + (row.get("url") or ""))
+    )
+    headers += [
+        ("WARC-Type", "metadata"),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Target-URI", row["url"]),
+        ("WARC-Payload-Digest", digest),
+        ("WARC-Block-Digest", digest),
+        ("Content-Type", "application/warc-fields"),
+        ("Content-Length", str(len(payload))),
+    ]
+    return _frame(headers, payload)
+
+
+def render_warcinfo(
+    filename: str,
+    payload_fields: dict | None = None,
+    record_id: str | None = None,
+    warc_date=None,
+    payload_text: str | None = None,
+) -> bytes:
+    """The per-file warcinfo record (create_warcinfo_record + payload,
+    warc_metadata_sidecar.py:134-148,199-203). `payload_text` (CRLF-joined
+    'k: v' lines, no trailing terminator) overrides `payload_fields` —
+    the re-export path for parsed sidecars."""
+    if payload_text is None:
+        payload_fields = payload_fields or {}
+        payload_text = "\r\n".join(f"{k}: {v}" for k, v in payload_fields.items())
+    payload = payload_text.encode() + b"\r\n"
+    record_id = record_id or (
+        "<urn:uuid:%s>" % uuid.uuid5(_UUID_NS, "warcinfo:" + filename + payload_text)
+    )
+    headers = [
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Filename", filename),
+        ("WARC-Date", _warc_ts(warc_date if warc_date is not None else 0)),
+        ("WARC-Block-Digest", _sha1_b32(payload)),
+        ("Content-Type", "application/warc-fields"),
+        ("Content-Length", str(len(payload))),
+    ]
+    return _frame(headers, payload)
+
+
+def export_sidecar_warcs(
+    sidecar_with_source: DataFrame,
+    gzip: bool = True,
+    operator: str | None = None,
+    publisher: str | None = None,
+    warcinfo: bool = True,
+) -> DataFrame:
     """sidecar rows (+ source_file column) -> one rendered WARC blob per
-    source file: (source_file, sidecar_file, n_records, warc_bytes).
-    gzip=True (reference default) writes one gzip member per record —
-    deterministic (mtime=0) so exports are byte-reproducible."""
+    source file: (source_file, sidecar_file, n_records, warc_bytes), the
+    warcinfo record FIRST like the reference (warc_metadata_sidecar.py:
+    199-203). gzip=True (reference default) writes one gzip member per
+    record — deterministic (mtime=0) so exports are byte-reproducible.
+
+    Optional row columns override the synthesized warcinfo for re-export of
+    parsed sidecars: winfo_payload (CRLF-joined field lines), winfo_id,
+    winfo_date; and record_id pins a metadata record's WARC-Record-ID."""
     from warc_metadata_sidecar_spark.operators.cdxj import sidecar_filename
+    from warc_metadata_sidecar_spark.sources.tables import warcinfo_provenance
+
+    # provenance resolved ON THE DRIVER (SNK4: hostname/ip never from
+    # executors); the per-file description is patched in inside the task
+    prov_template = warcinfo_provenance("{name}", operator, publisher) if warcinfo else None
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["warc_date", "doc_id"])
-        if gzip:
-            blob = b"".join(
-                _gzip.compress(_render_record(r), mtime=0) for _, r in pdf.iterrows()
-            )
-        else:
-            blob = b"".join(_render_record(r) for _, r in pdf.iterrows())
         src = pdf["source_file"].iloc[0]
+        name = sidecar_filename(src)
+        blocks: list[bytes] = []
+        if warcinfo:
+            if "winfo_payload" in pdf.columns and pdf["winfo_payload"].iloc[0]:
+                blocks.append(
+                    render_warcinfo(
+                        name,
+                        payload_text=pdf["winfo_payload"].iloc[0],
+                        record_id=pdf.get("winfo_id", pd.Series([None])).iloc[0],
+                        warc_date=pdf.get("winfo_date", pd.Series([None])).iloc[0],
+                    )
+                )
+            else:
+                dates = pdf["warc_date"].dropna()
+                fields = dict(prov_template)
+                fields["description"] = f"WARC metdata sidecar for {name}"
+                blocks.append(
+                    render_warcinfo(
+                        name,
+                        payload_fields=fields,
+                        warc_date=dates.max() if len(dates) else 0,
+                    )
+                )
+        blocks += [_render_record(r) for _, r in pdf.iterrows()]
+        if gzip:
+            blob = b"".join(_gzip.compress(b, mtime=0) for b in blocks)
+        else:
+            blob = b"".join(blocks)
         return pd.DataFrame(
             {
                 "source_file": [src],
-                "sidecar_file": [sidecar_filename(src)],
+                "sidecar_file": [name],
                 "n_records": [len(pdf)],
                 "warc_bytes": [blob],
             }
