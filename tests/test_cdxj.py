@@ -57,7 +57,17 @@ def test_filename_derivations():
 def test_py_surt():
     assert py_surt("https://www.unt.edu") == "edu,unt)/"
     assert py_surt("https://www.UNT.edu/About?X=1") == "edu,unt)/about?x=1"
-    assert py_surt("http://user@host01.example.com:8080/p") == "com,example,host01)/p"
+    # non-default port KEPT in the key (surt: 'com,example:8080)'), default
+    # port per scheme dropped (VERDICT r2 #7)
+    assert py_surt("http://user@host01.example.com:8080/p") == "com,example,host01:8080)/p"
+    assert py_surt("http://unt.edu:80/p") == "edu,unt)/p"
+    assert py_surt("https://unt.edu:443/p") == "edu,unt)/p"
+    assert py_surt("https://unt.edu:80/p") == "edu,unt:80)/p"  # 80 not https default
+    assert py_surt("unt.edu:8080/p") == "edu,unt:8080)/p"  # schemeless -> http
+    # percent-escapes of unreserved chars decode; reserved stay escaped
+    assert py_surt("https://unt.edu/%7Euser/%41bout") == "edu,unt)/~user/about"
+    assert py_surt("https://unt.edu/a%2Fb?x=%42") == "edu,unt)/a%2fb?x=b"
+    assert py_surt("https://unt.edu/p%") == "edu,unt)/p%"
     assert py_surt(None) is None
     # surt-library default-canonicalizer rules (S1 fidelity):
     # query args sorted; session-id params dropped; emptied '?' removed;
@@ -93,6 +103,11 @@ def test_surt_col_matches_py(spark):
             f"/p;jsessionid=S{i}?b=2&a=1",
         ][i % 6]
         www = ["", "www.", "www2."][i % 3] if i % 4 == 0 else www
+        # default/non-default ports + percent-escapes exercise the r3 rules
+        if i % 5 == 2:
+            port = {"http": ":80", "https": ":443", "ftp": ":21"}[scheme]
+        if i % 6 == 3:
+            path = f"/%7Euser{i}/%41%2F%3f?q=%42{i}&p=%"
         urls.append(f"{scheme}://{user}{www}Host{i % 13}.Example.com{port}{path}")
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]

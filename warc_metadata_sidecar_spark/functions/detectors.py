@@ -35,8 +35,9 @@ from warc_metadata_sidecar_spark.schema import DETECTED
 # --- mime / puid: magic-byte + content sniffing (cf. fido signature match,
 # warc_metadata_sidecar.py:61-73, and magic.from_buffer :81-82) -------------
 
-# (prefix-or-regex, fido_mime, magic_mime, puid) — first match wins, like
-# fido taking matches[0] (warc_metadata_sidecar.py:69).
+# (prefix, fido_mime, magic_mime, puid) — first match wins, like fido taking
+# matches[0] (warc_metadata_sidecar.py:69). PUIDs are the PRONOM ids fido's
+# signature file assigns to these formats.
 _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"GIF89a", "image/gif", "image/gif", "fmt/4"),
     (b"GIF87a", "image/gif", "image/gif", "fmt/3"),
@@ -45,10 +46,30 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"%PDF-", "application/pdf", "application/pdf", "fmt/14"),
     (b"PK\x03\x04", "application/zip", "application/zip", "x-fmt/263"),
     (b"\x1f\x8b", "application/gzip", "application/gzip", "x-fmt/266"),
-    (b"RIFF", "audio/x-wav", "audio/x-wav", "fmt/6"),
     (b"ID3", "audio/mpeg", "audio/mpeg", "fmt/134"),
+    (b"\xff\xfb", "audio/mpeg", "audio/mpeg", "fmt/134"),  # bare MP3 frame sync
     (b"\x00\x00\x00\x18ftyp", "video/mp4", "video/mp4", "fmt/199"),
+    (b"BM", "image/bmp", "image/bmp", "fmt/116"),
+    (b"II*\x00", "image/tiff", "image/tiff", "fmt/353"),
+    (b"MM\x00*", "image/tiff", "image/tiff", "fmt/353"),
+    (b"\x00\x00\x01\x00", "image/vnd.microsoft.icon", "image/vnd.microsoft.icon", "x-fmt/418"),
+    (b"fLaC", "audio/flac", "audio/flac", "fmt/279"),
+    (b"OggS", "audio/ogg", "audio/ogg", "fmt/203"),
+    (b"\x1aE\xdf\xa3", "video/webm", "video/webm", "fmt/573"),
+    (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed", "application/x-7z-compressed", "fmt/258"),
+    (b"Rar!\x1a\x07", "application/vnd.rar", "application/vnd.rar", "x-fmt/264"),
+    (b"BZh", "application/x-bzip2", "application/x-bzip2", "x-fmt/268"),
+    (b"SQLite format 3\x00", "application/vnd.sqlite3", "application/vnd.sqlite3", "fmt/729"),
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage", "application/x-ole-storage", "fmt/111"),
+    (b"wOFF", "font/woff", "font/woff", "fmt/1044"),
 ]
+
+# RIFF is a container: the format lives at bytes 8-12
+_RIFF_KINDS: dict[bytes, tuple[str, str]] = {
+    b"WAVE": ("audio/x-wav", "fmt/6"),
+    b"WEBP": ("image/webp", "fmt/566"),
+    b"AVI ": ("video/x-msvideo", "fmt/5"),
+}
 
 _HTML_RE = re.compile(r"(?i)<!doctype\s+html|<html[\s>]")
 _XML_RE = re.compile(r"^\s*<\?xml")
@@ -64,6 +85,11 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
     report, fido additionally yields the PUID.
     """
     if head:
+        if head.startswith(b"RIFF"):
+            kind = _RIFF_KINDS.get(head[8:12])
+            if kind is not None:
+                return kind[0], kind[0], kind[1]
+            return "audio/x-wav", "audio/x-wav", "fmt/6"  # bare RIFF fallback
         for sig, fido_mime, magic_mime, puid in _BINARY_SIGNATURES:
             if head.startswith(sig):
                 return fido_mime, magic_mime, puid
@@ -93,6 +119,17 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
 
 
 # --- charset: deterministic chardet stand-in (warc_metadata_sidecar.py:91-102)
+#
+# chardet's UniversalDetector runs on BYTES; the engine's spans are str
+# (decoded utf-8-replace at ingest), so the ladder keys on the artifacts
+# that decode leaves behind. Confidence values are chardet's own ladder:
+# BOM probers return 1.0, the sure ascii case 1.0, the UTF-8 prober 0.99
+# once enough multibyte sequences confirm (0.7525 early), and the
+# single-byte western prober ~0.73 — the exact constants the reference's
+# golden values carry (warc_metadata_sidecar.py:99-101, tests :61-64).
+
+_REPLACEMENT = "�"
+
 
 def detect_charset(text: str | None) -> tuple[str | None, float]:
     """Return (encoding, confidence). encoding None when undetectable, like
@@ -100,13 +137,24 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
     non-null but confidence rides along — warc_metadata_sidecar.py:158-159)."""
     if not text:
         return None, 0.0
+    # UTF-16 bytes through a utf-8-replace decode: the BOM becomes two
+    # replacement chars and every other byte of ascii text a NUL
+    if text.startswith(_REPLACEMENT * 2) and text.count("\x00") * 3 > len(text):
+        return "UTF-16", 1.0
+    if text.startswith("\ufeff"):
+        return "UTF-8-SIG", 1.0
     try:
         text.encode("ascii")
         return "ascii", 1.0
     except UnicodeEncodeError:
         pass
-    # our payloads are str already; any non-ascii str round-trips as utf-8
-    return "utf-8", 0.99
+    if _REPLACEMENT in text:
+        # original bytes were NOT valid utf-8 (single-byte western text
+        # mangled by the replace decode) — chardet's windows-1252 ladder
+        return "Windows-1252", 0.73
+    # valid multibyte utf-8: chardet's prober needs evidence before 0.99
+    multibyte = sum(1 for c in text if ord(c) > 0x7F)
+    return ("utf-8", 0.99) if multibyte >= 8 else ("utf-8", 0.7525)
 
 
 # --- language: n-gram/stopword profile stand-in for pycld2

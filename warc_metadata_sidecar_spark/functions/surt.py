@@ -11,12 +11,18 @@ engine/simulator key-space equality (the north rule's URL-seen-set check).
 
 Canonicalization (deterministic, documented subset of the surt library's
 default canonicalizer — the rules real crawl URLs hit):
-  scheme dropped; userinfo dropped; port dropped; fragment dropped; host
-  lowercased and a leading 'www[0-9]*.' stripped; host components reversed
-  and comma-joined; ')'; path+query lowercased ('' -> '/'); a path
-  ';jsessionid=...' segment stripped; session-id query params (jsessionid,
-  phpsessid, sid, cfid, cftoken, aspsessionid*) dropped; remaining query
-  params SORTED; an emptied query's '?' removed.
+  scheme dropped; userinfo dropped; DEFAULT port dropped per scheme
+  (http/ws:80, https/wss:443, ftp:21 — non-default ports key as
+  'com,example:8080)', unknown schemes keep their port); fragment dropped;
+  host lowercased and a leading 'www[0-9]*.' stripped; host components
+  reversed and comma-joined; ')'; percent-escapes of UNRESERVED chars
+  (RFC 3986 [A-Za-z0-9._~-]) decoded in the path?query (%7E -> ~, %41 -> a
+  after lowercasing; reserved escapes like %2F stay escaped);
+  path+query lowercased ('' -> '/'); a path ';jsessionid=...' segment
+  stripped; session-id query params (jsessionid, phpsessid, sid, cfid,
+  cftoken, aspsessionid*) dropped; remaining query params SORTED; an
+  emptied query's '?' removed. Not covered (documented): IDN hosts,
+  percent-encoding in the host, and escaping of raw reserved chars.
   e.g. https://www.UNT.edu/About?b=2&a=1&PHPSESSID=x -> 'edu,unt)/about?a=1&b=2'
 """
 
@@ -28,21 +34,51 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+_SCHEME_CAPTURE_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
 _AUTHORITY_RE = re.compile(r"^([^/?#]*)")
+_PORT_CAPTURE_RE = re.compile(r":([0-9]+)$")
 
 # the same regexes, shared verbatim with the SQL forms below
 SCHEME_PATTERN = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+SCHEME_CAPTURE_PATTERN = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 USERINFO_PATTERN = "^[^/@]*@"
 PORT_PATTERN = ":[0-9]+$"
+PORT_CAPTURE_PATTERN = ":([0-9]+)$"
 WWW_PATTERN = "^www[0-9]*\\."
 FRAGMENT_PATTERN = "#.*$"
 JSESSIONID_PATH_PATTERN = ";jsessionid=[^?#]*"
 SESSION_PARAM_PATTERN = "^(jsessionid|phpsessid|sid|cfid|cftoken|aspsessionid[a-z0-9]*)="
 
+# scheme -> default port (surt's canonicalizer drops only the default)
+DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+
+_UNRESERVED = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+# "%XX" (upper hex) -> decoded unreserved char; shared by both twins
+UNRESERVED_HEX = {format(ord(c), "02X"): c for c in _UNRESERVED}
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
+def _py_decode_unreserved(s: str) -> str:
+    """Decode %XX escapes of unreserved chars only — twin of
+    _decode_unreserved_col. Reserved escapes (%2F, %3F, ...) stay escaped,
+    so decoding can never change the URL's structure."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        if len(p) >= 2 and p[0] in _HEX_DIGITS and p[1] in _HEX_DIGITS:
+            ch = UNRESERVED_HEX.get(p[:2].upper())
+            if ch is not None:
+                out.append(ch + p[2:])
+                continue
+        out.append("%" + p)
+    return "".join(out)
+
 
 def _py_canonical_rest(rest: str) -> str:
-    """Lowercase + session-strip + query-sort the path?query part."""
-    rest = re.sub(FRAGMENT_PATTERN, "", rest).lower()
+    """Unreserved-decode + lowercase + session-strip + query-sort the
+    path?query part."""
+    rest = re.sub(FRAGMENT_PATTERN, "", rest)
+    rest = _py_decode_unreserved(rest).lower()
     rest = re.sub(JSESSIONID_PATH_PATTERN, "", rest)
     if "?" in rest:
         path, _, query = rest.partition("?")
@@ -55,17 +91,42 @@ def py_surt(url: str | None) -> str | None:
     """Pure-Python twin of `surt_col` (bit-identical output)."""
     if not url:
         return None
+    m = _SCHEME_CAPTURE_RE.match(url)
+    scheme = m.group(1).lower() if m else "http"
     no_scheme = _SCHEME_RE.sub("", url)
     authority = _AUTHORITY_RE.match(no_scheme).group(1)
     rest = _py_canonical_rest(no_scheme[len(authority):])
     host = re.sub(USERINFO_PATTERN, "", authority)
+    pm = _PORT_CAPTURE_RE.search(host)
+    port = pm.group(1) if pm else None
     host = re.sub(PORT_PATTERN, "", host).lower()
     host = re.sub(WWW_PATTERN, "", host)
-    return ",".join(reversed(host.split("."))) + ")" + rest
+    suffix = ":" + port if port and port != DEFAULT_PORTS.get(scheme) else ""
+    return ",".join(reversed(host.split("."))) + suffix + ")" + rest
+
+
+def _decode_unreserved_col(c: Column) -> Column:
+    """Native twin of _py_decode_unreserved: split on '%', rebuild with each
+    fragment's leading hex pair decoded when it names an unreserved char.
+    The 66-entry map is a plan literal — pure string ops, no UDF."""
+    mapping = F.create_map(*[F.lit(x) for pair in UNRESERVED_HEX.items() for x in pair])
+    parts = F.split(c, "%")
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def piece(p):
+        dec = F.element_at(mapping, F.upper(F.substring(p, 1, 2)))
+        return F.when(
+            dec.isNotNull(), F.concat(dec, F.substring(p, 3, 1 << 30))
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    return F.aggregate(
+        tail, F.element_at(parts, 1), lambda acc, p: F.concat(acc, piece(p))
+    )
 
 
 def _canonical_rest_col(rest: Column) -> Column:
-    rest = F.lower(F.regexp_replace(rest, FRAGMENT_PATTERN, ""))
+    rest = F.regexp_replace(rest, FRAGMENT_PATTERN, "")
+    rest = F.lower(_decode_unreserved_col(rest))
     rest = F.regexp_replace(rest, JSESSIONID_PATH_PATTERN, "")
     path = F.substring_index(rest, "?", 1)
     query = F.when(
@@ -85,17 +146,29 @@ def _canonical_rest_col(rest: Column) -> Column:
 
 def surt_col(url: Column) -> Column:
     """Native SURT: regexp + split + sort + array_join, no UDF."""
+    scheme = F.lower(F.regexp_extract(url, SCHEME_CAPTURE_PATTERN, 1))
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
     no_scheme = F.regexp_replace(url, SCHEME_PATTERN, "")
     authority = F.regexp_extract(no_scheme, "^([^/?#]*)", 1)
     rest = _canonical_rest_col(F.substring(no_scheme, F.length(authority) + 1, 1 << 30))
-    host = F.lower(
-        F.regexp_replace(F.regexp_replace(authority, USERINFO_PATTERN, ""), PORT_PATTERN, "")
-    )
+    no_user = F.regexp_replace(authority, USERINFO_PATTERN, "")
+    port = F.regexp_extract(no_user, PORT_CAPTURE_PATTERN, 1)
+    host = F.lower(F.regexp_replace(no_user, PORT_PATTERN, ""))
     host = F.regexp_replace(host, WWW_PATTERN, "")
+    default_port = F.element_at(
+        F.create_map(*[F.lit(x) for pair in DEFAULT_PORTS.items() for x in pair]),
+        scheme,
+    )
+    suffix = F.when(
+        (port != "") & (port != F.coalesce(default_port, F.lit(""))),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
     return F.when(
         url.isNull() | (F.length(url) == 0), F.lit(None).cast("string")
     ).otherwise(
-        F.concat(F.array_join(F.reverse(F.split(host, "\\.")), ","), F.lit(")"), rest)
+        F.concat(
+            F.array_join(F.reverse(F.split(host, "\\.")), ","), suffix, F.lit(")"), rest
+        )
     )
 
 
