@@ -856,10 +856,13 @@ def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end to end (rows-only): media blobs -> mapInPandas
-    feature extraction (deterministic stand-in decode) + video frame-sample
-    fan-out counts. The blob table is the deterministic seed=42 generator's
-    (the driver parquet set carries no binary media column)."""
+    """Multimodal plumbing through the ENGINE path (mapInPandas feature
+    extraction + native frame-sample fan-out), ORACLED (VERDICT r2 #8): the
+    DuckDB twin rebuilds the same deterministic blobs from hex literals and
+    recomputes n_bytes / magic-prefix mime / the frame count formula. The
+    non-SQL feature vector (stub decode) stays pytest-pinned
+    (tests/test_text_multimodal_sources.py) and out of the compared
+    columns."""
     from pyspark.sql import functions as F
 
     from warc_metadata_sidecar_spark import gen
@@ -872,14 +875,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_media_features(media).select(
         "media_ref",
         "media_type",
-        "n_bytes",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
         "sniffed_mime",
-        F.size("features").alias("feature_dim"),
     )
     frames = frame_sample_plan(media).groupBy("media_ref").agg(
-        F.count(F.lit(1)).alias("n_frames")
+        F.count(F.lit(1)).cast("long").alias("n_frames")
     )
     return feats.join(frames, "media_ref", "left").orderBy("media_ref")
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB twin of multimodal_features: the same blobs from hex literals,
+    n_bytes via octet_length, mime via magic-prefix compare on hex(bytes),
+    n_frames via the closed form of sequence(0, greatest(d-1,0), step)."""
+    from warc_metadata_sidecar_spark import gen
+
+    values = ",\n    ".join(
+        "('{}', from_hex('{}'), '{}', {})".format(
+            r["media_ref"],
+            r["bytes"].hex(),
+            r["meta"]["media_type"],
+            r["meta"]["duration_ms"] if r["meta"]["duration_ms"] is not None else "NULL",
+        )
+        for r in gen.media_rows()
+    )
+    return f"""
+WITH media(media_ref, bytes, media_type, duration_ms) AS (VALUES
+    {values}
+)
+SELECT media_ref,
+       media_type,
+       CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+       CASE WHEN substr(hex(bytes), 1, 8) = '52494646' THEN
+              CASE substr(hex(bytes), 17, 8)
+                   WHEN '57415645' THEN 'audio/x-wav'
+                   WHEN '57454250' THEN 'image/webp'
+                   WHEN '41564920' THEN 'video/x-msvideo'
+                   ELSE 'audio/x-wav' END
+            WHEN substr(hex(bytes), 1, 12) = '474946383961' THEN 'image/gif'
+            WHEN substr(hex(bytes), 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+            WHEN substr(hex(bytes), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substr(hex(bytes), 9, 8) = '66747970' THEN 'video/mp4'
+            ELSE 'application/octet-stream' END AS sniffed_mime,
+       CASE WHEN media_type = 'video'
+            THEN CAST(floor(greatest(coalesce(duration_ms, 0) - 1, 0) / 1000) + 1 AS BIGINT)
+            END AS n_frames
+FROM media ORDER BY media_ref
+"""
 
 
 def crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,4 +973,6 @@ def oracle_sql() -> dict[str, str]:
     oracles = {name: duck_sql_for(name) for name in ORACLE_QUERY_NAMES}
     # the sharded-filter path must equal the exact anti-join — same oracle
     oracles["url_seen_sharded"] = duck_sql_for("url_seen_antijoin")
+    # engine mapInPandas multimodal path vs a from-hex DuckDB rebuild
+    oracles["multimodal_features"] = _multimodal_oracle_sql()
     return oracles

@@ -174,9 +174,13 @@ def documents(spark: SparkSession, n_rows: int = 100, text_scale: int = 1) -> Da
     )
 
 
-def media(spark: SparkSession) -> DataFrame:
-    """Blob table for media_refs emitted by documents(). Content-addressed;
-    bytes carry real magic numbers so sniffing works on content."""
+_MP4_BYTES = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 20
+_WAV_BYTES = b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 20
+
+
+def media_rows() -> list[dict]:
+    """The deterministic blob rows (shared with the DuckDB multimodal
+    oracle, which rebuilds the same bytes from hex literals)."""
     rows = []
     for k in range(7):
         rows.append(
@@ -200,7 +204,27 @@ def media(spark: SparkSession) -> DataFrame:
             "meta": {"media_type": "image", "width": 32, "height": 32, "duration_ms": None},
         }
     )
-    return spark.createDataFrame(rows, schema.MEDIA)
+    rows.append(
+        {
+            "media_ref": "media://vid/0",
+            "bytes": _MP4_BYTES,
+            "meta": {"media_type": "video", "width": 64, "height": 64, "duration_ms": 3500},
+        }
+    )
+    rows.append(
+        {
+            "media_ref": "media://wav/0",
+            "bytes": _WAV_BYTES,
+            "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": 2000},
+        }
+    )
+    return rows
+
+
+def media(spark: SparkSession) -> DataFrame:
+    """Blob table for media_refs emitted by documents(). Content-addressed;
+    bytes carry real magic numbers so sniffing works on content."""
+    return spark.createDataFrame(media_rows(), schema.MEDIA)
 
 
 def seed_frontier(spark: SparkSession, n_seeds: int = 20, num_salts: int = 8) -> DataFrame:
