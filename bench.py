@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_ivf_centroid_top1",
     "dedup_cosine_srp",
     "url_seen_sharded",
+    "url_seen_bucketed",
     "flagship_sidecar",
     "flagship_counters",
 ]

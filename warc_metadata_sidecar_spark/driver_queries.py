@@ -819,6 +819,37 @@ def url_seen_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_seen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 over the r3 BUCKETED seen layout — the 100 TB anti-join shape
+    (seen side co-located with zero exchange; BENCH/SEEN.md) — oracled by
+    the same DuckDB SQL as url_seen_antijoin: the layout changes the plan,
+    never the rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.seen import create_seen_bucketed
+
+    register_views(spark, sf_dir)
+    base = spark.sql(
+        _render("WITH " + KEPT_CTE + "\nSELECT host, url, doc_id FROM kept", SPARK)
+    )
+    seen = base.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("url").alias("canonical_url"), F.lit(0).alias("first_round")
+    )
+    path = os.path.join(tempfile.gettempdir(), "driver_url_seen_bucketed")
+    tbl = create_seen_bucketed(spark, path, seen)
+    new = base.join(
+        spark.table(tbl).select(F.col("canonical_url").alias("url")), "url", "left_anti"
+    )
+    return (
+        new.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+        .orderBy("host")
+    )
+
+
 def ann_ivf_centroid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-based IVF (the scale path: trained quantizer, nprobe=2,
     bucket truncation). Rows-only driver check — Lloyd iterations are not
@@ -963,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["flagship_counters"] = flagship_counters
     out["crawl_rounds"] = crawl_rounds
     out["url_seen_sharded"] = url_seen_sharded
+    out["url_seen_bucketed"] = url_seen_bucketed
     out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
     out["dedup_cosine_srp"] = dedup_cosine_srp
     out["multimodal_features"] = multimodal_features
@@ -971,8 +1003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles = {name: duck_sql_for(name) for name in ORACLE_QUERY_NAMES}
-    # the sharded-filter path must equal the exact anti-join — same oracle
+    # the sharded-filter path must equal the exact anti-join — same oracle;
+    # so must the bucketed-layout anti-join (plan changes, rows don't)
     oracles["url_seen_sharded"] = duck_sql_for("url_seen_antijoin")
+    oracles["url_seen_bucketed"] = duck_sql_for("url_seen_antijoin")
     # engine mapInPandas multimodal path vs a from-hex DuckDB rebuild
     oracles["multimodal_features"] = _multimodal_oracle_sql()
     return oracles
