@@ -152,9 +152,12 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
         # original bytes were NOT valid utf-8 (single-byte western text
         # mangled by the replace decode) — chardet's windows-1252 ladder
         return "Windows-1252", 0.73
-    # valid multibyte utf-8: chardet's prober needs evidence before 0.99
-    multibyte = sum(1 for c in text if ord(c) > 0x7F)
-    return ("utf-8", 0.99) if multibyte >= 8 else ("utf-8", 0.7525)
+    # valid multibyte utf-8: chardet's prober needs evidence before 0.99.
+    # Evidence = extra utf-8 continuation bytes (>=1 per multibyte char) —
+    # a C-speed length diff, never a per-char Python loop (this runs once
+    # per distinct payload on the hot path).
+    extra_bytes = len(text.encode("utf-8")) - len(text)
+    return ("utf-8", 0.99) if extra_bytes >= 8 else ("utf-8", 0.7525)
 
 
 # --- language: n-gram/stopword profile stand-in for pycld2

@@ -78,7 +78,9 @@ def _py_canonical_rest(rest: str) -> str:
     """Unreserved-decode + lowercase + session-strip + query-sort the
     path?query part."""
     rest = re.sub(FRAGMENT_PATTERN, "", rest)
-    rest = _py_decode_unreserved(rest).lower()
+    if "%" in rest:
+        rest = _py_decode_unreserved(rest)
+    rest = rest.lower()
     rest = re.sub(JSESSIONID_PATH_PATTERN, "", rest)
     if "?" in rest:
         path, _, query = rest.partition("?")
@@ -126,7 +128,12 @@ def _decode_unreserved_col(c: Column) -> Column:
 
 def _canonical_rest_col(rest: Column) -> Column:
     rest = F.regexp_replace(rest, FRAGMENT_PATTERN, "")
-    rest = F.lower(_decode_unreserved_col(rest))
+    # '%'-free URLs (the overwhelming majority) skip the decode fold —
+    # If() short-circuits inside codegen, so the common path stays a
+    # plain lower()
+    rest = F.lower(
+        F.when(F.instr(rest, "%") == 0, rest).otherwise(_decode_unreserved_col(rest))
+    )
     rest = F.regexp_replace(rest, JSESSIONID_PATH_PATTERN, "")
     path = F.substring_index(rest, "?", 1)
     query = F.when(
