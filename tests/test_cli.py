@@ -111,3 +111,22 @@ def test_cli_writes_per_run_log(spark, tmp_path, capsys, monkeypatch):
     assert "Logging CDXJ merge information for" in log_text
     assert "Total merged records: 1" in log_text
     assert "Elapsed:" in log_text
+
+
+def test_cli_sidecar_emit_warc(spark, docs100, tmp_path, capsys, monkeypatch):
+    """--emit-warc renders the reference CLI's native artifact: one
+    <name>.warc.meta.gz per source file, warcinfo record first, re-ingestable
+    by the engine's own parser."""
+    from warc_metadata_sidecar_spark.sources.warc_ingest import ingest_warc_files
+
+    docs_path = str(tmp_path / "docs")
+    docs100.write.mode("overwrite").parquet(docs_path)
+    arc_dir = str(tmp_path / "archive")
+    _run(monkeypatch, capsys, ["--cpus", "4", "sidecar", arc_dir, docs_path, "--emit-warc"])
+    import glob
+
+    files = glob.glob(f"{arc_dir}/*.meta.gz")
+    assert files
+    back = ingest_warc_files(spark, f"{arc_dir}/*.meta.gz")
+    types = {r.rec_type for r in back.select("rec_type").distinct().collect()}
+    assert types == {"warcinfo", "metadata"}

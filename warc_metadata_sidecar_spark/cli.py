@@ -64,6 +64,34 @@ def cmd_sidecar(args) -> None:
     info = write_sidecar(
         side, out, os.path.basename(args.documents_path), args.operator, args.publisher
     )
+    if args.emit_warc:
+        # byte-form interop output, one <name>.warc.meta.gz per source file
+        # (the reference CLI's native artifact) — rendered from the WRITTEN
+        # parquet rows, so the detector pipeline still runs exactly once
+        from warc_metadata_sidecar_spark.sources.warc_export import (
+            export_sidecar_warcs,
+            write_sidecar_warc_files,
+        )
+
+        written = spark.read.parquet(os.path.join(out, "rows"))
+        if "source_file" not in written.columns:
+            src = (
+                docs.select("doc_id", "source_file")
+                if "source_file" in docs.columns
+                else docs.select(
+                    "doc_id", F.lit(None).cast("string").alias("source_file")
+                )
+            )
+            written = written.join(src, "doc_id", "left")
+        written = written.withColumn(
+            "source_file",
+            F.coalesce("source_file", F.lit(os.path.basename(args.documents_path) + ".warc")),
+        )
+        exported = export_sidecar_warcs(
+            written, operator=args.operator, publisher=args.publisher
+        )
+        write_sidecar_warc_files(exported, args.archive_dir)
+        log.info("Creating sidecar %s", "warc.meta.gz byte-form files")
     if info["description"].endswith("; 0 metadata sidecar records"):
         log.info("No metadata records to write, updating warcinfo")
     counters = obs.get
@@ -158,6 +186,11 @@ def main() -> None:
     s.add_argument("--operator", default=None)
     s.add_argument(
         "--publisher", default="University of North Texas - Digital Projects Unit"
+    )
+    s.add_argument(
+        "--emit-warc",
+        action="store_true",
+        help="also render byte-form .warc.meta.gz sidecar files (SNK1)",
     )
     s.set_defaults(fn=cmd_sidecar)
 
