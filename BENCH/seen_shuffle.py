@@ -81,6 +81,45 @@ def main() -> None:
         print(f"n={n}: plain shuffle {pr+pw:,} B   bucketed shuffle {br+bw:,} B")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
+    # --- loop-level signal: the crawl loop itself, resumed over a PRE-SEEDED
+    # 2M-row seen set (the steady-state of a long crawl), 2 further rounds
+    # per layout; per-round shuffle bytes come from run_crawl's own lineage
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.frontier.canonical import canonicalize
+    from warc_metadata_sidecar_spark.frontier.crawl import run_crawl
+
+    N_SEEN = 2_000_000
+    docs = gen.documents(spark, 5_000)
+    docs_path = os.path.join(work, "loop_docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    seeds = gen.seed_frontier(spark, n_seeds=60)
+    robots = gen.robots(spark, 50)
+    big_seen = spark.range(N_SEEN).select(
+        F.concat(F.lit("old://h"), (F.col("id") % 997), F.lit("/p/"), F.col("id"))
+        .alias("canonical_url"),
+        F.lit(0).alias("first_round"),
+    )
+
+    def loop(bucketed: bool):
+        out_dir = os.path.join(work, f"loop_{bucketed}")
+        # hand-build a round-0 checkpoint so the run RESUMES over big seen
+        canonicalize(seeds).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "round=0", "frontier")
+        )
+        big_seen.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "round=0", "seen")
+        )
+        res = run_crawl(
+            spark, docs, seeds, robots, rounds=3, universe=5_000,
+            default_budget=40, skew_stats=False, use_bloom=False,
+            out_dir=out_dir, bucketed_seen=bucketed,
+        )
+        return res.lineage
+
+    union_rounds = loop(False)
+    bucketed_rounds = loop(True)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SEEN.md")
     with open(out, "w") as fh:
         fh.write(
@@ -98,10 +137,25 @@ def main() -> None:
         fh.write(
             f"\n16x more seen rows -> plain shuffle grows {growth_p:.1f}x; "
             f"bucketed grows {growth_b:.2f}x (flat = candidates only).\n\n"
-            "The crawl loop records the same signal per round in its lineage\n"
-            "(RoundMetrics.shuffle_read_bytes/shuffle_write_bytes) when the UI\n"
-            "is enabled; run_crawl(bucketed_seen=True) uses this layout plus\n"
-            "O(delta) seen_delta checkpoints.\n"
+            "## Loop-level lineage (run_crawl RoundMetrics.shuffle_*_bytes)\n\n"
+            "The crawl loop RESUMED over a pre-seeded 2,000,000-row seen set\n"
+            "(steady state of a long crawl; use_bloom=False so the anti-join\n"
+            "cost is undiluted), 2 further politeness rounds per layout,\n"
+            "broadcast disabled. Both layouts share the frontier-proportional\n"
+            "costs (rank window, dedup, repartition); the union layout\n"
+            "ADDITIONALLY re-shuffles the full seen set every round.\n\n"
+            "| round | seen_after | union shuffle B | bucketed shuffle B |\n"
+            "|---|---|---|---|\n"
+        )
+        for u, b in zip(union_rounds, bucketed_rounds):
+            fh.write(
+                f"| {u.round} | {u.seen_after} | "
+                f"{u.shuffle_read_bytes + u.shuffle_write_bytes:,} | "
+                f"{b.shuffle_read_bytes + b.shuffle_write_bytes:,} |\n"
+            )
+        fh.write(
+            "\nrun_crawl(bucketed_seen=True) is the crawl CLI default; it also\n"
+            "writes O(delta) seen_delta checkpoints instead of full seen copies.\n"
         )
     print(f"wrote {out}")
     shutil.rmtree(work, ignore_errors=True)
