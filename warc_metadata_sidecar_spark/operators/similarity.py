@@ -232,6 +232,29 @@ def ivf_topk(
         a = assigned.select(F.col("_id").alias("vec_id"), F.col("_v").alias("va"), "bucket")
         b = cand.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
+    if k == 1:
+        # top-1 is an argmax: partial-aggregates map-side, so the (possibly
+        # nprobe-duplicated) pair stream never takes a dedup shuffle NOR a
+        # per-vector sort — duplicates cannot change a max. Tie-break
+        # identical to the window path: desc(sim), asc(neighbor_id), via
+        # min(struct(-sim, neighbor_id)); sim rides in the struct so no
+        # -0.0 renegotiation on output.
+        scored = pairs.withColumn("sim", F.round(_cosine("va", "vb"), 6))
+        best = scored.groupBy("vec_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("ns"),
+                    F.col("neighbor_id").alias("n"),
+                    F.col("sim").alias("s"),
+                )
+            ).alias("m")
+        )
+        return best.select(
+            "vec_id",
+            F.col("m.n").alias("neighbor_id"),
+            F.col("m.s").alias("sim"),
+            F.lit(1).alias("rnk"),
+        )
     # nprobe > 1 can meet the same pair in several buckets — collapse before
     # ranking so duplicates cannot inflate the top-k
     pairs = pairs.dropDuplicates(["vec_id", "neighbor_id"])
