@@ -289,3 +289,23 @@ def test_merge_matched_line_with_no_surviving_fields_still_redumps(spark):
     row = merge_cdxj(orig, meta, canonicalize_json=True).first()
     assert row.edited
     assert row.json == '{"x": 1, "y": 2}'
+
+
+def test_with_surt_staged_equals_surt_col(spark):
+    """The staged hot-path form (with_surt) is value-identical to the
+    single-expression surt_col and the python twin across the generated
+    URL spread."""
+    from warc_metadata_sidecar_spark.functions.surt import with_surt
+
+    urls = [
+        "https://www.UNT.edu/About?X=1",
+        "http://user@host01.example.com:8080/p",
+        "https://unt.edu:443/p",
+        "https://unt.edu/%7Euser/%41bout?b=2&a=1&PHPSESSID=x#f",
+        "unt.edu:8080/p%",
+        "",
+    ] + [f"https://www{i%3}.Host{i%7}.Example.com:{80+i%3}/P{i}?q=%4{i%10}&z={i}" for i in range(60)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    staged = [r.canonical_url for r in with_surt(df).collect()]
+    single = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]
+    assert staged == single == [py_surt(u) for u in urls]
