@@ -214,6 +214,19 @@ batches; both shuffles key on uniform content hashes; politeness window
 output capped per host), so on a real N->4N executor cluster — where each
 executor owns its cores — the same plan scales with the hardware.
 
+## Round 3: URL-seen shuffle independence (N2 at 100 TB)
+
+The exact anti-join backstop runs over a hash-bucketed seen table (Iceberg
+bucket(canonical_url) analog). Measured evidence in BENCH/SEEN.md:
+
+- controlled anti-join: 16x seen growth -> plain-parquet shuffle +15.4x,
+  bucketed flat at 521,804 B (candidates only);
+- the crawl loop resumed over a pre-seeded 2M-row seen set: per-round
+  shuffle 39.7 MB (union layout) vs 0.19 MB (bucketed) — ~200x less, and
+  independent of |seen|;
+- per-round checkpoints in the bucketed layout write O(delta) seen_delta
+  snapshots instead of full seen copies.
+
 Run: {dt.datetime.now(dt.timezone.utc).isoformat()} — `python BENCH/scaling.py {n_rows}`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

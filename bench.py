@@ -39,6 +39,7 @@ HEADLINE = [
     "top_events_per_type",
     "sessionize_events",
     "dedup_exact",
+    "corpus_curation",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",

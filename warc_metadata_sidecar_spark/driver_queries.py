@@ -584,6 +584,45 @@ SELECT @LEN(@SPLIT(text, ' ')) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY @LEN(@SPLIT(text, ' ')) ORDER BY n_tokens
 """
 
+# end-to-end training-data CURATION pipeline (the composition users run):
+# exact dedup (content fingerprint, first-id keeper) -> language gate ->
+# quality gate (length + lexical diversity) -> token accounting, over the
+# planted-duplicates corpus. One statement, fully oracled in both dialects.
+_Q["corpus_curation"] = (
+    "WITH "
+    + CORPUS_CTE
+    + """,
+fp AS (
+  SELECT doc_id, text, md5(lower(text)) AS fp FROM corpus
+),
+keepers AS (
+  SELECT fp AS kfp, CAST(min(doc_id) AS BIGINT) AS kid FROM fp GROUP BY fp
+),
+deduped AS (
+  SELECT f.doc_id, f.text FROM fp f JOIN keepers k ON f.doc_id = k.kid
+),
+scored AS (
+  SELECT doc_id,
+         @LEN(@SPLIT(text, ' ')) AS n_tokens,
+         CAST(@LEN(@LIST_DISTINCT(@SPLIT(lower(text), ' '))) AS DOUBLE)
+           / @LEN(@SPLIT(text, ' ')) AS distinct_ratio,
+         CASE WHEN @STRPOS(concat(' ', lower(text), ' '), ' the ') > 0
+               OR @STRPOS(concat(' ', lower(text), ' '), ' and ') > 0
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM deduped
+),
+curated AS (
+  SELECT * FROM scored
+  WHERE lang_guess = 'en' AND n_tokens >= 10 AND distinct_ratio >= 0.3
+)
+SELECT CAST(floor(n_tokens / 32.0) AS INT) AS token_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(round(avg(distinct_ratio), 4) AS DOUBLE) AS avg_distinct_ratio
+FROM curated GROUP BY 1 ORDER BY token_bucket
+"""
+)
+
 _Q["lang_id_markers"] = """
 WITH guessed AS (
   SELECT lang,
