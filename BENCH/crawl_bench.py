@@ -56,11 +56,23 @@ def main() -> None:
         schema.ROBOTS,
     )
 
+    import shutil
+    import tempfile
+
     t0 = time.time()
     result = run_crawl(
         spark, docs, seeds, robots, rounds=rounds, universe=universe, skew_stats=False
     )
     wall = time.time() - t0
+    # r3 layout: bucketed seen + O(delta) checkpoints (includes checkpoint IO)
+    ckpt = tempfile.mkdtemp(prefix="crawl_bench_ckpt_")
+    t0 = time.time()
+    result_b = run_crawl(
+        spark, docs, seeds, robots, rounds=rounds, universe=universe,
+        skew_stats=False, out_dir=ckpt, bucketed_seen=True,
+    )
+    wall_b = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
     total_candidates = sum(m.candidates for m in result.lineage)
     total_selected = sum(m.selected for m in result.lineage)
     seen_after = result.lineage[-1].seen_after if result.lineage else 0
@@ -84,7 +96,13 @@ metrics via observe()).
 
 Wall: {wall:.1f}s; **{urls_per_sec:,} candidate URLs/s through the full
 URL-seen -> politeness -> fetch -> discover loop** ({total_selected}
-scheduled; {seen_after} cumulative seen).
+scheduled; {seen_after} cumulative seen). Selection is the two-phase
+mega-host window (prune_salts=16, the r3 default).
+
+With the r3 BUCKETED seen layout + full per-round checkpointing to disk
+(frontier/schedule/filters snapshots + O(delta) seen_delta):
+wall {wall_b:.1f}s — {round(total_candidates / wall_b, 2):,} candidate
+URLs/s including checkpoint IO; schedule identical (pinned by tests).
 
 Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
 `python BENCH/crawl_bench.py {universe} {rounds} {cpus}`.
@@ -99,6 +117,7 @@ Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
                 "cpus": cpus,
                 "wall_sec": round(wall, 1),
                 "candidate_urls_per_sec": urls_per_sec,
+                "bucketed_ckpt_wall_sec": round(wall_b, 1),
                 "selected": total_selected,
                 "seen_after": seen_after,
             }
