@@ -126,3 +126,42 @@ def test_update_touches_only_delta_shards(spark):
             assert before[shard] != after[shard]
         else:
             assert before[shard] == after[shard]
+
+
+def test_filter_state_compression_and_legacy_compat():
+    """r3: shard states serialize zlib-compressed (sparse bitmaps -> ~KB per
+    shard for the shuffle/collect/checkpoint paths) and still read the
+    uncompressed TSF1 layout from r2 checkpoints."""
+    import struct
+
+    import numpy as np
+
+    from warc_metadata_sidecar_spark.frontier.seen import (
+        TieredSeenFilter,
+        deserialize_tiered,
+        serialize_tiered,
+    )
+
+    t = TieredSeenFilter()
+    for i in range(2000):
+        t.add(f"https://h{i % 50}.example.com/p/{i}")
+    blob = serialize_tiered(t)
+    assert blob[:4] == b"TSFZ"
+    assert len(blob) < t.bloom.num_bits // 8  # genuinely compressed
+    t2 = deserialize_tiered(blob)
+    assert t2.bloom.bits.tobytes() == t.bloom.bits.tobytes()
+    assert t2._adds == t._adds
+    assert serialize_tiered(t2) == blob  # deterministic re-serialization
+    # r2 (TSF1, raw) states still deserialize
+    ov = np.array(sorted(t.cuckoo.overflowed), dtype=np.uint16)
+    legacy = (
+        b"TSF1"
+        + struct.pack(
+            "<QQQQQQQ",
+            t.bloom.num_bits, t.bloom.num_hashes, t._adds, t._spill_after,
+            t.cuckoo.num_buckets, t.cuckoo.slots, len(ov),
+        )
+        + t.bloom.bits.tobytes() + t.cuckoo.table.tobytes() + ov.tobytes()
+    )
+    t3 = deserialize_tiered(legacy)
+    assert t3.bloom.bits.tobytes() == t.bloom.bits.tobytes()

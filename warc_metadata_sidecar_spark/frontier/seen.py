@@ -165,13 +165,19 @@ FILTERS_SCHEMA = T.StructType(
 )
 
 _MAGIC = b"TSF1"
+_MAGIC_Z = b"TSFZ"  # zlib-compressed body (r3): sparse states are ~KB
 
 
 def serialize_tiered(t: TieredSeenFilter) -> bytes:
-    """Compact deterministic state: header + bloom bitmap + cuckoo table +
-    sorted overflow fingerprints."""
+    """Compact deterministic state: header + zlib(bloom bitmap + cuckoo
+    table + sorted overflow fingerprints). The bitmaps are zero-dominated
+    until near capacity, so compression turns the per-round state shuffle /
+    driver collect / checkpoint from num_shards x 0.64 MB into a few KB per
+    shard (it decays gracefully to ~raw size as the filter fills)."""
+    import zlib
+
     ov = np.array(sorted(t.cuckoo.overflowed), dtype=np.uint16)
-    header = _MAGIC + struct.pack(
+    header = _MAGIC_Z + struct.pack(
         "<QQQQQQQ",
         t.bloom.num_bits,
         t.bloom.num_hashes,
@@ -181,14 +187,19 @@ def serialize_tiered(t: TieredSeenFilter) -> bytes:
         t.cuckoo.slots,
         len(ov),
     )
-    return header + t.bloom.bits.tobytes() + t.cuckoo.table.tobytes() + ov.tobytes()
+    body = t.bloom.bits.tobytes() + t.cuckoo.table.tobytes() + ov.tobytes()
+    return header + zlib.compress(body, 1)
 
 
 def deserialize_tiered(data: bytes) -> TieredSeenFilter:
-    assert data[:4] == _MAGIC, "bad filter state"
+    assert data[:4] in (_MAGIC, _MAGIC_Z), "bad filter state"
     num_bits, num_hashes, adds, spill_after, n_buckets, slots, n_ov = struct.unpack(
         "<QQQQQQQ", data[4:60]
     )
+    if data[:4] == _MAGIC_Z:
+        import zlib
+
+        data = data[:60] + zlib.decompress(data[60:])
     t = TieredSeenFilter(num_bits=int(num_bits))
     t._adds = int(adds)
     t._spill_after = int(spill_after)
