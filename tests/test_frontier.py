@@ -419,3 +419,54 @@ def test_mega_host_final_window_input_bounded(spark, robots_df):
     base = rank_round(mega, robots_df, budget, round_no=0)
     sched_off = {r.canonical_url for r in base.filter("scheduled").collect()}
     assert sched_on == sched_off and len(sched_on) <= budget
+
+
+def test_robots_allow_longest_match(spark):
+    """RFC 9309 §2.2.2: 'Allow: /a/ok' carves an exception out of
+    'Disallow: /a'; exact-tie prefers Allow; unmatched paths allowed —
+    through parse_robots_txt AND the scheduler, engine == simulator."""
+    from warc_metadata_sidecar_spark.frontier.robots import parse_robots_txt
+    from warc_metadata_sidecar_spark.frontier.scheduler import apply_robots
+
+    raw = spark.createDataFrame(
+        [(
+            "lm.example.com",
+            "User-agent: *\nDisallow: /a\nAllow: /a/ok\nAllow: /p\nDisallow: /p\n",
+        )],
+        ["host", "robots_txt"],
+    )
+    robots = parse_robots_txt(raw)
+    urls = [
+        ("https://lm.example.com/a/x", False),    # /a denies
+        ("https://lm.example.com/a/ok/1", True),  # /a/ok longer -> allows
+        ("https://lm.example.com/p", True),       # exact tie -> Allow wins
+        ("https://lm.example.com/other", True),   # no match -> allowed
+    ]
+    cand = canonicalize(
+        spark.createDataFrame([(u,) for u, _ in urls], ["url"]).select(
+            "url",
+            F.lit(None).cast("string").alias("canonical_url"),
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("int").alias("host_salt"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(0).alias("discovery_round"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+    kept = {r.url for r in apply_robots(cand, robots).collect()}
+    assert kept == {u for u, ok in urls if ok}, kept
+    # simulator twin agrees rule-for-rule
+    from warc_metadata_sidecar_spark.frontier.simulator import simulate_crawl
+
+    # parsed budget=2/round caps selection; 2 fetch-less rounds schedule
+    # every allowed URL, isolating the robots gate
+    schedule, seen = simulate_crawl(
+        [u for u, _ in urls], set(),
+        [r.asDict() for r in robots.collect()], rounds=2, universe=10,
+        default_budget=10,
+    )
+    sim_kept = {cu for _, cu in schedule}
+    from warc_metadata_sidecar_spark.functions.surt import py_surt
+
+    assert sim_kept == {py_surt(u) for u, ok in urls if ok}

@@ -76,6 +76,10 @@ def parse_robots_txt(
         "host",
         F.trim(F.regexp_extract("line", r"^disallow\s*:\s*(\S*)", 1)).alias("path_prefix"),
     )
+    allows = scoped.filter(F.col("line").rlike(r"^allow\s*:")).select(
+        "host",
+        F.trim(F.regexp_extract("line", r"^allow\s*:\s*(\S*)", 1)).alias("path_prefix"),
+    )
     delays = (
         scoped.filter(F.col("line").rlike(r"^crawl-delay\s*:"))
         .select(
@@ -108,4 +112,19 @@ def parse_robots_txt(
         )
         .distinct()
     )
-    return allow_rows.unionByName(deny_rows)
+    # RFC 9309 Allow rules: path-scoped allowed=true rows; the scheduler's
+    # longest-match evaluation lets 'Allow: /a/ok' carve an exception out of
+    # 'Disallow: /a'
+    allow_path_rows = (
+        allows.filter(F.length("path_prefix") > 0)
+        .join(delays, "host", "left")
+        .select(
+            "host",
+            "path_prefix",
+            F.lit(True).alias("allowed"),
+            F.coalesce("crawl_delay_s", F.lit(1)).alias("crawl_delay_s"),
+            F.lit(default_budget).alias("budget"),
+        )
+        .distinct()
+    )
+    return allow_rows.unionByName(deny_rows).unionByName(allow_path_rows)

@@ -37,21 +37,34 @@ def dedup_candidates(candidates: DataFrame) -> DataFrame:
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates matching a disallowed path prefix for their host.
-    Deny rules are (host, path_prefix, allowed=false) rows; the join is a
-    broadcast (robots ~ one row per host rule)."""
-    deny = robots.filter(~F.col("allowed") & F.col("path_prefix").isNotNull()).select(
-        F.col("host").alias("d_host"), F.col("path_prefix").alias("d_prefix")
+    """RFC 9309 §2.2.2 longest-match rule evaluation: among a host's
+    Allow/Disallow path rules matching the candidate's path, the MOST
+    SPECIFIC (longest prefix) decides; an Allow/Disallow tie prefers Allow;
+    no matching rule = allowed.
+
+    Shuffle-free: rules collapse to one broadcast row per host carrying an
+    array<struct<prefix,allowed>>; the per-row array fold resolves the
+    verdict inline (struct max orders by length then allowed, so ties break
+    to Allow exactly per the RFC). With deny-only tables this reduces to
+    the classic any-deny-match drop."""
+    rules = (
+        robots.filter(F.col("path_prefix").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("path_prefix").alias("p"), F.col("allowed").alias("a"))
+            ).alias("_rules")
+        )
     )
     path = F.regexp_replace(
         F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "^[^/]*", ""
     )
-    hit = candidates.join(
-        F.broadcast(deny),
-        (F.col("host") == F.col("d_host")) & path.startswith(F.col("d_prefix")),
-        "left",
+    joined = candidates.join(F.broadcast(rules), "host", "left")
+    matches = F.filter(F.col("_rules"), lambda r: path.startswith(r["p"]))
+    best = F.array_max(
+        F.transform(matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a")))
     )
-    return hit.filter(F.col("d_host").isNull()).drop("d_host", "d_prefix")
+    return joined.filter(best.isNull() | best["a"]).drop("_rules")
 
 
 def host_budgets(robots: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:

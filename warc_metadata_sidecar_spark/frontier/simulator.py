@@ -26,12 +26,12 @@ def simulate_crawl(
     default_budget: int = 2,
 ) -> tuple[list[tuple[int, str]], set[str]]:
     """Returns (schedule [(round, canonical_url) in selection order], seen set)."""
-    deny: dict[str, list[str]] = {}
+    rules: dict[str, list[tuple[str, bool]]] = {}
     budget: dict[str, int] = {}
     delay: dict[str, int] = {}
     for r in robots:
-        if r["path_prefix"] is not None and not r["allowed"]:
-            deny.setdefault(r["host"], []).append(r["path_prefix"])
+        if r["path_prefix"] is not None:
+            rules.setdefault(r["host"], []).append((r["path_prefix"], bool(r["allowed"])))
         if r["path_prefix"] is None and r["allowed"]:
             budget[r["host"]] = min(r["budget"], budget.get(r["host"], 1 << 30))
             delay[r["host"]] = min(r["crawl_delay_s"] or 1, delay.get(r["host"], 1 << 30))
@@ -56,7 +56,13 @@ def simulate_crawl(
             cu2, host, priority = py_canonicalize(url)
             no_scheme = url.split("://", 1)[-1] if "://" in url else url
             path = no_scheme[len(no_scheme.split("/", 1)[0]):] if "/" in no_scheme else ""
-            if any(path.startswith(p) for p in deny.get(host, [])):
+            # RFC 9309 longest-match (scheduler.apply_robots twin): the most
+            # specific matching rule decides, ties prefer Allow, no match
+            # allows — max((len, allowed)) mirrors the struct ordering
+            matches = [
+                (len(p), a) for p, a in rules.get(host, []) if path.startswith(p)
+            ]
+            if matches and not max(matches)[1]:
                 continue
             per_host.setdefault(host, []).append((priority, cu2, url))
 
