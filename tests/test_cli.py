@@ -130,3 +130,42 @@ def test_cli_sidecar_emit_warc(spark, docs100, tmp_path, capsys, monkeypatch):
     back = ingest_warc_files(spark, f"{arc_dir}/*.meta.gz")
     types = {r.rec_type for r in back.select("rec_type").distinct().collect()}
     assert types == {"warcinfo", "metadata"}
+
+
+def test_cli_sidecar_emit_warc_zero_records(spark, tmp_path, capsys, monkeypatch):
+    """SNK5 byte form: a corpus producing no metadata rows emits a
+    warcinfo-ONLY sidecar file whose description carries the reference's
+    '; 0 metadata sidecar records' suffix (warc_metadata_sidecar.py:284-293)."""
+    from warc_metadata_sidecar_spark import schema as sch
+    from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
+
+    dns_only = spark.createDataFrame(
+        [
+            (
+                f"<urn:uuid:dns-{i}>",
+                [],
+                f"dns:host{i}.example.com",
+                None,
+                "response",
+                None,
+                None,
+                None,
+                False,
+                "dns.warc",
+            )
+            for i in range(3)
+        ],
+        sch.DOCUMENTS,
+    )
+    docs_path = str(tmp_path / "docs")
+    dns_only.write.mode("overwrite").parquet(docs_path)
+    arc_dir = str(tmp_path / "archive")
+    _run(monkeypatch, capsys, ["--cpus", "4", "sidecar", arc_dir, docs_path, "--emit-warc"])
+    import glob
+
+    files = glob.glob(f"{arc_dir}/*.meta.gz")
+    assert len(files) == 1
+    rows = parse_warc_bytes(files[0], open(files[0], "rb").read())
+    assert len(rows) == 1 and rows[0]["rec_type"] == "warcinfo"
+    text = "".join(s["text"] or "" for s in rows[0]["spans"])
+    assert "; 0 metadata sidecar records" in text

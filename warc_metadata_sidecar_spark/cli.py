@@ -64,7 +64,19 @@ def cmd_sidecar(args) -> None:
     info = write_sidecar(
         side, out, os.path.basename(args.documents_path), args.operator, args.publisher
     )
-    if args.emit_warc:
+    if args.emit_warc and info["description"].endswith("; 0 metadata sidecar records"):
+        # SNK5 byte form (warc_metadata_sidecar.py:284-293): a warcinfo-only
+        # sidecar carrying the amended description
+        import gzip as _gzip
+
+        from warc_metadata_sidecar_spark.operators.cdxj import sidecar_filename
+        from warc_metadata_sidecar_spark.sources.warc_export import render_warcinfo
+
+        name = sidecar_filename(os.path.basename(args.documents_path) + ".warc")
+        blob = _gzip.compress(render_warcinfo(name, payload_fields=info), mtime=0)
+        with open(os.path.join(args.archive_dir, name), "wb") as fh:
+            fh.write(blob)
+    elif args.emit_warc:
         # byte-form interop output, one <name>.warc.meta.gz per source file
         # (the reference CLI's native artifact) — rendered from the WRITTEN
         # parquet rows, so the detector pipeline still runs exactly once
