@@ -7,10 +7,12 @@ expressions — explode lines, regexp-extract directives, window-scope them
 to their RFC 9309 group (consecutive User-agent lines = one group) — no
 Python in the path.
 
-Scope (documented subset of REP, RFC 9309): Disallow/Allow/Crawl-delay
-directives of any group that names `*` among its (possibly several)
-user-agent lines; an empty `Disallow:` means allow-all; groups naming only
-specific agents, wildcards inside paths, and Sitemap lines are ignored. `budget` is not a robots.txt concept — callers supply it
+Scope (REP, RFC 9309): Disallow/Allow/Crawl-delay directives of any group
+that names `*` among its (possibly several) user-agent lines, with
+longest-match precedence, `*` wildcards and trailing-`$` anchors evaluated
+by the scheduler (scheduler.apply_robots); an empty `Disallow:` means
+allow-all; groups naming only specific agents and Sitemap lines are
+ignored. `budget` is not a robots.txt concept — callers supply it
 (default politeness budget), like gen.robots does.
 """
 

@@ -36,11 +36,45 @@ def dedup_candidates(candidates: DataFrame) -> DataFrame:
     )
 
 
+def _regexify_rule(p):
+    """robots path pattern -> anchored regex (RFC 9309 §2.2.3): '*' matches
+    any octet sequence, a TRAILING '$' anchors the end, everything else is
+    literal. Built natively from the rule column: escape regex metachars,
+    then rewrite '*' and the trailing escaped '$'."""
+    esc = F.regexp_replace(p, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    # '$' must itself be escaped in a Java replacement string
+    esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), esc)
+
+
+def _rule_match(path, p):
+    """Does `path` match rule pattern `p`? Plain prefixes use startswith;
+    patterns containing '*' or ending in '$' go through the regex form."""
+    has_wild = (F.instr(p, "*") > 0) | p.endswith("$")
+    return F.when(has_wild, F.regexp_like(path, _regexify_rule(p))).otherwise(
+        path.startswith(p)
+    )
+
+
+def py_rule_match(path: str, p: str) -> bool:
+    """Python twin of _rule_match (simulator / unit oracles)."""
+    import re as _re
+
+    if "*" in p or p.endswith("$"):
+        esc = _re.escape(p).replace(r"\*", ".*")
+        if esc.endswith(r"\$"):
+            esc = esc[:-2] + "$"
+        return _re.match(esc, path) is not None
+    return path.startswith(p)
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """RFC 9309 §2.2.2 longest-match rule evaluation: among a host's
-    Allow/Disallow path rules matching the candidate's path, the MOST
-    SPECIFIC (longest prefix) decides; an Allow/Disallow tie prefers Allow;
-    no matching rule = allowed.
+    Allow/Disallow path rules matching the candidate's path (prefix,
+    '*' wildcard, or '$'-anchored — §2.2.3), the MOST SPECIFIC (longest
+    pattern) decides; an Allow/Disallow tie prefers Allow; no matching
+    rule = allowed.
 
     Shuffle-free: rules collapse to one broadcast row per host carrying an
     array<struct<prefix,allowed>>; the per-row array fold resolves the
@@ -60,7 +94,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "^[^/]*", ""
     )
     joined = candidates.join(F.broadcast(rules), "host", "left")
-    matches = F.filter(F.col("_rules"), lambda r: path.startswith(r["p"]))
+    matches = F.filter(F.col("_rules"), lambda r: _rule_match(path, r["p"]))
     best = F.array_max(
         F.transform(matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a")))
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from warc_metadata_sidecar_spark.frontier.canonical import py_canonicalize
 from warc_metadata_sidecar_spark.frontier.crawl import LINK_ADDS, LINK_MULTS
+from warc_metadata_sidecar_spark.frontier.scheduler import py_rule_match
 
 
 def simulate_crawl(
@@ -60,7 +61,7 @@ def simulate_crawl(
             # specific matching rule decides, ties prefer Allow, no match
             # allows — max((len, allowed)) mirrors the struct ordering
             matches = [
-                (len(p), a) for p, a in rules.get(host, []) if path.startswith(p)
+                (len(p), a) for p, a in rules.get(host, []) if py_rule_match(path, p)
             ]
             if matches and not max(matches)[1]:
                 continue
