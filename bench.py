@@ -40,6 +40,8 @@ HEADLINE = [
     "sessionize_events",
     "dedup_exact",
     "corpus_curation",
+    "pii_scrub",
+    "benchmark_contamination",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",

@@ -398,3 +398,33 @@ def test_streaming_ledger_compaction(spark, tmp_path):
     assert _ledger_files(ledger_dir) < frag
     got = spark.read.parquet(ledger_dir)
     assert got.count() == 300 == got.select("payload_digest").distinct().count()
+
+
+def test_pii_redaction_consistent_with_counts(spark):
+    """redact_pii_col replaces exactly what pii_counts_col counts — the same
+    regexes the oracled pii_scrub query plants and counts."""
+    from warc_metadata_sidecar_spark.functions.text import (
+        pii_counts_col,
+        redact_pii_col,
+    )
+
+    rows = [
+        ("a", "write to bob.smith+x@example.co.uk or sue@test.org today"),
+        ("b", "server 192.168.0.1 and 10.0.0.255 responded"),
+        ("c", "call +1 555 0100 200 or (555) 010-0200 now"),
+        ("d", "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ne, ni, np_ = pii_counts_col(F.col("text"))
+    out = df.select(
+        "doc_id",
+        redact_pii_col(F.col("text")).alias("red"),
+        ne.alias("n_email"), ni.alias("n_ip"), np_.alias("n_phone"),
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by["a"].n_email == 2 and by["a"].red.count("<EMAIL>") == 2
+    assert by["b"].n_ip == 2 and by["b"].red.count("<IP>") == 2
+    assert by["c"].n_phone >= 1 and "<PHONE>" in by["c"].red
+    assert by["d"].red == "no pii here at all"
+    for r in out:
+        assert "@" not in r.red or r.doc_id == "d"

@@ -56,6 +56,7 @@ SPARK = {
     "STRPOS": "instr",
     "LIST_DISTINCT": "array_distinct",
     "SLICE_JOIN": "concat_ws(' ', slice({arr}, {i}, 3))",
+    "SLICE8": "concat_ws(' ', slice(ws, i, 8))",
     "LAT": _lat_spark,
     "SHIFTLEFT": "shiftleft(1, {b})",
     "SHIFTRIGHT": "shiftright({v}, {b})",
@@ -69,6 +70,7 @@ DUCK = {
     "STRPOS": "strpos",
     "LIST_DISTINCT": "list_distinct",
     "SLICE_JOIN": "array_to_string({arr}[{i}:{i}+2], ' ')",
+    "SLICE8": "array_to_string(ws[i:i+7], ' ')",
     "LAT": _lat_duck,
     "SHIFTLEFT": "(CAST(1 AS BIGINT) << {b})",
     "SHIFTRIGHT": "({v} >> {b})",
@@ -623,6 +625,65 @@ FROM curated GROUP BY 1 ORDER BY token_bucket
 """
 )
 
+# PII scrubbing accounting: plant deterministic emails/IPs/phones, count them
+# with the SAME regexes the engine's redact_pii_col uses (functions/text.py)
+_Q["pii_scrub"] = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+                THEN concat(text, ' contact user', CAST(doc_id AS STRING),
+                            '@example.com or admin@test.org now')
+              WHEN doc_id % 7 = 1
+                THEN concat(text, ' from 10.', CAST(doc_id % 200 AS STRING),
+                            '.0.1 logged in')
+              WHEN doc_id % 7 = 2
+                THEN concat(text, ' call +1 555 ', @PRINTF('%07d', doc_id), ' today')
+              ELSE text END AS text
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, @N_EMAIL AS n_email, @N_IP AS n_ip, @N_PHONE AS n_phone
+  FROM planted
+)
+SELECT CAST(doc_id % 7 AS INT) AS plant_kind,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ip) AS BIGINT) AS ips,
+       CAST(sum(n_phone) AS BIGINT) AS phones
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+# benchmark-contamination check: 8-gram overlap between a held-out benchmark
+# slice and the training corpus (with planted leaks, so the join has known
+# positives); the n-gram equi-join is the shape this runs at 100 TB
+_Q["benchmark_contamination"] = """
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM bench  -- planted leaks
+),
+btoks AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM bench),
+bgrams AS (
+  SELECT DISTINCT @GRAM8 AS g FROM btoks @LAT8 WHERE @LEN(ws) >= 8
+),
+ttoks AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM train),
+tgrams AS (
+  SELECT DISTINCT doc_id, @GRAM8 AS g FROM ttoks @LAT8 WHERE @LEN(ws) >= 8
+),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tgrams t JOIN bgrams b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS contaminated_docs,
+       CAST(coalesce(sum(n_shared), 0) AS BIGINT) AS shared_8grams,
+       CAST(max(n_shared) AS BIGINT) AS max_shared
+FROM hits
+"""
+
 _Q["lang_id_markers"] = """
 WITH guessed AS (
   SELECT lang,
@@ -715,10 +776,33 @@ _ARGMAX8_DUCK = (
 )
 
 
+def _re_count(dialect: dict, pat: str) -> str:
+    """size/len(regexp_extract_all(text, pat)) with dialect string-literal
+    escaping (Spark SQL literals process backslashes; DuckDB's do not)."""
+    if dialect is SPARK:
+        lit = pat.replace("\\", "\\\\").replace("'", "''")
+        return f"size(regexp_extract_all(text, '{lit}', 0))"
+    lit = pat.replace("'", "''")
+    return f"len(regexp_extract_all(text, '{lit}'))"
+
+
 def _render_query(name: str, dialect: dict) -> str:
     sql = _Q[name]
     if "@SHINGLES" in sql:
         sql = sql.replace("@SHINGLES", _shingle_cte(dialect))
+    if "@N_EMAIL" in sql:
+        from warc_metadata_sidecar_spark.functions.text import (
+            PII_EMAIL,
+            PII_IP,
+            PII_PHONE,
+        )
+
+        sql = sql.replace("@N_EMAIL", _re_count(dialect, PII_EMAIL))
+        sql = sql.replace("@N_IP", _re_count(dialect, PII_IP))
+        sql = sql.replace("@N_PHONE", _re_count(dialect, PII_PHONE))
+    if "@GRAM8" in sql:
+        sql = sql.replace("@GRAM8", dialect["SLICE8"])
+        sql = sql.replace("@LAT8", dialect["LAT"]("@LEN(ws) - 7"))
     if "@EXPLODE_W" in sql:
         if dialect is SPARK:
             sql = sql.replace(

@@ -88,3 +88,28 @@ def winnow_fingerprints_col(text: Column, gram: int = 8, keep_mod: int = 16) -> 
     idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (gram - 1), F.lit(1)))
     hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(gram))))
     return F.filter(hashes, lambda h: F.substring(h, 1, 1) == F.lit("0"))
+
+
+# PII scrubbing (training-data pipelines redact before training). The regex
+# subset is deterministic and shared VERBATIM with the dual-dialect oracle
+# (driver_queries pii_redaction): emails, dotted-quad IPs, and +?digit
+# phone-ish runs of 7+ digits with optional separators.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d() -]{5,}\d\b"
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Emails -> <EMAIL>, IPs -> <IP>, phone-ish digit runs -> <PHONE>
+    (applied in that order, all native regexp_replace)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_counts_col(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) per document — size(regexp_extract_all)."""
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+    return n(PII_EMAIL), n(PII_IP), n(PII_PHONE)
