@@ -47,7 +47,13 @@ def main() -> None:
     spark = build_session(
         "seen-shuffle-bench",
         cpus=8,
-        extra={"spark.ui.enabled": "true", "spark.ui.port": "4047"},
+        extra={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4047",
+            # the /stages endpoint only lists retained stages; keep every
+            # stage of this measurement session so cumulative deltas are exact
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     work = tempfile.mkdtemp(prefix="seen_shuffle_")

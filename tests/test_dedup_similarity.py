@@ -216,3 +216,28 @@ def test_srp_literal_hyperplanes_match_md5_expression(spark, vectors):
             ).collect()
         }
         assert lit_rows == expr_rows and lit_rows
+
+
+def test_srp_mixed_width_vectors_fall_back_per_row(spark):
+    """A corpus with mixed embedding widths must bucket every row exactly
+    like the md5-expression form — the literal-hyperplane fast path only
+    applies to rows matching the sampled width."""
+    from warc_metadata_sidecar_spark.operators.similarity import (
+        _as_double,
+        _srp_bucket_expr,
+        lsh_srp_buckets,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(20)] + [
+        (100 + i, [float(i % 3), 1.0]) for i in range(10)  # width-2 stragglers
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.srp_bucket for r in lsh_srp_buckets(emb, planes=6).collect()}
+    e = _as_double(emb, "embedding")
+    ref = {
+        r.vec_id: r.b
+        for r in e.select(
+            "vec_id", _srp_bucket_expr("embedding", 6, 0, dims=None).alias("b")
+        ).collect()
+    }
+    assert got == ref and len(got) == 30

@@ -519,3 +519,27 @@ def test_robots_wildcard_and_anchor_rules(spark):
             if py_rule_match(path, p)
         ]
         assert (not matches or max(matches)[1]) == ok, (u, matches)
+
+
+def test_crawl_mixed_layout_resume_keeps_all_seen(spark, corpus, robots_df, seeds, tmp_path):
+    """A union-layout history continued in bucketed mode (full `seen`
+    snapshots for early rounds, seen_delta after) must resume with the FULL
+    seen set — base = latest full snapshot, plus every later delta."""
+    out = str(tmp_path / "ck")
+    # rounds 0-1 in the union layout
+    run_crawl(spark, corpus, seeds, robots_df, rounds=2, universe=UNIVERSE,
+              skew_stats=False, out_dir=out)
+    # round 2 continues bucketed (writes only seen_delta)
+    mid = run_crawl(spark, corpus, seeds, robots_df, rounds=3, universe=UNIVERSE,
+                    skew_stats=False, out_dir=out, bucketed_seen=True)
+    assert [m.round for m in mid.lineage] == [2]
+    # resume AGAIN for round 3: seen must contain rounds 0-2 (the r2-layout
+    # base snapshot plus the bucketed delta)
+    cont = run_crawl(spark, corpus, seeds, robots_df, rounds=4, universe=UNIVERSE,
+                     skew_stats=False, out_dir=out, bucketed_seen=True)
+    assert [m.round for m in cont.lineage] == [3]
+    full = run_crawl(spark, corpus, seeds, robots_df, rounds=4, universe=UNIVERSE,
+                     skew_stats=False)
+    assert {(r.canonical_url, r.first_round) for r in cont.seen.collect()} == {
+        (r.canonical_url, r.first_round) for r in full.seen.collect()
+    }

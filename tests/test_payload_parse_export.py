@@ -212,3 +212,39 @@ def test_export_fresh_warcinfo_shape(spark, docs100, media_tbl):
     keys = [line.split(":", 1)[0] for line in payload.splitlines() if line]
     assert keys[:5] == ["software", "hostname", "ip", "conformsTo", "description"]
     assert re.search(r"WARC-Record-ID: <urn:uuid:[0-9a-f-]{36}>", head)
+
+
+def test_export_duplicate_url_payload_get_distinct_record_ids(spark):
+    """Unchanged-page re-crawls (same URL, same payload, different records)
+    must not share a WARC-Record-ID."""
+    ddl = (
+        "doc_id string, url string, warc_date timestamp, concurrent_id string, "
+        "warcinfo_id string, payload string, source_file string"
+    )
+    import datetime as dt
+
+    rows = [
+        {"doc_id": f"<urn:uuid:dup-{i}>", "url": "https://x.example.com/",
+         "warc_date": dt.datetime(2021, 11, 11, 21, 11, i),
+         "concurrent_id": None, "warcinfo_id": None,
+         "payload": "Preservation-Identifier: fmt/471",
+         "source_file": "dup.warc"}
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, schema=ddl)
+    blob = export_sidecar_warcs(df, gzip=False).collect()[0]
+    import re
+
+    ids = re.findall(r"WARC-Record-ID: (<[^>]+>)", bytes(blob.warc_bytes).decode())
+    # warcinfo + 2 metadata records, all distinct
+    assert len(ids) == 3 and len(set(ids)) == 3
+
+
+def test_render_warcinfo_handles_nat_date():
+    import pandas as pd
+
+    from warc_metadata_sidecar_spark.sources.warc_export import render_warcinfo
+
+    blob = render_warcinfo("x.warc.meta.gz", payload_fields={"software": "s"},
+                           warc_date=pd.NaT)
+    assert b"WARC-Date: 1970-01-01T00:00:00Z" in blob

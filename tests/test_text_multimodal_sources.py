@@ -413,6 +413,9 @@ def test_pii_redaction_consistent_with_counts(spark):
         ("b", "server 192.168.0.1 and 10.0.0.255 responded"),
         ("c", "call +1 555 0100 200 or (555) 010-0200 now"),
         ("d", "no pii here at all"),
+        # digit run inside the email: counted as EMAIL only (sequential
+        # counting mirrors sequential redaction)
+        ("e", "mail user5551234567@example.com please"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     ne, ni, np_ = pii_counts_col(F.col("text"))
@@ -426,5 +429,7 @@ def test_pii_redaction_consistent_with_counts(spark):
     assert by["b"].n_ip == 2 and by["b"].red.count("<IP>") == 2
     assert by["c"].n_phone >= 1 and "<PHONE>" in by["c"].red
     assert by["d"].red == "no pii here at all"
+    assert by["e"].n_email == 1 and by["e"].n_phone == 0
+    assert by["e"].red == "mail <EMAIL> please"
     for r in out:
         assert "@" not in r.red or r.doc_id == "d"

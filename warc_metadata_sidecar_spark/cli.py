@@ -39,7 +39,10 @@ def cmd_sidecar(args) -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from warc_metadata_sidecar_spark.operators.sidecar import extract_sidecar
+    from warc_metadata_sidecar_spark.operators.sidecar import (
+        counter_aggs,
+        extract_sidecar,
+    )
     from warc_metadata_sidecar_spark.sources.tables import write_sidecar
 
     log = _run_log(args.archive_dir, "metadata_sidecar")
@@ -53,12 +56,7 @@ def cmd_sidecar(args) -> None:
     # write_sidecar, but the CLI re-ran extract_sidecar via sidecar_counters
     # one level up). total_records_read is a detector-free parquet count.
     obs = Observation("sidecar_counters")
-    annotated = extract_sidecar(docs, media).observe(
-        obs,
-        F.sum(F.when(F.col("payload").isNotNull(), 1).otherwise(0)).alias("records_written"),
-        F.sum(F.when(F.col("is_text"), 1).otherwise(0)).alias("text_mime"),
-        F.sum(F.when(~F.col("is_text"), 1).otherwise(0)).alias("non_text"),
-    )
+    annotated = extract_sidecar(docs, media).observe(obs, *counter_aggs())
     side = annotated.filter(F.col("payload").isNotNull()).drop("is_text")
     out = os.path.join(args.archive_dir, "sidecar")
     info = write_sidecar(

@@ -776,14 +776,26 @@ _ARGMAX8_DUCK = (
 )
 
 
-def _re_count(dialect: dict, pat: str) -> str:
-    """size/len(regexp_extract_all(text, pat)) with dialect string-literal
-    escaping (Spark SQL literals process backslashes; DuckDB's do not)."""
+def _pat_lit(dialect: dict, pat: str) -> str:
+    """Regex pattern as a dialect string literal (Spark SQL literals process
+    backslashes; DuckDB's do not)."""
     if dialect is SPARK:
-        lit = pat.replace("\\", "\\\\").replace("'", "''")
-        return f"size(regexp_extract_all(text, '{lit}', 0))"
-    lit = pat.replace("'", "''")
-    return f"len(regexp_extract_all(text, '{lit}'))"
+        return pat.replace("\\", "\\\\").replace("'", "''")
+    return pat.replace("'", "''")
+
+
+def _re_count(dialect: dict, expr: str, pat: str) -> str:
+    lit = _pat_lit(dialect, pat)
+    if dialect is SPARK:
+        return f"size(regexp_extract_all({expr}, '{lit}', 0))"
+    return f"len(regexp_extract_all({expr}, '{lit}'))"
+
+
+def _re_replace_all(dialect: dict, expr: str, pat: str, repl: str) -> str:
+    lit = _pat_lit(dialect, pat)
+    if dialect is SPARK:  # Spark replaces all matches by default
+        return f"regexp_replace({expr}, '{lit}', '{repl}')"
+    return f"regexp_replace({expr}, '{lit}', '{repl}', 'g')"
 
 
 def _render_query(name: str, dialect: dict) -> str:
@@ -797,9 +809,14 @@ def _render_query(name: str, dialect: dict) -> str:
             PII_PHONE,
         )
 
-        sql = sql.replace("@N_EMAIL", _re_count(dialect, PII_EMAIL))
-        sql = sql.replace("@N_IP", _re_count(dialect, PII_IP))
-        sql = sql.replace("@N_PHONE", _re_count(dialect, PII_PHONE))
+        # SEQUENTIAL counting in redaction order — the oracle twin of
+        # functions/text.pii_counts_col (a digit run inside an email must
+        # not double-count as a phone)
+        after_email = _re_replace_all(dialect, "text", PII_EMAIL, "<EMAIL>")
+        after_ip = _re_replace_all(dialect, after_email, PII_IP, "<IP>")
+        sql = sql.replace("@N_EMAIL", _re_count(dialect, "text", PII_EMAIL))
+        sql = sql.replace("@N_IP", _re_count(dialect, after_email, PII_IP))
+        sql = sql.replace("@N_PHONE", _re_count(dialect, after_ip, PII_PHONE))
     if "@GRAM8" in sql:
         sql = sql.replace("@GRAM8", dialect["SLICE8"])
         sql = sql.replace("@LAT8", dialect["LAT"]("@LEN(ws) - 7"))
@@ -961,7 +978,9 @@ def url_seen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = base.filter(F.col("doc_id") % 3 == 0).select(
         F.col("url").alias("canonical_url"), F.lit(0).alias("first_round")
     )
-    path = os.path.join(tempfile.gettempdir(), "driver_url_seen_bucketed")
+    # fresh dir per invocation: a fixed shared path would let concurrent
+    # sessions drop each other's table mid-read
+    path = os.path.join(tempfile.mkdtemp(prefix="url_seen_bucketed_"), "seen")
     tbl = create_seen_bucketed(spark, path, seen)
     new = base.join(
         spark.table(tbl).select(F.col("canonical_url").alias("url")), "url", "left_anti"

@@ -136,7 +136,13 @@ class RoundMetrics:
 
 def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
     """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all stages
-    from the status REST API; None when the UI is disabled."""
+    from the status REST API; None when the UI is disabled.
+
+    The endpoint only lists retained stages (spark.ui.retainedStages,
+    default 1000): once a long run evicts stages, cumulative sums can
+    SHRINK between samples — callers must treat a negative delta as
+    unmeasured (run_crawl records -1), and measurement sessions should
+    raise retainedStages (BENCH/seen_shuffle.py does)."""
     import json as _json
     import urllib.request
 
@@ -258,22 +264,35 @@ def run_crawl(
         if done >= 0:
             start_round = done + 1
             frontier = spark.read.parquet(_ckpt_dir(out_dir, done, "frontier"))
-            seen_snap = _ckpt_dir(out_dir, done, "seen")
-            if os.path.exists(os.path.join(seen_snap, "_SUCCESS")):
-                resumed_seen = spark.read.parquet(seen_snap)
-            else:
-                # bucketed-layout checkpoints carry O(delta) snapshots; the
-                # full set is the union of deltas of the complete rounds
-                delta_paths = [
-                    _ckpt_dir(out_dir, r, "seen_delta")
-                    for r in range(done + 1)
-                    if os.path.exists(
-                        os.path.join(_ckpt_dir(out_dir, r, "seen_delta"), "_SUCCESS")
-                    )
-                ]
-                resumed_seen = (
-                    spark.read.parquet(*delta_paths) if delta_paths else empty_seen
+            # Reconstruct seen across MIXED layouts (a union-layout history
+            # continued in bucketed mode writes full `seen` snapshots for
+            # early rounds and O(delta) `seen_delta` for later ones): take
+            # the LATEST full snapshot as the base, then union every delta
+            # after it — dropping either side would silently re-schedule
+            # already-crawled URLs.
+            base_round = -1
+            for r in range(done, -1, -1):
+                if os.path.exists(
+                    os.path.join(_ckpt_dir(out_dir, r, "seen"), "_SUCCESS")
+                ):
+                    base_round = r
+                    break
+            parts = []
+            if base_round >= 0:
+                parts.append(spark.read.parquet(_ckpt_dir(out_dir, base_round, "seen")))
+            parts.extend(
+                spark.read.parquet(_ckpt_dir(out_dir, r, "seen_delta"))
+                for r in range(base_round + 1, done + 1)
+                if os.path.exists(
+                    os.path.join(_ckpt_dir(out_dir, r, "seen_delta"), "_SUCCESS")
                 )
+            )
+            if parts:
+                resumed_seen = parts[0]
+                for p in parts[1:]:
+                    resumed_seen = resumed_seen.unionByName(p)
+            else:
+                resumed_seen = empty_seen
             seen = resumed_seen
             n_seen = seen.count()
             filters_path = _ckpt_dir(out_dir, done, "filters")
@@ -417,6 +436,8 @@ def run_crawl(
             if shuffle_before is not None and shuffle_after is not None
             else (-1, -1)
         )
+        if sr < 0 or sw < 0:  # stage eviction between samples: unmeasured
+            sr, sw = -1, -1
         lineage.append(
             RoundMetrics(
                 round=rnd,

@@ -48,12 +48,12 @@ def _regexify_rule(p):
     return F.concat(F.lit("^"), esc)
 
 
-def _rule_match(path, p):
-    """Does `path` match rule pattern `p`? Plain prefixes use startswith;
-    patterns containing '*' or ending in '$' go through the regex form."""
-    has_wild = (F.instr(p, "*") > 0) | p.endswith("$")
-    return F.when(has_wild, F.regexp_like(path, _regexify_rule(p))).otherwise(
-        path.startswith(p)
+def _rule_match(path, rule):
+    """Does `path` match a prepared rule struct (p, re, w)? Plain prefixes
+    use startswith; wildcard/'$' rules use the regex PREcomputed once per
+    rule in the broadcast build (never re-derived per candidate row)."""
+    return F.when(rule["w"], F.regexp_like(path, rule["re"])).otherwise(
+        path.startswith(rule["p"])
     )
 
 
@@ -81,20 +81,23 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     verdict inline (struct max orders by length then allowed, so ties break
     to Allow exactly per the RFC). With deny-only tables this reduces to
     the classic any-deny-match drop."""
-    rules = (
-        robots.filter(F.col("path_prefix").isNotNull())
-        .groupBy("host")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("path_prefix").alias("p"), F.col("allowed").alias("a"))
-            ).alias("_rules")
-        )
+    rule_rows = robots.filter(F.col("path_prefix").isNotNull()).select(
+        "host",
+        F.col("path_prefix").alias("p"),
+        F.col("allowed").alias("a"),
+        # wildcard machinery resolved ONCE per rule row, before the
+        # per-candidate fold ever sees it
+        ((F.instr("path_prefix", "*") > 0) | F.col("path_prefix").endswith("$")).alias("w"),
+        _regexify_rule(F.col("path_prefix")).alias("re"),
+    )
+    rules = rule_rows.groupBy("host").agg(
+        F.collect_list(F.struct("p", "a", "w", "re")).alias("_rules")
     )
     path = F.regexp_replace(
         F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "^[^/]*", ""
     )
     joined = candidates.join(F.broadcast(rules), "host", "left")
-    matches = F.filter(F.col("_rules"), lambda r: _rule_match(path, r["p"]))
+    matches = F.filter(F.col("_rules"), lambda r: _rule_match(path, r))
     best = F.array_max(
         F.transform(matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a")))
     )

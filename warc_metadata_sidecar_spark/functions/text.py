@@ -108,8 +108,15 @@ def redact_pii_col(text: Column) -> Column:
 
 
 def pii_counts_col(text: Column) -> tuple[Column, Column, Column]:
-    """(n_emails, n_ips, n_phones) per document — size(regexp_extract_all)."""
-    def n(pat: str) -> Column:
-        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    """(n_emails, n_ips, n_phones) per document, counted SEQUENTIALLY in
+    redaction order (emails counted on raw text, IPs after email redaction,
+    phones after both) so the counts equal exactly what redact_pii_col
+    replaces — a digit run inside an email must not double-count as a
+    phone."""
 
-    return n(PII_EMAIL), n(PII_IP), n(PII_PHONE)
+    def n(t: Column, pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IP, "<IP>")
+    return n(text, PII_EMAIL), n(after_email, PII_IP), n(after_ip, PII_PHONE)

@@ -242,6 +242,17 @@ def sidecar_rows(documents: DataFrame, media: DataFrame | None = None) -> DataFr
     return extract_sidecar(documents, media).filter(F.col("payload").isNotNull()).drop("is_text")
 
 
+def counter_aggs() -> list[Column]:
+    """The A1 counter aggregate expressions over an extract_sidecar frame —
+    the single definition shared by sidecar_counters and the CLI's
+    observe() (reference semantics documented in sidecar_counters)."""
+    return [
+        F.sum(F.when(F.col("payload").isNotNull(), 1).otherwise(0)).alias("records_written"),
+        F.sum(F.when(F.col("is_text"), 1).otherwise(0)).alias("text_mime"),
+        F.sum(F.when(~F.col("is_text"), 1).otherwise(0)).alias("non_text"),
+    ]
+
+
 def sidecar_counters(documents: DataFrame, media: DataFrame | None = None) -> DataFrame:
     """A1: the reference's four run counters (warc_metadata_sidecar.py:
     193-196, 299-303) as one aggregation.
@@ -253,11 +264,7 @@ def sidecar_counters(documents: DataFrame, media: DataFrame | None = None) -> Da
     surviving F4; mime_type_records = text_mime + non_text.
     """
     annotated = extract_sidecar(documents, media)
-    counted = annotated.agg(
-        F.sum(F.when(F.col("payload").isNotNull(), 1).otherwise(0)).alias("records_written"),
-        F.sum(F.when(F.col("is_text"), 1).otherwise(0)).alias("text_mime"),
-        F.sum(F.when(~F.col("is_text"), 1).otherwise(0)).alias("non_text"),
-    )
+    counted = annotated.agg(*counter_aggs())
     total = documents.agg(F.count("*").alias("total_records_read"))
     return total.crossJoin(counted).select(
         "total_records_read",

@@ -319,12 +319,20 @@ def _srp_bucket_expr(
 
     bits = []
     for p in range(planes):
+        md5_hp = F.transform(
+            F.sequence(F.lit(0), F.size(vec_col) - 1), plane_component(p)
+        )
         if hyperplanes is not None:
-            hp = F.array(*[F.lit(v) for v in hyperplanes[p]])
+            # the literal plane only applies to rows of the sampled width;
+            # any other width falls back to the md5 form per row (zip_with
+            # against a wrong-length literal would null-pad and silently
+            # collapse those vectors toward bucket 0)
+            hp = F.when(
+                F.size(vec_col) == F.lit(dims),
+                F.array(*[F.lit(v) for v in hyperplanes[p]]),
+            ).otherwise(md5_hp)
         else:
-            hp = F.transform(
-                F.sequence(F.lit(0), F.size(vec_col) - 1), plane_component(p)
-            )
+            hp = md5_hp
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), hp, lambda x, h: x * h),
             F.lit(0.0),

@@ -77,8 +77,14 @@ def _render_record(row: pd.Series) -> bytes:
         headers.append(("WARC-Concurrent-ID", row["concurrent_id"]))
     if row.get("warcinfo_id"):
         headers.append(("WARC-Warcinfo-ID", row["warcinfo_id"]))
+    # doc_id in the hash keeps ids unique when the same URL+payload appears
+    # twice in one file (unchanged-page re-crawls)
     record_id = row.get("record_id") or (
-        "<urn:uuid:%s>" % uuid.uuid5(_UUID_NS, "record:" + digest + (row.get("url") or ""))
+        "<urn:uuid:%s>"
+        % uuid.uuid5(
+            _UUID_NS,
+            "record:" + digest + (row.get("url") or "") + (row.get("doc_id") or ""),
+        )
     )
     headers += [
         ("WARC-Type", "metadata"),
@@ -110,11 +116,13 @@ def render_warcinfo(
     record_id = record_id or (
         "<urn:uuid:%s>" % uuid.uuid5(_UUID_NS, "warcinfo:" + filename + payload_text)
     )
+    if warc_date is None or pd.isna(warc_date):  # incl. pandas NaT
+        warc_date = 0
     headers = [
         ("WARC-Type", "warcinfo"),
         ("WARC-Record-ID", record_id),
         ("WARC-Filename", filename),
-        ("WARC-Date", _warc_ts(warc_date if warc_date is not None else 0)),
+        ("WARC-Date", _warc_ts(warc_date)),
         ("WARC-Block-Digest", _sha1_b32(payload)),
         ("Content-Type", "application/warc-fields"),
         ("Content-Length", str(len(payload))),
@@ -163,7 +171,9 @@ def export_sidecar_warcs(
             else:
                 dates = pdf["warc_date"].dropna()
                 fields = dict(prov_template)
-                fields["description"] = f"WARC metdata sidecar for {name}"
+                # single source of truth for the wording: format the
+                # template's '{name}' placeholder
+                fields["description"] = fields["description"].format(name=name)
                 blocks.append(
                     render_warcinfo(
                         name,
