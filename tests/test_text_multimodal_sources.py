@@ -433,3 +433,57 @@ def test_pii_redaction_consistent_with_counts(spark):
     assert by["e"].red == "mail <EMAIL> please"
     for r in out:
         assert "@" not in r.red or r.doc_id == "d"
+
+
+def test_streaming_ledger_compacts_during_stream(spark, tmp_path):
+    """Compaction runs inside the stream (threshold 1 file): after several
+    micro-batches the ledger holds one row per digest in a rewritten layout
+    and the serve-from-ledger path still works."""
+    from warc_metadata_sidecar_spark import schema as sch
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        _ledger_files,
+        start_sidecar_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cols = [f.name for f in sch.DOCUMENTS.fields]
+
+    def drop(rows):
+        spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) for r in rows], sch.DOCUMENTS
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    def doc(doc_id, digest, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}],
+            "url": f"https://example.com/{doc_id}",
+            "warc_date": None,
+            "rec_type": "response",
+            "payload_digest": digest,
+            "record_id": doc_id,
+            "warcinfo_id": None,
+            "http_status": "200",
+            "is_arc": False,
+            "source_file": "s.warc",
+        }
+
+    html = "<!DOCTYPE html><html lang=en><body>the quick brown fox and the lazy dog</body></html>"
+    drop([doc("c1", "sha1:C1", html)])
+    q = start_sidecar_stream(
+        spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        ledger_dir=str(tmp_path / "ledger"), compact_every_files=1,
+    )
+    q.processAllAvailable()
+    drop([doc("c2", "sha1:C2", html)])
+    q.processAllAvailable()
+    drop([doc("c3", "sha1:C1", "different text, served from ledger")])
+    q.processAllAvailable()
+    q.stop()
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    assert sorted(r.payload_digest for r in ledger.collect()) == ["sha1:C1", "sha1:C2"]
+    out = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out["c3"].payload == out["c1"].payload  # served despite compactions
+    # compacted: bounded file count (threshold 1 -> at most a couple of sets)
+    assert _ledger_files(str(tmp_path / "ledger")) <= 2 * 16
