@@ -165,3 +165,43 @@ def test_filter_state_compression_and_legacy_compat():
     )
     t3 = deserialize_tiered(legacy)
     assert t3.bloom.bits.tobytes() == t.bloom.bits.tobytes()
+
+
+def test_shardjoin_lookup_equals_broadcast_lookup(spark):
+    """The executor-side shard-join membership probe (no driver collect /
+    broadcast) returns exactly the broadcast-handle path's rows — and both
+    equal the plain exact anti-join."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.seen import (
+        filter_new,
+        filter_new_shardjoin,
+        load_sharded,
+        update_filter_shards,
+    )
+
+    cand = spark.range(600).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 9), F.lit("/p/"), F.col("id"))
+        .alias("canonical_url"),
+        (F.col("id") % 9).alias("extra"),
+    )
+    seen = cand.filter(F.col("id" if "id" in cand.columns else "extra") >= 0)  # placeholder
+    seen = spark.range(0, 600, 3).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 9), F.lit("/p/"), F.col("id"))
+        .alias("canonical_url")
+    )
+    filters = update_filter_shards(spark, seen)
+    handle = load_sharded(filters)
+    via_broadcast = {
+        (r.canonical_url, r.extra)
+        for r in filter_new(spark, cand, seen, handle).collect()
+    }
+    via_shardjoin = {
+        (r.canonical_url, r.extra)
+        for r in filter_new_shardjoin(spark, cand, seen, filters).collect()
+    }
+    exact = {
+        (r.canonical_url, r.extra)
+        for r in cand.join(seen, "canonical_url", "left_anti").collect()
+    }
+    assert via_shardjoin == via_broadcast == exact and exact

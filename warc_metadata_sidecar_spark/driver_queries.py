@@ -959,6 +959,32 @@ def url_seen_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_seen_shardjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 through the EXECUTOR-SIDE shard-join lookup (cogroup probe of the
+    filter states where they live — no driver collect, no broadcast; the
+    path for states too large to broadcast at 10^10 keys), oracled by the
+    same DuckDB SQL as url_seen_antijoin."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.seen import (
+        filter_new_shardjoin,
+        update_filter_shards,
+    )
+
+    register_views(spark, sf_dir)
+    base = spark.sql(
+        _render("WITH " + KEPT_CTE + "\nSELECT host, url, doc_id FROM kept", SPARK)
+    )
+    seen = base.filter(F.col("doc_id") % 3 == 0).select("url")
+    filters = update_filter_shards(spark, seen, key="url")
+    new = filter_new_shardjoin(spark, base, seen, filters, key="url")
+    return (
+        new.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+        .orderBy("host")
+    )
+
+
 def url_seen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 over the r3 BUCKETED seen layout — the 100 TB anti-join shape
     (seen side co-located with zero exchange; BENCH/SEEN.md) — oracled by
@@ -1136,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["flagship_counters"] = flagship_counters
     out["crawl_rounds"] = crawl_rounds
     out["url_seen_sharded"] = url_seen_sharded
+    out["url_seen_shardjoin"] = url_seen_shardjoin
     out["url_seen_bucketed"] = url_seen_bucketed
     out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
     out["dedup_cosine_srp"] = dedup_cosine_srp
@@ -1148,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
     # the sharded-filter path must equal the exact anti-join — same oracle;
     # so must the bucketed-layout anti-join (plan changes, rows don't)
     oracles["url_seen_sharded"] = duck_sql_for("url_seen_antijoin")
+    oracles["url_seen_shardjoin"] = duck_sql_for("url_seen_antijoin")
     oracles["url_seen_bucketed"] = duck_sql_for("url_seen_antijoin")
     # engine mapInPandas multimodal path vs a from-hex DuckDB rebuild
     oracles["multimodal_features"] = _multimodal_oracle_sql()

@@ -411,6 +411,53 @@ def append_seen_bucketed(
     )
 
 
+def filter_new_shardjoin(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame,
+    filters: DataFrame,
+    key: str = "canonical_url",
+    num_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """filter_new with the prefilter lookup ON EXECUTORS: candidates route
+    to their url-hash shard (the same md5-prefix hash the build used) and
+    the task owning each shard deserializes its filter state ONCE per round
+    to probe its candidates — no driver collect, no broadcast. This is the
+    lookup path for filter states too large to broadcast (at 10^10 keys the
+    full state set is GBs); the broadcast handle (load_sharded) remains the
+    small-state fast path. Output rows are EXACTLY filter_new's (equality
+    pinned by tests and the url_seen_shardjoin oracle)."""
+    tagged = candidates.withColumn("_shard", shard_expr(F.col(key), num_shards))
+    out_schema = T.StructType(
+        list(tagged.schema.fields) + [T.StructField("_maybe", T.BooleanType())]
+    )
+
+    def probe(key_tuple, cand: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        out = cand.copy()
+        if not len(cand):
+            out["_maybe"] = pd.Series(dtype="bool")
+            return out
+        if len(state):
+            t = deserialize_tiered(bytes(state["state"].iloc[0]))
+            out["_maybe"] = cand[key].map(
+                lambda u: bool(u is not None and t.might_contain(u))
+            )
+        else:
+            out["_maybe"] = False
+        return out
+
+    flagged = (
+        tagged.groupBy("_shard")
+        .cogroup(filters.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+        .drop("_shard")
+    )
+    definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
+    confirmed_new = needs_check.join(seen.select(key), key, "left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
 def filter_new(
     spark: SparkSession,
     candidates: DataFrame,
