@@ -30,16 +30,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cosine(a: str, b: str) -> F.Column:
-    """Exact cosine between two array<double> columns — native fold."""
-    dot = F.aggregate(
+def _dot(a: str, b: str) -> F.Column:
+    """Dot product of two array<double> columns — native fold."""
+    return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def _norm(col: F.Column) -> F.Column:
+    """L2 norm — computed ONCE per vector row and carried as a column, so
+    pair scoring never re-folds the norms per pair (at k candidate pairs
+    per vector that re-fold tripled the per-pair lambda work)."""
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    """Exact cosine between two array<double> columns — native fold. The
+    hot paths precompute norms and use _dot/(na*nb) instead; this form
+    remains for one-shot scoring (same arithmetic, identical values)."""
+    return _dot(a, b) / (_norm(F.col(a)) * _norm(F.col(b)))
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -57,11 +68,11 @@ def brute_force_topk(
     `block_col` optionally restricts pairs to a blocking key (e.g. label) —
     without it this is the all-pairs baseline, quadratic by design."""
     e = _as_double(embeddings, vec_col)
-    a = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
-    b = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
+    a = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("_na"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
+    b = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("_nb"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
     cond = F.col("vec_id") != F.col("neighbor_id")
     pairs = a.join(b, ["blk"] if block_col else None, "inner").filter(cond) if block_col else a.crossJoin(b).filter(cond)
-    scored = pairs.withColumn("sim", F.round(_cosine("va", "vb"), 6))
+    scored = pairs.withColumn("sim", F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -145,9 +156,15 @@ def _assign_buckets(
 
     nprobe=1 (the bulk assignment path) aggregates max(struct(sim, ...)) —
     map-side combinable, so the exchange carries ~one row per vector, not
-    the n x k window-sort input. Multi-probe keeps the window."""
-    joined = e.crossJoin(F.broadcast(centroids)).withColumn(
-        "_csim", _cosine(vec_col, "centroid")
+    the n x k window-sort input. Multi-probe keeps the window. Norms fold
+    once per vector row / centroid row, never per (vector, centroid)
+    pair."""
+    e_n = e.withColumn("_vn", _norm(F.col(vec_col)))
+    cents_n = centroids.withColumn("_cn", _norm(F.col("centroid")))
+    joined = (
+        e_n.crossJoin(F.broadcast(cents_n))
+        .withColumn("_csim", _dot(vec_col, "centroid") / (F.col("_vn") * F.col("_cn")))
+        .drop("_vn", "_cn")
     )
     if nprobe == 1:
         # deterministic argmax: ties on sim break to the LOWEST centroid_id
@@ -201,8 +218,14 @@ def ivf_topk(
     e = _as_double(embeddings, vec_col)
     if n_centroids is None and centroids is None:
         bucketed = ivf_buckets(embeddings, vec_col, dims)
-        a = bucketed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "bucket")
-        b = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), "bucket")
+        a = bucketed.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"),
+            _norm(F.col(vec_col)).alias("_na"), "bucket",
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
+            _norm(F.col(vec_col)).alias("_nb"), "bucket",
+        )
     else:
         if centroids is None:
             centroids = ivf_train_centroids(e, n_centroids, id_col, vec_col, iters)
@@ -229,8 +252,14 @@ def ivf_topk(
                 cand.withColumn("_brn", F.row_number().over(wb))
                 .filter(F.col("_brn") <= max_bucket)
             )
-        a = assigned.select(F.col("_id").alias("vec_id"), F.col("_v").alias("va"), "bucket")
-        b = cand.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("vb"), "bucket")
+        a = assigned.select(
+            F.col("_id").alias("vec_id"), F.col("_v").alias("va"),
+            _norm(F.col("_v")).alias("_na"), "bucket",
+        )
+        b = cand.select(
+            F.col("_id").alias("neighbor_id"), F.col("_v").alias("vb"),
+            _norm(F.col("_v")).alias("_nb"), "bucket",
+        )
     pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
     if k == 1:
         # top-1 is an argmax: partial-aggregates map-side, so the (possibly
@@ -239,7 +268,9 @@ def ivf_topk(
         # identical to the window path: desc(sim), asc(neighbor_id), via
         # min(struct(-sim, neighbor_id)); sim rides in the struct so no
         # -0.0 renegotiation on output.
-        scored = pairs.withColumn("sim", F.round(_cosine("va", "vb"), 6))
+        scored = pairs.withColumn(
+            "sim", F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6)
+        )
         best = scored.groupBy("vec_id").agg(
             F.min(
                 F.struct(
@@ -258,7 +289,9 @@ def ivf_topk(
     # nprobe > 1 can meet the same pair in several buckets — collapse before
     # ranking so duplicates cannot inflate the top-k
     pairs = pairs.dropDuplicates(["vec_id", "neighbor_id"])
-    scored = pairs.withColumn("sim", F.round(_cosine("va", "vb"), 6))
+    scored = pairs.withColumn(
+        "sim", F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -443,16 +476,16 @@ def embedding_cosine_dedup(
     e = _as_double(embeddings, vec_col)
     if block_col is None and not exact:
         cand = srp_candidate_pairs(e, id_col, vec_col, planes, tables, max_bucket)
-        va = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        vb = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        va = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("_na"))
+        vb = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("_nb"))
         pairs = cand.join(va, "id_a").join(vb, "id_b")
     else:
-        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
-        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
+        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("_na"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
+        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("_nb"), *([] if block_col is None else [F.col(block_col).alias("blk")]))
         pairs = a.join(b, ["blk"] if block_col else None, "inner") if block_col else a.crossJoin(b)
         pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("sim", F.round(_cosine("va", "vb"), 6))
+        pairs.withColumn("sim", F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
