@@ -543,3 +543,18 @@ def test_crawl_mixed_layout_resume_keeps_all_seen(spark, corpus, robots_df, seed
     assert {(r.canonical_url, r.first_round) for r in cont.seen.collect()} == {
         (r.canonical_url, r.first_round) for r in full.seen.collect()
     }
+
+
+def test_crawl_shardjoin_lookup_identical_schedule(spark, corpus, robots_df, seeds):
+    """seen_lookup='shardjoin' (executor-side cogroup probe of the filter
+    states, no driver collect/broadcast) produces the identical schedule
+    and seen set to the broadcast-handle default."""
+    base = run_crawl(spark, corpus, seeds, robots_df, rounds=3, universe=UNIVERSE,
+                     skew_stats=False)
+    sj = run_crawl(spark, corpus, seeds, robots_df, rounds=3, universe=UNIVERSE,
+                   skew_stats=False, seen_lookup="shardjoin")
+    key = lambda r: (r.round, r.canonical_url, r.rnk)  # noqa: E731
+    assert {key(r) for r in base.schedule.collect()} == {key(r) for r in sj.schedule.collect()}
+    assert {(r.canonical_url, r.first_round) for r in base.seen.collect()} == {
+        (r.canonical_url, r.first_round) for r in sj.seen.collect()
+    }

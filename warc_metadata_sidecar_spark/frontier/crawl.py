@@ -229,6 +229,7 @@ def run_crawl(
     skew_stats: bool = True,
     bucketed_seen: bool = False,
     prune_salts: int | None = 16,
+    seen_lookup: str = "broadcast",
 ) -> CrawlResult:
     """Run `rounds` politeness rounds from `seeds` over the documents corpus.
 
@@ -328,11 +329,25 @@ def run_crawl(
     for rnd in range(start_round, rounds):
         shuffle_before = shuffle_totals(spark)
         # N2: tiered prefilter served from the sharded filters table —
-        # loaded (fixed-size states), never rebuilt from the seen set
-        seen_filter: seen_mod.ShardedSeenFilter | None = None
-        if use_bloom and filters_df is not None and n_seen > 0:
-            seen_filter = load_sharded(filters_df, num_shards)
-        new_candidates = seen_mod.filter_new(spark, frontier, seen, seen_filter)
+        # loaded (fixed-size states), never rebuilt from the seen set.
+        # seen_lookup='shardjoin' probes the states where they live
+        # (cogroup, no driver collect/broadcast — the 10^10-key path);
+        # 'broadcast' collects the compressed states (the small-state
+        # fast path). Identical rows either way (pinned by tests).
+        if (
+            use_bloom
+            and seen_lookup == "shardjoin"
+            and filters_df is not None
+            and n_seen > 0
+        ):
+            new_candidates = seen_mod.filter_new_shardjoin(
+                spark, frontier, seen, filters_df, num_shards=num_shards
+            )
+        else:
+            seen_filter: seen_mod.ShardedSeenFilter | None = None
+            if use_bloom and filters_df is not None and n_seen > 0:
+                seen_filter = load_sharded(filters_df, num_shards)
+            new_candidates = seen_mod.filter_new(spark, frontier, seen, seen_filter)
 
         # candidate count observed upstream: fills when the ranked
         # checkpoint (the one action consuming this plan) executes
