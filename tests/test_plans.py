@@ -78,9 +78,15 @@ def test_aggregation_is_partial_and_single_shuffle(spark):
 
 
 def test_sidecar_shuffle_inventory(spark):
-    # SURVEY.md §4: rep-election exchange + join-back pair on dedup_key +
-    # the (media-first rows only) head-join pair; rep routing is a
-    # BroadcastExchange (payloads never hash-shuffle). Pre-AQE ceiling: 6.
+    # SURVEY.md §4: rep-election exchange + rep semi-join on
+    # (payload_digest, doc_id) + join-back pair on dedup_key + the
+    # (media-first rows only) head-join pair. No forced broadcast anywhere
+    # (VERDICT r3 #1): the rep side is one id per distinct payload — tens
+    # of GB at 10^10 payloads — so AQE decides at runtime (broadcasts while
+    # actually small) and the digest-bucketed layout co-locates at scale
+    # (test_bucketed_sidecar_rep_join_no_broadcast_no_exchange). Pre-AQE
+    # ceiling 10: the media/text split pushes through the rep-docs union,
+    # duplicating the (runtime-reused) semi-join/election subtrees.
     # Fresh inputs: cached fixtures would splice InMemoryRelation subplans
     # (with their own exchanges) into the counted plan.
     from warc_metadata_sidecar_spark import gen
@@ -90,15 +96,54 @@ def test_sidecar_shuffle_inventory(spark):
     media = gen.media(spark)
     plan_df = sidecar_rows(docs, media)
     n = exchange_count(plan_df)
-    assert n <= 6, f"unexpected shuffle count {n}"
-    # exactly one Python stage: detectors must not be duplicated by pushdown
-    assert simple_plan(plan_df).count("ArrowEvalPython") == 1
-    # payloads must not appear in any hash exchange (the no-payload-shuffle
-    # invariant): payload_text only ever feeds the broadcast-semi-join side
+    assert n <= 10, f"unexpected shuffle count {n}"
     plan = simple_plan(plan_df)
+    # exactly one Python stage: detectors must not be duplicated by pushdown
+    assert plan.count("ArrowEvalPython") == 1
+    # the forced rep-id broadcast is gone: any BroadcastExchange in this
+    # pre-AQE plan would be a planner hint, not an adaptive decision
+    assert "BroadcastExchange" not in plan, "forced broadcast reappeared"
+    # concatenated payload text must not appear in any hash exchange — the
+    # payload projection runs AFTER rep routing, on detector-cardinality
+    # rows, and only the head-join moves it (media-first rows only)
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "payload_text" not in line
+
+
+def test_bucketed_sidecar_rep_join_no_broadcast_no_exchange(spark, docs100, tmp_path):
+    """VERDICT r3 #1 (top task): over a payload_digest-bucketed documents
+    table the flagship's rep semi-join must plan NEITHER a BroadcastExchange
+    (the old forced one-id-per-distinct-digest broadcast — OOM at 10^10
+    payloads) NOR a hash exchange on either join side: both sides are
+    pre-partitioned on the digest (subset co-partitioning,
+    spark.sql.requireAllClusterKeysForCoPartition=false in build_session).
+    Broadcast thresholds are disabled so size-based small-table broadcasts
+    cannot mask a forced hint — this is the shape the plan takes at scale."""
+    from warc_metadata_sidecar_spark.plans.audit import simple_plan
+    from warc_metadata_sidecar_spark.sources.tables import write_documents_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    write_documents_bucketed(docs100, "docs_rep4", str(tmp_path / "docs_rep4"), buckets=8)
+    try:
+        t = spark.table("docs_rep4")
+        plan = simple_plan(sidecar_rows(t, None))
+        assert "BroadcastExchange" not in plan, "rep side still force-broadcasts"
+        # the ONLY hash exchanges left are the dedup_key join-back pair;
+        # election groupBy + rep semi-join ride the bucketing exchange-free
+        sem = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "payload_digest" in line
+        ]
+        assert sem == [], f"digest-keyed exchange over bucketed layout: {sem}"
+        assert exchange_count(sidecar_rows(t, None)) <= 2
+        # and the result is still correct (rows survive end-to-end)
+        assert sidecar_rows(t, None).count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS docs_rep4")
 
 
 def test_cosine_dedup_default_has_no_cross_join(spark):

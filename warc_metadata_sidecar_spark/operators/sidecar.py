@@ -17,14 +17,21 @@ Re-expresses the reference's fused per-record loop (warc_metadata_sidecar.py:
       -> filter F4 (drop rows with no detected metadata, :270-271)
       -> counters A1 (:193-196,299-303)
 
-Shuffle inventory (the whole pipeline has exactly two):
-  1. groupBy(dedup_key) — partial aggregation map-side; key is a content
-     hash so it is uniformly distributed by construction (no salting needed;
-     AQE skew-join covers pathological repeat-digests like analytics beacons,
-     cf. tests/digest_multiples.warc).
-  2. the join back distinct->all rows on dedup_key — same partitioning as
-     (1), so on a real cluster Spark reuses the exchange; AQE turns it into a
-     broadcast join when the distinct side is small.
+Shuffle inventory (the whole pipeline has exactly three shuffle classes,
+and over the digest-bucketed layout the first two vanish):
+  1. groupBy(payload_digest) rep election — partial aggregation map-side;
+     key is a content hash so it is uniformly distributed by construction
+     (no salting needed; AQE skew-join covers pathological repeat-digests
+     like analytics beacons, cf. tests/digest_multiples.warc). ZERO
+     exchange over a payload_digest-bucketed table.
+  2. the rep-routing semi-join on (payload_digest, doc_id) — NO broadcast
+     hint (one id per distinct payload is tens of GB at 10^10 payloads);
+     AQE broadcasts at runtime while the rep side is actually small, and
+     over the bucketed layout both sides are pre-partitioned on the digest
+     so the join is exchange-free.
+  3. the join back distinct->all rows on dedup_key — same partitioning as
+     (1), so on a real cluster Spark reuses the exchange; AQE turns it into
+     a broadcast join when the distinct side is small.
 At 100 TB the win is the same as the reference's cache but distributed:
 detector cost is O(distinct payloads), not O(records), and the Python stage
 only ever sees each payload once.
@@ -136,14 +143,24 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
     dedup_key = F.coalesce(
         F.col("payload_digest"), F.concat(F.lit("__row__:"), F.col("doc_id"))
     )
-    # Payloads NEVER shuffle. Phase 1 elects a representative per distinct
-    # digest by shuffling only (dedup_key, warc_date, doc_id) — a few dozen
-    # bytes per row. Phase 2 routes ONLY representative rows into the
-    # detector via a semi-join on doc_id (broadcast of the id list — at
-    # true 10^10 distinct-digest scale the documents table is bucketed by
-    # digest instead and this becomes a co-located join). Detector output
-    # (metadata, not payloads) joins back to the header-only probe side.
-    # Net shuffle bytes: ids + metadata, independent of payload width —
+    # Phase 1 elects a representative per distinct digest by shuffling only
+    # (payload_digest, warc_date, doc_id) — a few dozen bytes per row.
+    # Phase 2 routes ONLY representative rows into the detector via a
+    # semi-join keyed on (payload_digest, doc_id). The digest is the join
+    # key's leading column ON PURPOSE: over a payload_digest-bucketed
+    # documents table (tables.write_documents_bucketed; Iceberg
+    # bucket(payload_digest) in production) BOTH sides of this join are
+    # already hash-partitioned on the digest, so the join runs with ZERO
+    # exchange — pinned by tests/test_plans.
+    # test_bucketed_sidecar_rep_join_no_broadcast_no_exchange. No broadcast
+    # hint anywhere: one rep id per distinct payload is tens of GB at 10^10
+    # payloads, a guaranteed driver/executor OOM (the r2 streaming-ledger
+    # bug class). On a non-bucketed layout AQE broadcasts the rep side at
+    # runtime while it is actually small and falls back to a shuffle join
+    # once it is not; the documented 100 TB answer is the bucketed layout,
+    # where neither side moves. Detector output (metadata, not payloads)
+    # joins back to the header-only probe side. Net shuffle bytes in the
+    # bucketed layout: ids + metadata, independent of payload width —
     # shuffling min(struct(payload)) instead was measured 3x slower at 8
     # cores on ~3 KB payloads and would be fatal at web page sizes.
     # The probe applies only the header filters (F1+F2): reading the spans
@@ -167,21 +184,25 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
     digest_reps = (
         digest_probe.groupBy("payload_digest")
         .agg(F.min(F.struct(F.col("warc_date").alias("_o1"), F.col("doc_id").alias("_o2"))).alias("o"))
-        .select(F.col("o._o2").alias("rep_id"))
+        .select("payload_digest", F.col("o._o2").alias("doc_id"))
     )
-    arc_reps = (
-        header_filters(documents)
-        .filter(F.col("payload_digest").isNull())
-        .select(F.col("doc_id").alias("rep_id"))
+    # The semi-join runs on the BARE filtered scan, before the payload
+    # projection / media head join, for three reasons: (a) the left side's
+    # scan partitioning (digest-bucketed layout) reaches the join intact,
+    # so plain (payload_digest, doc_id) keys co-locate with zero exchange;
+    # (b) the expensive span concat + media join then run on REP ROWS ONLY
+    # (detector-cardinality, not record-cardinality); (c) joining after the
+    # media/text union instead lets PushLeftSemiLeftAntiThroughJoin clone
+    # the join into every union leg (observed: 12 exchanges vs 7). ARC rows
+    # (null digest, per-row key) are trivially their own representatives
+    # and bypass the join on a disjoint filter leg.
+    filtered = base_filters(documents)
+    digest_rep_docs = filtered.filter(F.col("payload_digest").isNotNull()).join(
+        digest_reps, ["payload_digest", "doc_id"], "left_semi"
     )
-    reps = digest_reps.unionByName(arc_reps)
+    rep_docs = digest_rep_docs.unionByName(filtered.filter(F.col("payload_digest").isNull()))
 
-    keyed = _with_payload_projection(base_filters(documents), media).withColumn(
-        "dedup_key", dedup_key
-    )
-    rep_rows = keyed.join(
-        F.broadcast(reps), keyed["doc_id"] == reps["rep_id"], "left_semi"
-    )
+    rep_rows = _with_payload_projection(rep_docs, media).withColumn("dedup_key", dedup_key)
 
     # detect_all is pure, but asNondeterministic() stops Catalyst from
     # duplicating the Arrow stage when the downstream F4 filter is pushed

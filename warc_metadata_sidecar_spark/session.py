@@ -46,6 +46,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Subset co-partitioning: a join whose keys CONTAIN the bucket
+        # column (e.g. the flagship's rep semi-join on (payload_digest,
+        # doc_id) over a payload_digest-bucketed table) runs without an
+        # exchange. The default (true) demands partitioning on ALL join
+        # keys and would re-shuffle both pre-bucketed sides; false restores
+        # the storage-partitioned-join behavior the bucketed layouts here
+        # are designed around.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for key, value in (extra or {}).items():
         builder = builder.config(key, value)
