@@ -176,6 +176,8 @@ def cmd_crawl(args) -> None:
         # the 100 TB seen layout: exchange-free anti-join + O(delta)
         # checkpoints (BENCH/SEEN.md)
         bucketed_seen=True,
+        seen_lookup=args.seen_lookup,
+        broadcast_state_limit=args.seen_broadcast_limit,
     )
     for m in result.lineage:
         print(
@@ -221,6 +223,20 @@ def main() -> None:
     cr.add_argument("--rounds", type=int, default=3)
     cr.add_argument("--budget", type=int, default=2)
     cr.add_argument("--seeds", type=int, default=20)
+    cr.add_argument(
+        "--seen-lookup",
+        choices=("auto", "broadcast", "shardjoin"),
+        default="auto",
+        help="prefilter probe path: driver-broadcast states, executor-side "
+        "shard cogroup (the 10^10-key path), or auto by measured state size",
+    )
+    cr.add_argument(
+        "--seen-broadcast-limit",
+        type=int,
+        default=64 << 20,
+        help="auto mode switches to shardjoin above this aggregate "
+        "filter-state size in bytes",
+    )
     cr.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args()

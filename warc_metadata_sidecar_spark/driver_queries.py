@@ -1005,17 +1005,30 @@ def url_seen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("canonical_url"), F.lit(0).alias("first_round")
     )
     # fresh dir per invocation: a fixed shared path would let concurrent
-    # sessions drop each other's table mid-read
-    path = os.path.join(tempfile.mkdtemp(prefix="url_seen_bucketed_"), "seen")
+    # sessions drop each other's table mid-read. The result is materialized
+    # (localCheckpoint) so the table + temp dir can be cleaned up before
+    # returning — repeated bench/correctness runs must not accumulate
+    # catalog entries and temp dirs (ADVICE r3).
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="url_seen_bucketed_")
+    path = os.path.join(tmp, "seen")
     tbl = create_seen_bucketed(spark, path, seen)
-    new = base.join(
-        spark.table(tbl).select(F.col("canonical_url").alias("url")), "url", "left_anti"
-    )
-    return (
-        new.groupBy("host")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
-        .orderBy("host")
-    )
+    try:
+        new = base.join(
+            spark.table(tbl).select(F.col("canonical_url").alias("url")),
+            "url",
+            "left_anti",
+        )
+        return (
+            new.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+            .orderBy("host")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ann_ivf_centroid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:

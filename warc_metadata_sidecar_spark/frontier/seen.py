@@ -22,6 +22,7 @@ each executor loading only its shard; the sandbox uses one shard.
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 
 import numpy as np
@@ -396,6 +397,39 @@ def create_seen_bucketed(
         .saveAsTable(tbl)
     )
     return tbl
+
+
+def reuse_or_create_seen_bucketed(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame | None = None,
+    table: str | None = None,
+    buckets: int = SEEN_BUCKETS,
+    expected_rows: int = 0,
+) -> str:
+    """create_seen_bucketed, minus the O(|seen|) drop-and-rewrite when a
+    valid table already exists at `path` (VERDICT r3 #5 — resuming a crawl
+    over 10^10 seen rows must not rewrite the whole seen store).
+
+    Reuse requires the existing table to hold exactly `expected_rows` rows
+    (the count of the checkpoint-reconstructed seen set): fewer/more means
+    the table and the round checkpoints diverged (e.g. a crash between the
+    bucketed append and the snapshot write), and the checkpoints are the
+    source of truth — rebuild. A table written by a previous PROCESS is not
+    in this session's in-memory catalog, so the existing bucketed files are
+    re-registered via external-table DDL (CLUSTERED BY, no data rewrite)."""
+    tbl = table or seen_table_name(path)
+    if expected_rows > 0 and os.path.isdir(path):
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} (canonical_url STRING, first_round INT) "
+                f"USING PARQUET CLUSTERED BY (canonical_url) "
+                f"SORTED BY (canonical_url) INTO {buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        if spark.table(tbl).count() == expected_rows:
+            return tbl
+    return create_seen_bucketed(spark, path, df=df, table=tbl, buckets=buckets)
 
 
 def append_seen_bucketed(
