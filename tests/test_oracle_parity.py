@@ -3,13 +3,17 @@ and its oracle_sql() on DuckDB over the same parquet tables; compare row
 multisets (columns sorted by name, floats rounded)."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
-import __spark_entry__ as entry_mod
-
 SF_DIR = "/root/testdata/sf0.001"
+# the crawl_rounds oracle renders the simulator's schedule over the sf dir
+# it is built for — point it at this test's sf BEFORE oracle_sql() runs
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
+import __spark_entry__ as entry_mod  # noqa: E402
 
 
 def _canon(rows, columns):

@@ -16,6 +16,7 @@ dialects (the driver hash-compares values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1136,12 +1137,72 @@ FROM media ORDER BY media_ref
 """
 
 
+def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB VALUES oracle for crawl_rounds (VERDICT r3 #3): the
+    single-threaded pure-Python simulator — an INDEPENDENT implementation
+    of the north-rule crawl semantics sharing only the scalar twins — runs
+    over the same documents table (doc ids read via DuckDB, no Spark) and
+    its full (round, canonical_url, host, url, priority, rnk) schedule is
+    rendered as literals, the multimodal hex-blob technique. The driver
+    compares at sf=0.01 (default); the local parity test overrides via
+    SPARK_GRAFT_ORACLE_SF_DIR before capturing oracle_sql()."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.frontier.scheduler import DEFAULT_BUDGET
+    from warc_metadata_sidecar_spark.frontier.simulator import simulate_crawl
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    # CRAWL_CTE's url derivation, scalar form (fetch join resolves on these)
+    doc_urls = {
+        (
+            f"dns:host{int(i) % 50:02d}.example.com"
+            if int(i) % 10 == 1
+            else f"https://host{int(i) % 50:02d}.example.com/page/{int(i)}"
+        )
+        for i in ids
+    }
+    detail: list[dict] = []
+    simulate_crawl(
+        [r["url"] for r in gen.seed_rows(20)],
+        doc_urls,
+        gen.robots_rows(50),
+        rounds=3,
+        universe=len(ids),
+        default_budget=DEFAULT_BUDGET,
+        schedule_detail=detail,
+    )
+    values = ",\n    ".join(
+        "({}, '{}', '{}', '{}', {!r}, {})".format(
+            d["round"], d["canonical_url"], d["host"], d["url"], d["priority"], d["rnk"]
+        )
+        for d in detail
+    )
+    return f"""
+SELECT CAST(round AS INT) AS round, canonical_url, host, url,
+       CAST(priority AS DOUBLE) AS priority, CAST(rnk AS INT) AS rnk
+FROM (VALUES
+    {values}
+) AS t(round, canonical_url, host, url, priority, rnk)
+ORDER BY round, host, rnk
+"""
+
+
 def crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule frontier loop (rows-only check): 3 politeness rounds over
-    the driver documents mapped into the engine schema; returns the
-    (round, canonical_url, host, url, priority, rnk) schedule. The full
-    ordering/seen-set equality vs the single-threaded simulator is asserted
-    in tests/test_frontier.py."""
+    """North-rule frontier loop: 3 politeness rounds over the driver
+    documents mapped into the engine schema; returns the
+    (round, canonical_url, host, url, priority, rnk) schedule, oracled
+    against the single-threaded simulator rendered as DuckDB VALUES
+    (_crawl_rounds_oracle_sql). Full ordering/seen-set equality vs the
+    simulator is additionally asserted in tests/test_frontier.py."""
     from warc_metadata_sidecar_spark import gen
     from warc_metadata_sidecar_spark.frontier.crawl import run_crawl
 
@@ -1192,4 +1253,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["url_seen_bucketed"] = duck_sql_for("url_seen_antijoin")
     # engine mapInPandas multimodal path vs a from-hex DuckDB rebuild
     oracles["multimodal_features"] = _multimodal_oracle_sql()
+    # crawl loop vs the single-threaded simulator rendered as VALUES
+    oracles["crawl_rounds"] = _crawl_rounds_oracle_sql()
     return oracles

@@ -25,8 +25,14 @@ def simulate_crawl(
     rounds: int = 3,
     universe: int = 1000,
     default_budget: int = 2,
+    schedule_detail: list | None = None,
 ) -> tuple[list[tuple[int, str]], set[str]]:
-    """Returns (schedule [(round, canonical_url) in selection order], seen set)."""
+    """Returns (schedule [(round, canonical_url) in selection order], seen set).
+
+    When `schedule_detail` (a list) is passed, every selected row is also
+    appended to it as a dict with the engine schedule's full column set
+    (round, canonical_url, host, url, priority, rnk) — the source of the
+    crawl_rounds DuckDB VALUES oracle (driver_queries._crawl_rounds_oracle_sql)."""
     rules: dict[str, list[tuple[str, bool]]] = {}
     budget: dict[str, int] = {}
     delay: dict[str, int] = {}
@@ -78,8 +84,19 @@ def simulate_crawl(
                 carryover.extend(url for _, _, url in rows)
                 continue
             b = budget.get(host, default_budget)
-            for priority, cu, url in rows[:b]:
+            for rnk, (priority, cu, url) in enumerate(rows[:b], start=1):
                 selected.append((cu, url))
+                if schedule_detail is not None:
+                    schedule_detail.append(
+                        {
+                            "round": rnd,
+                            "canonical_url": cu,
+                            "host": host,
+                            "url": url,
+                            "priority": priority,
+                            "rnk": rnk,
+                        }
+                    )
             carryover.extend(url for _, _, url in rows[b:])
 
         next_frontier: list[str] = list(carryover)

@@ -227,10 +227,9 @@ def media(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(media_rows(), schema.MEDIA)
 
 
-def seed_frontier(spark: SparkSession, n_seeds: int = 20, num_salts: int = 8) -> DataFrame:
-    """Round-0 frontier: seed URLs drawn from the documents URL space so the
-    simulated fetch join (N5) resolves. priority is a pure function of the
-    URL — crawl ordering is a data property, never wall-clock."""
+def seed_rows(n_seeds: int = 20) -> list[dict]:
+    """Pure-Python seed frontier rows (no Spark) — shared by seed_frontier
+    and the simulator-backed crawl_rounds oracle."""
     rows = []
     for s in range(n_seeds):
         i = s * 10  # html_200 archetype rows
@@ -247,12 +246,19 @@ def seed_frontier(spark: SparkSession, n_seeds: int = 20, num_salts: int = 8) ->
                 "parent_url": None,
             }
         )
-    return spark.createDataFrame(rows, schema.FRONTIER)
+    return rows
 
 
-def robots(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
-    """Synthetic robots table: deterministic per-host budget + a disallowed
-    prefix for every 7th host (exercises deny), varying budgets (1..4)."""
+def seed_frontier(spark: SparkSession, n_seeds: int = 20, num_salts: int = 8) -> DataFrame:
+    """Round-0 frontier: seed URLs drawn from the documents URL space so the
+    simulated fetch join (N5) resolves. priority is a pure function of the
+    URL — crawl ordering is a data property, never wall-clock."""
+    return spark.createDataFrame(seed_rows(n_seeds), schema.FRONTIER)
+
+
+def robots_rows(n_hosts: int = 50) -> list[dict]:
+    """Pure-Python robots rows (no Spark) — shared by robots() and the
+    simulator-backed crawl_rounds oracle."""
     rows = []
     for h in range(n_hosts):
         host = f"host{h:02d}.example.com"
@@ -275,4 +281,10 @@ def robots(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
                     "budget": 1 + h % 4,
                 }
             )
-    return spark.createDataFrame(rows, schema.ROBOTS)
+    return rows
+
+
+def robots(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
+    """Synthetic robots table: deterministic per-host budget + a disallowed
+    prefix for every 7th host (exercises deny), varying budgets (1..4)."""
+    return spark.createDataFrame(robots_rows(n_hosts), schema.ROBOTS)
