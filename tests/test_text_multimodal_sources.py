@@ -393,11 +393,83 @@ def test_streaming_ledger_compaction(spark, tmp_path):
     for i in range(1, 6):
         _write_ledger(rows(i * 50, (i + 1) * 50), ledger_dir, "append")
     frag = _ledger_files(ledger_dir)
-    assert not compact_ledger(spark, ledger_dir, max_files=frag + 1)  # under threshold
+    assert not compact_ledger(spark, ledger_dir, max_files=frag * 20)  # under threshold
     assert compact_ledger(spark, ledger_dir, max_files=4)
     assert _ledger_files(ledger_dir) < frag
     got = spark.read.parquet(ledger_dir)
     assert got.count() == 300 == got.select("payload_digest").distinct().count()
+
+
+def test_ledger_compaction_leaves_untouched_buckets_alone(spark, tmp_path):
+    """VERDICT r3 #4: compaction is per-bucket — appends that fragment ONE
+    bucket must not rewrite any other bucket's files (byte-identical on
+    disk), and the fragmented bucket merges to a single file with its rows
+    intact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        LEDGER,
+        _files_by_bucket,
+        _write_ledger,
+        compact_ledger,
+    )
+
+    ledger_dir = str(tmp_path / "ledger")
+
+    def rows_for(digests):
+        return spark.createDataFrame(
+            [(d,) for d in digests], ["payload_digest"]
+        ).select(
+            "payload_digest",
+            F.lit(None).cast(LEDGER["mime"].dataType).alias("mime"),
+            F.lit("fmt/471").alias("puid"),
+            F.lit(None).cast(LEDGER["charset"].dataType).alias("charset"),
+            F.lit(None).cast(LEDGER["languages"].dataType).alias("languages"),
+            F.lit(None).cast("double").alias("soft404"),
+            F.lit("p").alias("payload"),
+        ).coalesce(1)
+
+    # seed every bucket, then discover which bucket each digest landed in
+    seed = [f"sha1:{i}" for i in range(200)]
+    _write_ledger(rows_for(seed), ledger_dir, "overwrite")
+    placed = spark.read.parquet(ledger_dir).select(
+        "payload_digest", F.input_file_name().alias("f")
+    ).collect()
+    target_file = sorted({r.f for r in placed})[0]
+    target_digests = [r.payload_digest for r in placed if r.f == target_file][:3]
+    assert target_digests
+
+    # fragment ONLY the target bucket: 6 single-digest appends to it
+    for _ in range(6):
+        _write_ledger(rows_for(target_digests), ledger_dir, "append")
+    by_bucket = _files_by_bucket(ledger_dir)
+    frag_bucket = max(by_bucket, key=lambda b: len(by_bucket[b]))
+    assert len(by_bucket[frag_bucket]) >= 7
+    untouched_before = {
+        f: os.path.getmtime(os.path.join(ledger_dir, f))
+        for b, fs in by_bucket.items()
+        if b != frag_bucket
+        for f in fs
+    }
+
+    assert compact_ledger(spark, ledger_dir, max_files=4)
+    after = _files_by_bucket(ledger_dir)
+    assert len(after[frag_bucket]) == 1, "fragmented bucket not merged"
+    untouched_after = {
+        f: os.path.getmtime(os.path.join(ledger_dir, f))
+        for b, fs in after.items()
+        if b != frag_bucket
+        for f in fs
+    }
+    assert untouched_after == untouched_before, "untouched buckets were rewritten"
+    # rows survive: 200 distinct digests, the fragmented bucket deduped
+    got = spark.read.parquet(ledger_dir)
+    assert got.select("payload_digest").distinct().count() == 200
+    assert got.filter(F.col("payload_digest").isin(target_digests)).count() == len(
+        target_digests
+    )
 
 
 def test_pii_redaction_consistent_with_counts(spark):
@@ -435,15 +507,27 @@ def test_pii_redaction_consistent_with_counts(spark):
         assert "@" not in r.red or r.doc_id == "d"
 
 
-def test_streaming_ledger_compacts_during_stream(spark, tmp_path):
-    """Compaction runs inside the stream (threshold 1 file): after several
-    micro-batches the ledger holds one row per digest in a rewritten layout
-    and the serve-from-ledger path still works."""
+def test_streaming_ledger_compacts_during_stream(spark, tmp_path, monkeypatch):
+    """Compaction runs inside the stream: fragmenting micro-batches (many
+    distinct digests per batch) trigger at least one per-bucket rewrite,
+    per-bucket file counts stay bounded, and the serve-from-ledger path
+    still works across compactions."""
     from warc_metadata_sidecar_spark import schema as sch
+    from warc_metadata_sidecar_spark.streaming import sidecar_stream as ss
     from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
-        _ledger_files,
+        _files_by_bucket,
         start_sidecar_stream,
     )
+
+    compactions = {"n": 0}
+    real_compact = ss.compact_ledger
+
+    def spy(*a, **k):
+        done = real_compact(*a, **k)
+        compactions["n"] += int(done)
+        return done
+
+    monkeypatch.setattr(ss, "compact_ledger", spy)
 
     in_dir = tmp_path / "in"
     in_dir.mkdir()
@@ -478,12 +562,25 @@ def test_streaming_ledger_compacts_during_stream(spark, tmp_path):
     q.processAllAvailable()
     drop([doc("c2", "sha1:C2", html)])
     q.processAllAvailable()
+    # fragmenting batches: many distinct digests per batch, several batches
+    # -> buckets cross the per-bucket threshold and compact mid-stream
+    for i in range(6):
+        drop(
+            [
+                doc(f"d{i}_{j}", f"sha1:D{i}_{j}", html + str(j))
+                for j in range(20)
+            ]
+        )
+        q.processAllAvailable()
     drop([doc("c3", "sha1:C1", "different text, served from ledger")])
     q.processAllAvailable()
     q.stop()
     ledger = spark.read.parquet(str(tmp_path / "ledger"))
-    assert sorted(r.payload_digest for r in ledger.collect()) == ["sha1:C1", "sha1:C2"]
+    digests = [r.payload_digest for r in ledger.collect()]
+    assert len(digests) == len(set(digests)) == 122  # 2 + 6*20, deduped
     out = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert out["c3"].payload == out["c1"].payload  # served despite compactions
-    # compacted: bounded file count (threshold 1 -> at most a couple of sets)
-    assert _ledger_files(str(tmp_path / "ledger")) <= 2 * 16
+    assert compactions["n"] >= 1, "stream never compacted"
+    # per-bucket fragmentation stays bounded by the in-stream compactions
+    by_bucket = _files_by_bucket(str(tmp_path / "ledger"))
+    assert max(len(fs) for fs in by_bucket.values()) <= 12

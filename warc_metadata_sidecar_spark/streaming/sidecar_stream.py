@@ -17,9 +17,11 @@ unboundedly growing ledger and re-listed the whole directory per batch):
     ledger side with no exchange of the (big) ledger;
   - no broadcast hint — AQE broadcasts a small ledger at runtime and keeps
     the co-located join once it outgrows the threshold;
-  - appends are O(batch); a file-count-triggered COMPACTION rewrites one
-    row per digest when appends fragment the table (Iceberg:
-    rewrite_data_files).
+  - appends are O(batch); compaction is PER-BUCKET and size-tiered
+    (VERDICT r3 #4): only fragmented buckets whose rewrite at least
+    doubles their consolidated file are rewritten — untouched buckets'
+    files never move, and cumulative compaction I/O over a long stream is
+    O(n log n), not quadratic (Iceberg: rewrite_data_files with a filter).
 
 The crawl frontier itself intentionally stays ITERATIVE BATCH (SURVEY.md
 §1.2): reproducible ordering needs deterministic rounds, which streaming
@@ -31,6 +33,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -127,23 +131,94 @@ def split_by_ledger(
     return served, fresh_docs
 
 
+# Spark bucketed data files encode the bucket id in the name:
+# part-<task>-<uuid>_<bucketid>.c000.snappy.parquet
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
+
+
+def _files_by_bucket(ledger_dir: str) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(ledger_dir):
+        return out
+    for f in os.listdir(ledger_dir):
+        if f.endswith(".parquet"):
+            m = _BUCKET_ID_RE.search(f)
+            if m:
+                out.setdefault(int(m.group(1)), []).append(f)
+    return out
+
+
+def _rm_with_crc(dirname: str, fname: str) -> None:
+    os.remove(os.path.join(dirname, fname))
+    crc = os.path.join(dirname, f".{fname}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def compact_ledger(
-    spark: SparkSession, ledger_dir: str, max_files: int = LEDGER_COMPACT_FILES
+    spark: SparkSession,
+    ledger_dir: str,
+    max_files: int = LEDGER_COMPACT_FILES,
+    per_bucket_files: int | None = None,
 ) -> bool:
-    """Rewrite the ledger to one row per digest when per-batch appends have
-    fragmented it past `max_files` parquet files. Returns True when a
-    rewrite happened. The compacted frame is materialized first so the
-    overwrite never reads under itself (Iceberg's rewrite_data_files commits
-    a new snapshot instead)."""
-    if _ledger_files(ledger_dir) <= max_files:
+    """Per-BUCKET incremental compaction (VERDICT r3 #4 — the r3 version
+    rewrote the ENTIRE ledger every trigger, O(|ledger|) I/O per
+    compaction, quadratic over a long stream). A bucket is compacted only
+    when BOTH hold:
+
+      1. it is fragmented: more than `per_bucket_files` data files
+         (default max_files / LEDGER_BUCKETS, floor 4);
+      2. the rewrite is amortized: the non-largest files together are at
+         least as big as the largest one, so every rewrite at least
+         doubles the bucket's consolidated file — cumulative compaction
+         I/O stays O(n log n), LSM-style. (Safety valve: a bucket past
+         8x the file threshold compacts regardless, bounding listing
+         overhead when appends are tiny.)
+
+    Untouched buckets' files are left byte-identical on disk (pinned by
+    tests). Mechanics: fragmented buckets' rows are deduped and written
+    through a temp bucketed table — the same digests hash back to the
+    same bucket ids, so the rewritten files slot into the ledger dir
+    under the correct bucket names; Iceberg's rewrite_data_files with a
+    bucket filter is the production analog. Returns True when any bucket
+    was rewritten."""
+    per_bucket = per_bucket_files or max(4, max_files // LEDGER_BUCKETS)
+    by_bucket = _files_by_bucket(ledger_dir)
+    frag: list[int] = []
+    for b, fs in by_bucket.items():
+        if len(fs) <= per_bucket:
+            continue
+        sizes = [os.path.getsize(os.path.join(ledger_dir, f)) for f in fs]
+        if sum(sizes) - max(sizes) >= max(sizes) or len(fs) > 8 * per_bucket:
+            frag.append(b)
+    if not frag:
         return False
     tbl = ensure_ledger_table(spark, ledger_dir)
     if tbl is None:
         return False
-    compacted = (
-        spark.table(tbl).dropDuplicates(["payload_digest"]).localCheckpoint(eager=True)
+    paths = [os.path.join(ledger_dir, f) for b in frag for f in by_bucket[b]]
+    merged = (
+        spark.read.schema(LEDGER)
+        .parquet(*paths)
+        .dropDuplicates(["payload_digest"])
+        .localCheckpoint(eager=True)
     )
-    _write_ledger(compacted, ledger_dir, "overwrite")
+    tmp_dir = ledger_dir.rstrip("/") + "__compact_tmp"
+    tmp_tbl = _ledger_table_name(tmp_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    _write_ledger(merged, tmp_dir, "overwrite")
+    try:
+        for b in frag:
+            for f in by_bucket[b]:
+                _rm_with_crc(ledger_dir, f)
+        for f in os.listdir(tmp_dir):
+            if f.endswith(".parquet") or (f.startswith(".") and f.endswith(".parquet.crc")):
+                os.replace(os.path.join(tmp_dir, f), os.path.join(ledger_dir, f))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        spark.catalog.refreshTable(tbl)
     return True
 
 
