@@ -248,3 +248,81 @@ def test_render_warcinfo_handles_nat_date():
     blob = render_warcinfo("x.warc.meta.gz", payload_fields={"software": "s"},
                            warc_date=pd.NaT)
     assert b"WARC-Date: 1970-01-01T00:00:00Z" in blob
+
+
+def test_stream_sink_bytes_equal_blob_sink(spark, docs100, media_tbl, tmp_path):
+    """VERDICT r3 #8: the streaming file sink (gzip members written as rows
+    flow, no per-file blob in memory) produces byte-identical files to the
+    blob path, same collision-guard names included, and its stats match
+    the bytes on disk."""
+    import os
+
+    from warc_metadata_sidecar_spark.sources.warc_export import (
+        stream_sidecar_warc_files,
+        write_sidecar_warc_files,
+    )
+
+    side = sidecar_rows(docs100, media_tbl)
+    with_src = side.join(docs100.select("doc_id", "source_file"), "doc_id")
+    blob_dir, stream_dir = tmp_path / "blob", tmp_path / "stream"
+    exported = export_sidecar_warcs(with_src)
+    write_sidecar_warc_files(exported, str(blob_dir))
+    stats = stream_sidecar_warc_files(with_src, str(stream_dir))
+
+    blob_files = {f.name: f.read_bytes() for f in blob_dir.iterdir()}
+    stream_files = {f.name: f.read_bytes() for f in stream_dir.iterdir()}
+    assert sorted(blob_files) == sorted(stream_files)
+    for name in blob_files:
+        assert stream_files[name] == blob_files[name], f"{name} differs"
+    by_src = {s.source_file: s for s in stats}
+    for r in exported.collect():
+        s = by_src[r.source_file]
+        assert s.n_records == r.n_records
+    total_stat = sum(s.n_bytes for s in stats)
+    assert total_stat == sum(len(b) for b in stream_files.values())
+    assert os.listdir(stream_dir)
+
+
+def test_stream_sink_reference_golden_bytes(spark, tmp_path):
+    """Stream-sink variant of the golden roundtrip: the file written
+    incrementally equals the reference fixture byte for byte."""
+    import datetime as dt
+
+    from warc_metadata_sidecar_spark.sources.warc_export import (
+        stream_sidecar_warc_files,
+    )
+    from warc_metadata_sidecar_spark.sources.warc_ingest import _warc_records
+
+    golden = open("/root/reference/tests/warc.warc.meta.gz", "rb").read()
+    recs = _warc_records(golden)
+    winfo_h, winfo_body = recs[0]
+
+    def ts(v):
+        return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+
+    ddl = (
+        "doc_id string, record_id string, url string, warc_date timestamp, "
+        "concurrent_id string, warcinfo_id string, payload string, "
+        "source_file string, winfo_payload string, winfo_id string, "
+        "winfo_date timestamp"
+    )
+    rows = [
+        {
+            "doc_id": h["WARC-Record-ID"],
+            "record_id": h["WARC-Record-ID"],
+            "url": h["WARC-Target-URI"],
+            "warc_date": ts(h["WARC-Date"]),
+            "concurrent_id": h.get("WARC-Concurrent-ID"),
+            "warcinfo_id": h.get("WARC-Warcinfo-ID"),
+            "payload": body.decode(),
+            "source_file": "warc.warc",
+            "winfo_payload": winfo_body.decode().removesuffix("\r\n"),
+            "winfo_id": winfo_h["WARC-Record-ID"],
+            "winfo_date": ts(winfo_h["WARC-Date"]),
+        }
+        for h, body in recs[1:]
+    ]
+    df = spark.createDataFrame(rows, schema=ddl)
+    stats = stream_sidecar_warc_files(df, str(tmp_path), gzip=False)
+    assert [s.sidecar_file for s in stats] == ["warc.warc.meta.gz"]
+    assert (tmp_path / "warc.warc.meta.gz").read_bytes() == golden

@@ -79,8 +79,7 @@ def cmd_sidecar(args) -> None:
         # (the reference CLI's native artifact) — rendered from the WRITTEN
         # parquet rows, so the detector pipeline still runs exactly once
         from warc_metadata_sidecar_spark.sources.warc_export import (
-            export_sidecar_warcs,
-            write_sidecar_warc_files,
+            stream_sidecar_warc_files,
         )
 
         written = spark.read.parquet(os.path.join(out, "rows"))
@@ -97,10 +96,11 @@ def cmd_sidecar(args) -> None:
             "source_file",
             F.coalesce("source_file", F.lit(os.path.basename(args.documents_path) + ".warc")),
         )
-        exported = export_sidecar_warcs(
-            written, operator=args.operator, publisher=args.publisher
+        # streaming sink: gzip members land on disk as rows flow — no
+        # per-file blob ever materializes (VERDICT r3 #8)
+        stream_sidecar_warc_files(
+            written, args.archive_dir, operator=args.operator, publisher=args.publisher
         )
-        write_sidecar_warc_files(exported, args.archive_dir)
         log.info("Creating sidecar %s", "warc.meta.gz byte-form files")
     if info["description"].endswith("; 0 metadata sidecar records"):
         log.info("No metadata records to write, updating warcinfo")
