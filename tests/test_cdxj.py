@@ -309,3 +309,38 @@ def test_with_surt_staged_equals_surt_col(spark):
     staged = [r.canonical_url for r in with_surt(df).collect()]
     single = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]
     assert staged == single == [py_surt(u) for u in urls]
+
+
+def test_surt_idn_hosts_all_twins_equal(spark):
+    """VERDICT r3 #7: unicode (IDN) hosts key as their punycode xn-- ACE
+    form, identically across py_surt, surt_col (try_reflect on
+    java.net.IDN, JVM-side) and the staged with_surt — over a generated
+    spread of unicode hosts, scripts, ports and paths."""
+    from warc_metadata_sidecar_spark.functions.surt import with_surt
+
+    labels = ["münchen", "bücher", "例え", "テスト", "россия", "рф", "café",
+              "ümlaut", "ëx", "héllo-wörld", "plain", "xn--mnchen-3ya"]
+    urls = [
+        "https://www.münchen.de/Rathaus",
+        "http://例え.テスト/ページ?b=2&a=1",
+        "https://РОССИЯ.рф:8443/Путь",   # uppercase unicode + port
+        "https://user@café.fr:443/menu#frag",
+        "http://www2.BÜCHER.com:80/shop?PHPSESSID=x&q=1",
+    ]
+    for i in range(120):
+        host = ".".join(
+            [labels[i % len(labels)], labels[(i * 5 + 2) % len(labels)], "example", "com"]
+        )
+        www = ["", "www.", "www3."][i % 3]
+        port = ["", ":8080", ":443"][i % 3]
+        path = ["", "/", f"/Pfad{i}?b={i}&a=1", f"/ページ/{i}"][i % 4]
+        urls.append(f"https://{www}{host}{port}{path}")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    expected = [py_surt(u) for u in urls]
+    single = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]
+    staged = [r.canonical_url for r in with_surt(df).collect()]
+    assert single == expected
+    assert staged == expected
+    # spot-check the ACE form actually appears
+    assert py_surt("https://www.münchen.de/Rathaus") == "de,xn--mnchen-3ya)/rathaus"
+    assert py_surt("http://例え.テスト/") == "xn--zckzah,xn--r8jz45g)/"

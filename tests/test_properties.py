@@ -172,3 +172,29 @@ def test_warc_parser_corrupt_gzip_returns_empty():
     from warc_metadata_sidecar_spark.sources.warc_ingest import parse_warc_bytes
 
     assert parse_warc_bytes("x.warc.gz", b"\x1f\x8b\x08corrupt!!") == []
+
+
+unicode_label_st = st.text(
+    st.characters(
+        codec="utf-8",
+        categories=("Ll", "Lo"),
+        exclude_characters=".%/?#&=@:。．｡",
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(
+    st.lists(unicode_label_st, min_size=1, max_size=3),
+    st.text(URL_CHARS, max_size=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_surt_idn_deterministic_and_ascii(labels, path):
+    """IDN property: py_surt over arbitrary unicode hosts is deterministic,
+    never raises, and yields a stable shaped key (punycode ACE form, or
+    the documented raw-lowercase fallback when both twins fail)."""
+    url = "https://" + ".".join(labels) + ".example.com/" + path
+    k = py_surt(url)
+    assert k == py_surt(url)
+    assert ")" in k

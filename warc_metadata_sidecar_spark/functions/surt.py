@@ -21,9 +21,16 @@ default canonicalizer — the rules real crawl URLs hit):
   escapes like %2F stay escaped); path+query lowercased ('' -> '/'); a path
   ';jsessionid=...' segment stripped; session-id query params (jsessionid,
   phpsessid, sid, cfid, cftoken, aspsessionid*) dropped; remaining query
-  params SORTED; an emptied query's '?' removed. Not covered (documented):
-  IDN hosts and escaping of raw reserved chars.
+  params SORTED; an emptied query's '?' removed; IDN (unicode) hosts
+  punycode-encoded to their xn-- ACE form (IDNA2003: Python's idna codec
+  in the twin, java.net.IDN.toASCII via try_reflect in the native forms —
+  JVM-side, still no Python stage; verified byte-equal across both, and
+  gated on a non-ASCII probe so ASCII hosts never pay the reflective
+  call). Not covered (documented): escaping of raw reserved chars; hosts
+  BOTH twins fail to encode (overlong/empty labels) key as their raw
+  lowercased form.
   e.g. https://www.UNT.edu/About?b=2&a=1&PHPSESSID=x -> 'edu,unt)/about?a=1&b=2'
+       https://www.münchen.de/Rathaus -> 'de,xn--mnchen-3ya)/rathaus'
 """
 
 from __future__ import annotations
@@ -86,6 +93,23 @@ def _py_canonical_rest(rest: str) -> str:
     return rest or "/"
 
 
+NON_ASCII_PATTERN = "[^\\x00-\\x7F]"
+_NON_ASCII_RE = re.compile(NON_ASCII_PATTERN)
+
+
+def _py_idna_host(host: str) -> str:
+    """IDNA2003 ACE form of a (lowercased, port-stripped) host — twin of
+    the native try_reflect(java.net.IDN.toASCII) call. Unencodable hosts
+    (empty/overlong labels) fall back to the raw form, like try_reflect's
+    null -> coalesce."""
+    if not _NON_ASCII_RE.search(host):
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
 def py_surt(url: str | None) -> str | None:
     """Pure-Python twin of `surt_col` (bit-identical output)."""
     if not url:
@@ -105,6 +129,7 @@ def py_surt(url: str | None) -> str | None:
     port = pm.group(1) if pm else None
     host = re.sub(PORT_PATTERN, "", host).lower()
     host = re.sub(WWW_PATTERN, "", host)
+    host = _py_idna_host(host)
     suffix = ":" + port if port and port != DEFAULT_PORTS.get(scheme) else ""
     return ",".join(reversed(host.split("."))) + suffix + ")" + rest
 
@@ -147,6 +172,19 @@ def _canonical_rest_col(rest: Column) -> Column:
     return F.when(F.length(rebuilt) == 0, F.lit("/")).otherwise(rebuilt)
 
 
+def _idna_host_col(host: Column) -> Column:
+    """Native twin of _py_idna_host: java.net.IDN.toASCII via try_reflect —
+    a JVM-side reflective call, NO Python stage. Gated on a non-ASCII
+    probe so the (overwhelming) ASCII majority never pays reflection;
+    null on encode failure -> coalesce back to the raw host."""
+    ace = F.call_function(
+        "try_reflect", F.lit("java.net.IDN"), F.lit("toASCII"), host
+    )
+    return F.when(
+        host.rlike(NON_ASCII_PATTERN), F.coalesce(ace, host)
+    ).otherwise(host)
+
+
 def surt_col(url: Column) -> Column:
     """Native SURT: regexp + split + sort + array_join, no UDF.
 
@@ -166,6 +204,7 @@ def surt_col(url: Column) -> Column:
     no_user = F.regexp_replace(authority, USERINFO_PATTERN, "")
     host = F.lower(F.regexp_replace(no_user, PORT_PATTERN, ""))
     host = F.regexp_replace(host, WWW_PATTERN, "")
+    host = _idna_host_col(host)
     # ported URLs only: extract the port, derive the scheme from the length
     # already removed by the no_scheme strip (no second regex over the url),
     # and keep the port unless it is the scheme's default
@@ -222,6 +261,10 @@ def with_surt(df, url_col: str = "url", out_col: str = "canonical_url"):
             F.lower(F.regexp_replace("_surt_nu", PORT_PATTERN, "")), WWW_PATTERN, ""
         ),
     )
+    # staged separately: the idna gate references the host 3x, which would
+    # re-run the host regex chain at every reference if inlined (no
+    # let-binding in expression trees; see with_surt docstring)
+    d = d.withColumn("_surt_host", _idna_host_col(F.col("_surt_host")))
     port = F.regexp_extract("_surt_nu", PORT_CAPTURE_PATTERN, 1)
     scheme = F.when(
         F.length("_surt_u") > F.length("_surt_ns"),
