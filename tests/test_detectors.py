@@ -54,9 +54,37 @@ def test_charset_confidence_ladder():
     # ascii chars interleaved with NULs
     mangled_utf16 = b"\xff\xfeh\x00e\x00l\x00l\x00o\x00".decode("utf-8", "replace")
     assert detect_charset(mangled_utf16) == ("UTF-16", 1.0)
-    # windows-1252 bytes decoded utf-8-replace: replacement chars present
+    # latin-1 accented LETTERS decoded utf-8-replace: sparse word-internal
+    # replacements, no typographic-punctuation artifacts -> ISO-8859-1
     mangled_latin = "caf\xe9 cr\xe8me".encode("latin-1").decode("utf-8", "replace")
-    assert detect_charset(mangled_latin) == ("Windows-1252", 0.73)
+    assert detect_charset(mangled_latin) == ("ISO-8859-1", 0.73)
+
+
+def test_charset_ladder_r4_rungs():
+    """VERDICT r3 #6: the ISO-8859-1 vs Windows-1252 split and the
+    SHIFT_JIS / EUC-JP rungs, keyed on utf-8-replace decode artifacts."""
+    # cp1252 typographic punctuation: the 0x92 contraction apostrophe and
+    # 0x93/0x94 quote pairs
+    cp1252 = "don\u2019t say \u201cnever ever\u201d again".encode("cp1252").decode(
+        "utf-8", "replace"
+    )
+    assert detect_charset(cp1252) == ("Windows-1252", 0.73)
+    # accented-letter latin-1 text without punctuation artifacts
+    latin1 = "na\xefve caf\xe9 cr\xe8me br\xfbl\xe9e".encode("latin-1").decode(
+        "utf-8", "replace"
+    )
+    assert detect_charset(latin1) == ("ISO-8859-1", 0.73)
+    # Shift-JIS double-byte kanji: second bytes are printable ascii ->
+    # dense replacement text with many \ufffdX pairs
+    sjis = ("\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8" * 4).encode(
+        "shift_jis"
+    ).decode("utf-8", "replace")
+    assert detect_charset(sjis) == ("SHIFT_JIS", 0.99)
+    # EUC-JP: both bytes >= 0xA1 -> pure replacement runs
+    euc = ("\u65e5\u672c\u8a9e\u306e\u6587\u7ae0" * 4).encode("euc-jp").decode(
+        "utf-8", "replace"
+    )
+    assert detect_charset(euc) == ("EUC-JP", 0.99)
 
 
 def test_extended_signature_table():
@@ -71,7 +99,8 @@ def test_extended_signature_table():
         (b"\x00\x00\x01\x00\x02\x00", "image/vnd.microsoft.icon", "x-fmt/418"),
         (b"fLaC\x00\x00", "audio/flac", "fmt/279"),
         (b"OggS\x00\x02", "audio/ogg", "fmt/203"),
-        (b"\x1aE\xdf\xa3\x01", "video/webm", "fmt/573"),
+        (b"\x1aE\xdf\xa3\x01matroska", "video/x-matroska", "fmt/569"),
+        (b"\x1aE\xdf\xa3\x01B\x82\x88webm", "video/webm", "fmt/573"),
         (b"7z\xbc\xaf\x27\x1c\x00", "application/x-7z-compressed", "fmt/258"),
         (b"Rar!\x1a\x07\x00", "application/vnd.rar", "x-fmt/264"),
         (b"BZh91AY", "application/x-bzip2", "x-fmt/268"),
@@ -159,3 +188,26 @@ def test_detect_one_gating():
 
     html_200 = _detect_one(HTML, None, "200")
     assert html_200["soft404"] is not None
+
+
+def test_soft404_threshold_calibration():
+    """VERDICT r3 #6: calibration against the soft404 model's published 0.5
+    decision threshold — a 404-titled page or a phrase-laden short error
+    page crosses it; ordinary content (even mentioning 'not found' once in
+    a long article) stays well below; scores are never exactly 0 (the
+    logistic model isn't, and the CDXJ merge truthy-gates the field)."""
+    title_404 = (
+        "<html><head><title>404 Not Found</title></head>"
+        "<body>Sorry, the page you requested was not found.</body></html>"
+    )
+    assert detect_soft404(title_404) > 0.5
+    short_error = "Error 404. The page cannot be found. This page is no longer available."
+    assert detect_soft404(short_error) > 0.5
+    normal = "<html><body>" + ("All about crawling the web. " * 300) + "</body></html>"
+    assert detect_soft404(normal) < 0.2
+    long_article = (
+        "<html><body>" + ("Discussion of HTTP errors. " * 300)
+        + "A missing page returns not found." + "</body></html>"
+    )
+    assert detect_soft404(long_article) < 0.5
+    assert detect_soft404(normal) > 0.0  # truthy floor

@@ -105,8 +105,11 @@ def base_filters(documents: DataFrame) -> DataFrame:
 
 def _with_payload_projection(filtered: DataFrame, media: DataFrame | None) -> DataFrame:
     """P1/P2: payload text + sniffing head. `media` maps media_ref -> bytes;
-    only the first 64 bytes survive the join (projected before the shuffle,
-    so the exchange moves ~70 bytes/row at any scale).
+    only the first 1 KiB survives the join (projected before the shuffle,
+    so the exchange moves ~1 KB/row at any scale — the fido BOF-buffer
+    analog; fido itself reads 128 KiB. 1 KiB covers the offset-512 OLE2
+    sub-format marker (DOC/XLS/PPT) and the zip first-entry names the
+    OOXML sniff keys on).
 
     Skew guard: most records are text (head_ref NULL); joining everything on
     head_ref would route every NULL-key row into one straggler partition.
@@ -119,7 +122,7 @@ def _with_payload_projection(filtered: DataFrame, media: DataFrame | None) -> Da
         return out.withColumn("head", F.lit(None).cast("binary")).drop("head_ref")
     heads = media.select(
         F.col("media_ref").alias("head_ref"),
-        F.expr("substring(bytes, 1, 64)").alias("head"),
+        F.expr("substring(bytes, 1, 1024)").alias("head"),
     )
     media_first = out.filter(F.col("head_ref").isNotNull()).join(heads, "head_ref", "left")
     text_first = out.filter(F.col("head_ref").isNull()).withColumn(
