@@ -99,8 +99,18 @@ def main() -> None:
         .withColumn("url", F.concat(F.col("url"), F.lit("?r="), F.col("rep")))
         .drop("rep")
         .repartition(2 * CPUS)
-        .localCheckpoint(eager=True)
     )
+    # materialize to parquet, not localCheckpoint: production documents are
+    # table-backed, and a stats-less RDD frame forces worst-case join
+    # planning (the rep semi-join plans SMJ and AQE can only convert to
+    # broadcast AFTER the payload side is shuffle-written; with parquet
+    # stats the planner broadcasts the rep side up front — measured 3.5s vs
+    # 2.9s on this segment). The write is outside the timed passes.
+    import tempfile
+
+    big_path = os.path.join(tempfile.mkdtemp(prefix="bench_docs_"), "documents")
+    big.write.mode("overwrite").parquet(big_path)
+    big = spark.read.parquet(big_path)
     n_big = big.count()
     robots = gen.robots(spark, 50)
 

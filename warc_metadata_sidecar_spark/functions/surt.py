@@ -180,8 +180,10 @@ def _idna_host_col(host: Column) -> Column:
     ace = F.call_function(
         "try_reflect", F.lit("java.net.IDN"), F.lit("toASCII"), host
     )
+    # non-ASCII probe as length arithmetic (utf-8 bytes > chars), not a
+    # regex — the gate runs on every row of the frontier hot path
     return F.when(
-        host.rlike(NON_ASCII_PATTERN), F.coalesce(ace, host)
+        F.octet_length(host) > F.length(host), F.coalesce(ace, host)
     ).otherwise(host)
 
 
