@@ -920,13 +920,159 @@ FROM crawl
 def flagship_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship pipeline (warc_metadata_sidecar.py:167-303)
     over driver data: filters -> digest dedup -> vectorized detectors ->
-    serialized payload. Rows-only driver check (pandas UDFs are not
-    SQL-expressible)."""
+    serialized payload. Oracled (r4): a SEQUENTIAL pure-Python twin — the
+    reference's own shape, a per-record loop with a digest cache — runs
+    over the same rows (read via DuckDB) and its full output is rendered
+    as a VALUES literal (_flagship_sidecar_oracle_sql). The twin shares
+    only the scalar detector functions with the engine; all distribution
+    (rep election, semi-joins, Arrow batching, join-back) is independently
+    exercised."""
     from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
 
     docs = engine_documents_from_driver_tables(spark, sf_dir)
     return sidecar_rows(docs).select(
         "doc_id", "url", "concurrent_id", "warcinfo_id", "puid", "payload"
+    )
+
+
+def _flagship_twin(sf_dir: str | None = None) -> tuple[list[dict], dict]:
+    """Sequential flagship twin: (sidecar_rows, counters). DuckDB maps the
+    driver documents to the crawl-record shape (the scalar core of
+    engine_documents_from_driver_tables), then a plain Python loop applies
+    F1-F4, the first-occurrence digest cache (D1) and the detectors —
+    structurally the reference's warc_metadata_sidecar.py loop."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark.functions.detectors import (
+        TEXT_FORMAT_MIMES,
+        _detect_one,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = _render(
+        "WITH "
+        + CRAWL_CTE
+        + """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, payload_text, url,
+       TIMESTAMP '2021-11-11 21:11:11'
+         + CAST(doc_id % 86400 AS BIGINT) * INTERVAL 1 SECOND AS warc_date,
+       rec_type,
+       CASE WHEN doc_id % 10 = 4 THEN NULL
+            ELSE concat('sha1:', digest) END AS payload_digest,
+       CASE WHEN doc_id % 10 = 4 THEN NULL
+            ELSE concat('<warcinfo-', CAST(CAST(floor(doc_id / 100) AS INT) AS VARCHAR), '>')
+            END AS warcinfo_id,
+       http_status,
+       doc_id % 10 = 4 AS is_arc
+FROM crawl
+""",
+        DUCK,
+    )
+    cols = [
+        "doc_id", "payload_text", "url", "warc_date", "rec_type",
+        "payload_digest", "warcinfo_id", "http_status", "is_arc",
+    ]
+    rows = [dict(zip(cols, r)) for r in con.sql(sql).fetchall()]
+    n_total = len(rows)
+    # F1 + F2 (header filters)
+    hdr = [
+        r
+        for r in rows
+        if r["rec_type"] in ("response", "resource")
+        and not r["url"].startswith("dns:")
+    ]
+    # D1 rep election over header-filtered digest rows: first occurrence in
+    # (warc_date, doc_id) order
+    reps: dict[str, tuple] = {}
+    for r in hdr:
+        d = r["payload_digest"]
+        if d is not None:
+            k = (r["warc_date"], r["doc_id"])
+            if d not in reps or k < reps[d]:
+                reps[d] = k
+    # detectors run on representatives that also pass F3 (non-empty payload)
+    detected: dict[str, dict] = {}
+    for r in hdr:
+        if not r["payload_text"]:
+            continue  # F3
+        d = r["payload_digest"]
+        if d is not None and reps[d][1] != r["doc_id"]:
+            continue
+        key = d if d is not None else "__row__:" + r["doc_id"]
+        detected[key] = _detect_one(r["payload_text"], None, r["http_status"])
+    out: list[dict] = []
+    counters = {"records_written": 0, "text_mime": 0, "non_text": 0}
+    for r in hdr:
+        d = r["payload_digest"]
+        key = d if d is not None else "__row__:" + r["doc_id"]
+        det = detected.get(key)
+        if det is None:
+            continue
+        mimes = " ".join(v for v in (det["mime_fido"], det["mime_magic"]) if v)
+        if TEXT_FORMAT_MIMES.search(mimes):
+            counters["text_mime"] += 1
+        else:
+            counters["non_text"] += 1
+        if det["payload"] is not None:  # F4
+            counters["records_written"] += 1
+            out.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "url": r["url"],
+                    "concurrent_id": None if r["is_arc"] else r["doc_id"],
+                    "warcinfo_id": None if r["is_arc"] else r["warcinfo_id"],
+                    "puid": det["puid"],
+                    "payload": det["payload"],
+                }
+            )
+    counters["total_records_read"] = n_total
+    counters["mime_type_records"] = counters["text_mime"] + counters["non_text"]
+    return out, counters
+
+
+def _sql_str(v: str | None) -> str:
+    if v is None:
+        return "NULL"
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _flagship_sidecar_oracle_sql() -> str:
+    rows, _ = _flagship_twin()
+    values = ",\n    ".join(
+        "({}, {}, {}, {}, {}, {})".format(
+            _sql_str(r["doc_id"]), _sql_str(r["url"]), _sql_str(r["concurrent_id"]),
+            _sql_str(r["warcinfo_id"]), _sql_str(r["puid"]), _sql_str(r["payload"]),
+        )
+        for r in rows
+    )
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(url AS VARCHAR) AS url,
+       CAST(concurrent_id AS VARCHAR) AS concurrent_id,
+       CAST(warcinfo_id AS VARCHAR) AS warcinfo_id,
+       CAST(puid AS VARCHAR) AS puid, CAST(payload AS VARCHAR) AS payload
+FROM (VALUES
+    {values}
+) AS t(doc_id, url, concurrent_id, warcinfo_id, puid, payload)
+ORDER BY doc_id
+"""
+
+
+def _flagship_counters_oracle_sql() -> str:
+    _, c = _flagship_twin()
+    return (
+        "SELECT CAST({t} AS BIGINT) AS total_records_read, "
+        "CAST({w} AS BIGINT) AS records_written, "
+        "CAST({x} AS BIGINT) AS text_mime, CAST({n} AS BIGINT) AS non_text, "
+        "CAST({m} AS BIGINT) AS mime_type_records".format(
+            t=c["total_records_read"], w=c["records_written"],
+            x=c["text_mime"], n=c["non_text"], m=c["mime_type_records"],
+        )
     )
 
 
@@ -1255,4 +1401,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["multimodal_features"] = _multimodal_oracle_sql()
     # crawl loop vs the single-threaded simulator rendered as VALUES
     oracles["crawl_rounds"] = _crawl_rounds_oracle_sql()
+    # flagship pipeline + counters vs the sequential per-record twin (the
+    # reference's own loop shape) rendered as VALUES
+    oracles["flagship_sidecar"] = _flagship_sidecar_oracle_sql()
+    oracles["flagship_counters"] = _flagship_counters_oracle_sql()
     return oracles
