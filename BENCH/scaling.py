@@ -227,6 +227,24 @@ bucket(canonical_url) analog). Measured evidence in BENCH/SEEN.md:
 - per-round checkpoints in the bucketed layout write O(delta) seen_delta
   snapshots instead of full seen copies.
 
+## Round 4: the last forced materializations removed
+
+- the flagship's rep semi-join carries NO broadcast hint (one id per
+  distinct digest is tens of GB at 10^10 payloads): the planner/AQE
+  broadcasts while the rep side is actually small, and over a
+  payload_digest-bucketed documents table the join plans ZERO exchanges
+  (subset co-partitioning; pinned by
+  tests/test_plans.test_bucketed_sidecar_rep_join_no_broadcast_no_exchange);
+- the crawl loop auto-selects the URL-seen probe path by measured
+  aggregate filter-state size: driver-broadcast while small, executor-side
+  shard cogroup (no driver collect) past 64 MB — the 10^10-key path;
+- resuming a bucketed-seen crawl REUSES the existing table (no O(|seen|)
+  drop-and-rewrite; cross-process resume re-registers the files via DDL);
+- streaming-ledger compaction is per-bucket and size-tiered: untouched
+  buckets' files never move, cumulative compaction I/O O(n log n);
+- the WARC byte-export streams gzip members at flat ~1.7 MB task memory
+  (vs ~2.4x output size for the blob path).
+
 Run: {dt.datetime.now(dt.timezone.utc).isoformat()} — `python BENCH/scaling.py {n_rows}`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
