@@ -661,3 +661,41 @@ def test_resume_round_rejects_gap_in_delta_chain(
     assert resume_round(spark, out) == 2
     shutil.rmtree(os.path.join(out, "round=1", "seen_delta"))
     assert resume_round(spark, out) == 0
+
+
+def test_reuse_seen_bucketed_rebuilds_on_count_mismatch(spark, tmp_path):
+    """A seen table that ran AHEAD of the checkpoints (crash between the
+    bucketed append and the snapshot write) must be rebuilt from the
+    checkpointed truth, not reused — the count check catches it."""
+    from warc_metadata_sidecar_spark.frontier.seen import (
+        append_seen_bucketed,
+        create_seen_bucketed,
+        reuse_or_create_seen_bucketed,
+    )
+
+    path = str(tmp_path / "seen")
+    truth = spark.createDataFrame(
+        [(f"u{i}", 0) for i in range(10)], "canonical_url string, first_round int"
+    )
+    tbl = create_seen_bucketed(spark, path, truth)
+    # phantom delta: appended but never checkpointed
+    phantom = spark.createDataFrame(
+        [("phantom", 1)], "canonical_url string, first_round int"
+    )
+    append_seen_bucketed(phantom, tbl)
+    assert spark.table(tbl).count() == 11
+
+    tbl2 = reuse_or_create_seen_bucketed(spark, path, df=truth, expected_rows=10)
+    assert tbl2 == tbl
+    rows = {r.canonical_url for r in spark.table(tbl2).collect()}
+    assert rows == {f"u{i}" for i in range(10)}, "phantom row survived the rebuild"
+
+    # and the happy path still reuses: matching count leaves files alone
+    import os
+
+    table_files = lambda: {  # noqa: E731
+        f for f in os.listdir(path) if not f.startswith(("_", "."))
+    }
+    before = table_files()
+    tbl3 = reuse_or_create_seen_bucketed(spark, path, df=truth, expected_rows=10)
+    assert tbl3 == tbl and table_files() == before
