@@ -106,9 +106,13 @@ def main() -> None:
     # broadcast AFTER the payload side is shuffle-written; with parquet
     # stats the planner broadcasts the rep side up front — measured 3.5s vs
     # 2.9s on this segment). The write is outside the timed passes.
+    import atexit
+    import shutil
     import tempfile
 
-    big_path = os.path.join(tempfile.mkdtemp(prefix="bench_docs_"), "documents")
+    big_dir = tempfile.mkdtemp(prefix="bench_docs_")
+    atexit.register(shutil.rmtree, big_dir, True)
+    big_path = os.path.join(big_dir, "documents")
     big.write.mode("overwrite").parquet(big_path)
     big = spark.read.parquet(big_path)
     n_big = big.count()

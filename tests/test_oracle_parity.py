@@ -9,9 +9,6 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-# the crawl_rounds oracle renders the simulator's schedule over the sf dir
-# it is built for — point it at this test's sf BEFORE oracle_sql() runs
-os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
@@ -44,7 +41,19 @@ def duck():
     return con
 
 
-ORACLES = entry_mod.oracle_sql()
+# the simulator/twin-backed oracles (crawl_rounds, flagship_*) render for
+# the sf dir named at build time: point them at this test's sf for the
+# capture only, restoring the documented sf0.01 default afterwards so the
+# setting cannot leak into other test modules in the same process
+_prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+try:
+    ORACLES = entry_mod.oracle_sql()
+finally:
+    if _prev is None:
+        os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+    else:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = _prev
 ALL_QUERIES = entry_mod.queries()
 
 

@@ -387,7 +387,10 @@ def run_crawl(
     schedules: list[DataFrame] = []
     annotated_parts: list[DataFrame] = []
     lineage: list[RoundMetrics] = []
-    state_bytes = _filters_state_bytes(filters_df) if use_bloom else 0
+    # the state-size measurement feeds only the auto switch — explicit
+    # broadcast/shardjoin selections skip the per-round agg job
+    measure_state = use_bloom and seen_lookup == "auto"
+    state_bytes = _filters_state_bytes(filters_df) if measure_state else 0
 
     for rnd in range(start_round, rounds):
         shuffle_before = shuffle_totals(spark)
@@ -510,7 +513,8 @@ def run_crawl(
                 filters_df,
                 num_shards=num_shards,
             ).localCheckpoint(eager=True)
-            state_bytes = _filters_state_bytes(filters_df)
+            if measure_state:
+                state_bytes = _filters_state_bytes(filters_df)
 
         mx, mn = _skew_stats(frontier) if skew_stats else (0, 0)
         shuffle_after = shuffle_totals(spark)

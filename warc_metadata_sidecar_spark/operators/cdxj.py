@@ -146,8 +146,14 @@ def sidecar_to_cdxj(sidecar: DataFrame) -> DataFrame:
             F.col("soft404").alias("Soft-404-Detected"),
         )
     )
-    return sidecar.select(
-        surt_col(F.col("url")).alias("urlkey"),
+    # staged SURT (with_surt), not the one-Column surt_col: the IDN gate
+    # references the host subchain several times, and Catalyst CSE skips
+    # conditional branches — inlined, the host regex chain would re-run
+    # per reference for every record of the export (see with_surt docs)
+    from warc_metadata_sidecar_spark.functions.surt import with_surt
+
+    return with_surt(sidecar, "url", "urlkey").select(
+        "urlkey",
         timestamp14_col(F.col("warc_date")).alias("ts"),
         json_block.alias("json"),
     )
@@ -389,8 +395,19 @@ def cdxj_lines(df: DataFrame) -> DataFrame:
 import re as _re
 
 
+# single source of the sidecar naming rule — shared by the Python form,
+# the column form (warc_export sinks) and the collision fallback
+SIDECAR_FILENAME_PATTERN = r"w?arc(\.gz)?$"
+SIDECAR_FILENAME_REPL = "warc.meta.gz"
+COLLISION_FALLBACK_SUFFIX = ".meta.gz"
+
+
 def sidecar_filename(warc_file: str) -> str:
-    return _re.sub(r"w?arc(\.gz)?$", "warc.meta.gz", warc_file)
+    return _re.sub(SIDECAR_FILENAME_PATTERN, SIDECAR_FILENAME_REPL, warc_file)
+
+
+def sidecar_filename_col(c):
+    return F.regexp_replace(c, SIDECAR_FILENAME_PATTERN, SIDECAR_FILENAME_REPL)
 
 
 def cdxj_filename(sidecar_file: str) -> str:

@@ -248,26 +248,34 @@ def stream_sidecar_warc_files(
     prov_template = warcinfo_provenance("{name}", operator, publisher) if warcinfo else None
     os.makedirs(out_dir, exist_ok=True)
 
-    named = sidecar_with_source.withColumn(
-        "sidecar_file",
-        F.regexp_replace(F.col("source_file"), r"w?arc(\.gz)?$", "warc.meta.gz"),
+    # Per-file metadata (sidecar name, collision fallback, max date) comes
+    # from a TINY one-row-per-file aggregate broadcast-joined back — NOT
+    # from windows over the payload rows, which would add two full-data
+    # exchanges (keyed on sidecar_file then source_file) on the sink whose
+    # point is flat memory/IO. The only full-row shuffle left is the
+    # repartition by source_file.
+    from warc_metadata_sidecar_spark.operators.cdxj import (
+        COLLISION_FALLBACK_SUFFIX,
+        sidecar_filename_col,
     )
-    # collision guard (see write_sidecar_warc_files): distinct source files
-    # mapping to one sidecar name fall back to '<source_file>.meta.gz'
-    n_src = F.size(
-        F.collect_set("source_file").over(Window.partitionBy("sidecar_file"))
+
+    per_file = (
+        sidecar_with_source.groupBy("source_file")
+        .agg(F.max("warc_date").alias("fmax_date"))
+        .withColumn("sidecar_file", sidecar_filename_col(F.col("source_file")))
     )
+    n_src = F.count("*").over(Window.partitionBy("sidecar_file"))
+    per_file = per_file.withColumn(
+        "out_file",
+        F.when(
+            n_src > 1, F.concat(F.col("source_file"), F.lit(COLLISION_FALLBACK_SUFFIX))
+        ).otherwise(F.col("sidecar_file")),
+    )
+    # no broadcast hint: one row per source FILE is small at any sane file
+    # count and the planner/AQE broadcasts it on its own; a forced hint
+    # would be this round's rep-join bug class all over again
     prepared = (
-        named.withColumn(
-            "out_file",
-            F.when(n_src > 1, F.concat(F.col("source_file"), F.lit(".meta.gz"))).otherwise(
-                F.col("sidecar_file")
-            ),
-        )
-        .withColumn(
-            "fmax_date",
-            F.max("warc_date").over(Window.partitionBy("source_file")),
-        )
+        sidecar_with_source.join(per_file, "source_file")
         .repartition("source_file")
         .sortWithinPartitions(
             "source_file", F.asc_nulls_last("warc_date"), "doc_id"
@@ -358,13 +366,15 @@ def write_sidecar_warc_files(exported: DataFrame, out_dir: str) -> None:
 
     from pyspark.sql import Window
 
+    from warc_metadata_sidecar_spark.operators.cdxj import COLLISION_FALLBACK_SUFFIX
+
     os.makedirs(out_dir, exist_ok=True)
     n_dupes = F.count("*").over(Window.partitionBy("sidecar_file"))
     named = exported.withColumn(
         "out_file",
-        F.when(n_dupes > 1, F.concat(F.col("source_file"), F.lit(".meta.gz"))).otherwise(
-            F.col("sidecar_file")
-        ),
+        F.when(
+            n_dupes > 1, F.concat(F.col("source_file"), F.lit(COLLISION_FALLBACK_SUFFIX))
+        ).otherwise(F.col("sidecar_file")),
     )
 
     def write_part(rows):

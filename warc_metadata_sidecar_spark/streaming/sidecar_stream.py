@@ -209,12 +209,18 @@ def compact_ledger(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     _write_ledger(merged, tmp_dir, "overwrite")
     try:
-        for b in frag:
-            for f in by_bucket[b]:
-                _rm_with_crc(ledger_dir, f)
+        # move the NEW files in first, then delete the originals: a crash
+        # mid-swap can only leave DUPLICATE rows (old + new files both
+        # present — ensure_ledger_table's restart recovery dedupes), never
+        # lose rows. Deleting first would make the finally-cleanup of
+        # tmp_dir destroy the only remaining copy of already-deleted
+        # buckets on a failed move.
         for f in os.listdir(tmp_dir):
             if f.endswith(".parquet") or (f.startswith(".") and f.endswith(".parquet.crc")):
                 os.replace(os.path.join(tmp_dir, f), os.path.join(ledger_dir, f))
+        for b in frag:
+            for f in by_bucket[b]:
+                _rm_with_crc(ledger_dir, f)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
