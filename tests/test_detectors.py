@@ -211,3 +211,22 @@ def test_soft404_threshold_calibration():
     )
     assert detect_soft404(long_article) < 0.5
     assert detect_soft404(normal) > 0.0  # truthy floor
+
+
+def test_language_r4_coverage():
+    """r4 tranche: script-keyed Japanese/Korean (kana/hangul chars are the
+    markers — Japanese kanji alone would otherwise misread as Chinese) and
+    token-profile Russian/Dutch/Swedish."""
+    cases = {
+        "ja": "日本語のテキストです。これはテストのための文章で、とても簡単な内容です。",
+        "ko": "한국어 텍스트입니다 이것은 테스트를 위한 문장이며 매우 간단한 내용입니다",
+        "ru": "и в не на я что с по это он как но его к а мы из у за работа",
+        "nl": "de kat zat op het dak en ik zag dat die niet van de regen hield",
+        "sv": "och det är en dag som inte han hon för med av den till om på",
+        "zh": "这是一个中文的测试文本 我们的内容是为了测试语言检测的 他是一个很大的工程",
+    }
+    for want, text in cases.items():
+        r = detect_language(text)
+        assert r and r["languages"][0]["code"] == want, (want, r)
+    names = {detect_language(t)["languages"][0]["name"] for t in cases.values()}
+    assert {"Japanese", "Korean", "RUSSIAN", "DUTCH", "SWEDISH", "Chinese"} == names

@@ -277,11 +277,39 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     "it": ("ITALIAN", frozenset("di e il la che in un per del una sono con non le si da dei al".split())),
     "da": ("DANISH", frozenset("og i det at en den til er som af med for ikke han hun jeg".split())),
     "zh": ("Chinese", frozenset("的 是 在 了 和 有 我 他 这 中 大 上 为 们 不 个".split())),
+    # r4 tranche: three more token-profile languages...
+    "ru": ("RUSSIAN", frozenset("и в не на я что с по это он как но его к а мы из у за".split())),
+    # 'in'/'is' deliberately absent from the Dutch profile: they are also
+    # top-frequency English tokens and would dilute English coverage below
+    # the reliability bar on ordinary English pages
+    "nl": ("DUTCH", frozenset("de het een en van ik dat niet die op te zijn voor maar ook aan naar bij".split())),
+    "sv": ("SWEDISH", frozenset("och i att det som en på är av för med den till inte om han hon".split())),
+    # ...and two SCRIPT-keyed languages (cld2 is script-first for these):
+    # kana and hangul characters are themselves the markers — see
+    # _char_lang in detect_language's CJK path. Empty marker sets keep the
+    # name table uniform.
+    "ja": ("Japanese", frozenset()),
+    "ko": ("Korean", frozenset()),
 }
 
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
 _TOKEN_RE = re.compile(r"[\w一-鿿']+", re.UNICODE)
-_CJK_RE = re.compile(r"[一-鿿]")
+# space-less scripts that need the char-level path: CJK ideographs, kana
+# (Japanese), hangul (Korean)
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힣]")
+
+
+def _char_lang(ch: str) -> str | None:
+    """Script-keyed language of one char (cld2 is script-first here):
+    kana -> ja, hangul -> ko; ideographs return None and fall back to the
+    zh marker table (kanji are shared between zh and ja — Japanese text
+    wins through its kana, like cld2's script scoring)."""
+    o = ord(ch)
+    if 0x3040 <= o <= 0x30FF:
+        return "ja"
+    if 0xAC00 <= o <= 0xD7A3:
+        return "ko"
+    return None
 # cld2 parses HTML by default (pycld2 isPlainText=0): markup, scripts and
 # styles never count as text. The stand-in mirrors that with a cheap strip —
 # without it, attribute soup ('a', 'de', 'no', ...) misreads as Romance
@@ -322,12 +350,18 @@ def detect_language(text: str | None) -> dict | None:
                 for code in langs:
                     hit_counts[code] = hit_counts.get(code, 0) + c
     else:
-        # CJK text tokenizes as long runs; split to characters for zh markers
+        # space-less scripts tokenize as long runs; split to characters —
+        # kana/hangul chars ARE the ja/ko markers, ideographs probe the zh
+        # marker table
         n_tokens = 0
         for t in raw_tokens:
             if _CJK_RE.search(t):
                 n_tokens += len(t)
                 for ch in t:
+                    lang = _char_lang(ch)
+                    if lang is not None:
+                        hit_counts[lang] = hit_counts.get(lang, 0) + 1
+                        continue
                     for code in _MARKER_LANGS.get(ch, ()):
                         hit_counts[code] = hit_counts.get(code, 0) + 1
             else:
