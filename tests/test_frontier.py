@@ -699,3 +699,62 @@ def test_reuse_seen_bucketed_rebuilds_on_count_mismatch(spark, tmp_path):
     before = table_files()
     tbl3 = reuse_or_create_seen_bucketed(spark, path, df=truth, expected_rows=10)
     assert tbl3 == tbl and table_files() == before
+
+
+def test_extract_hrefs_relative_resolution(spark):
+    """r4: RFC 3986-subset resolution — protocol-relative, root-relative,
+    directory-relative, ./ and ../ collapse; other schemes and deep
+    escapes dropped."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    html = " ".join(
+        f'<a href="{h}">x</a>'
+        for h in [
+            "https://other.example.com/abs",
+            "//cdn.example.com/lib.js",
+            "/rooted/path",
+            "sibling.html",
+            "./dotted.html",
+            "sub/dir/page.html",
+            "../up-one.html",
+            "../../up-two.html",
+            "mailto:someone@example.com",
+            "javascript:void(0)",
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [{"kind": "text", "text": html, "media_ref": None, "offset": 0}],
+                "https://host.example.com/a/b/page.html",
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    urls = {r.url for r in extract_hrefs(docs).collect()}
+    assert urls == {
+        "https://other.example.com/abs",
+        "https://cdn.example.com/lib.js",
+        "https://host.example.com/rooted/path",
+        "https://host.example.com/a/b/sibling.html",
+        "https://host.example.com/a/b/dotted.html",
+        "https://host.example.com/a/b/sub/dir/page.html",
+        "https://host.example.com/a/up-one.html",
+        "https://host.example.com/up-two.html",
+    }
+
+    # path-less parent: directory is the origin root
+    docs2 = spark.createDataFrame(
+        [
+            (
+                "d2",
+                [{"kind": "text", "text": '<a href="rel.html">r</a>', "media_ref": None, "offset": 0}],
+                "https://host.example.com",
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    assert {r.url for r in extract_hrefs(docs2).collect()} == {
+        "https://host.example.com/rel.html"
+    }

@@ -62,9 +62,15 @@ def extract_hrefs(
 ) -> DataFrame:
     """REAL link discovery: hrefs from fetched page text, native expressions
     only (regexp_extract_all + relative resolution). Returns
-    (parent_url, url) with absolute http(s) links kept as-is and
-    root-relative paths resolved against the parent's scheme+host; other
-    relative forms and fragments are dropped (documented subset).
+    (parent_url, url). Resolution (RFC 3986 subset, r4):
+      - absolute http(s) links kept as-is;
+      - protocol-relative '//host/p' gets the parent's scheme;
+      - root-relative '/p' resolves against the parent's scheme+host;
+      - directory-relative 'p' and './p' resolve against the parent's
+        directory; '../' segments collapse (up to 4 levels — deeper chains
+        are dropped rather than mis-resolved);
+      - other schemes (mailto:, javascript:, data:, ...) and pure
+        fragments are dropped.
 
     This is the production discovery path for ingested pages; the crawl
     LOOP keeps the synthetic deterministic link model (extract_links) so its
@@ -77,22 +83,47 @@ def extract_hrefs(
         F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1).alias(
             "_origin"
         ),
+        F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1).alias(
+            "_scheme"
+        ),
         F.regexp_extract_all(
             payload_text_col(),
             F.lit(r"""(?i)href\s*=\s*["']([^"'#>]+)"""),
             F.lit(1),
         ).alias("_hrefs"),
     )
+    # parent directory incl. trailing slash; a path-less parent's dir is
+    # origin + '/'
+    parent_dir = F.when(
+        F.regexp_replace(F.col("parent_url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+        .startswith("/"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("parent_url"), r"[?#].*$", ""), r"[^/]*$", ""
+        ),
+    ).otherwise(F.concat(F.col("_origin"), F.lit("/")))
     links = base.select(
-        "parent_url", "_origin", F.explode("_hrefs").alias("_href")
-    ).select(
+        "parent_url", "_origin", "_scheme", parent_dir.alias("_dir"),
+        F.explode("_hrefs").alias("_href"),
+    )
+    href = F.col("_href")
+    has_origin = F.length("_origin") > 0
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))  # other schemes
+        .when(href.startswith("//") & (F.length("_scheme") > 0),
+              F.concat(F.col("_scheme"), F.lit(":"), href))
+        .when(href.startswith("/") & has_origin, F.concat(F.col("_origin"), href))
+        .when(has_origin,
+              F.concat(F.col("_dir"), F.regexp_replace(href, r"^(\./)+", "")))
+    )
+    # collapse up to 4 '../' levels; anything deeper (or escaping the
+    # host root) is dropped rather than mis-resolved
+    collapsed = resolved
+    for _ in range(4):
+        collapsed = F.regexp_replace(collapsed, r"/[^/.][^/]*/\.\./", "/")
+    links = links.select(
         "parent_url",
-        F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
-        .when(
-            F.col("_href").startswith("/") & (F.length("_origin") > 0),
-            F.concat(F.col("_origin"), F.col("_href")),
-        )
-        .alias("url"),
+        F.when(collapsed.rlike(r"/\.\./"), F.lit(None)).otherwise(collapsed).alias("url"),
     )
     return links.filter(F.col("url").isNotNull()).distinct()
 
