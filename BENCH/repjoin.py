@@ -17,25 +17,23 @@ import json
 import os
 import sys
 import tempfile
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from warc_metadata_sidecar_spark.frontier.crawl import (  # noqa: E402
+    shuffle_totals as _shuffle_totals,
+)
 from warc_metadata_sidecar_spark.session import build_session  # noqa: E402
 
 
 def shuffle_totals(spark) -> tuple[int, int]:
-    ui = spark.sparkContext.uiWebUrl
-    app_id = spark.sparkContext.applicationId
-    with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
-    ) as fh:
-        stages = json.load(fh)
-    return (
-        sum(s.get("shuffleReadBytes", 0) for s in stages),
-        sum(s.get("shuffleWriteBytes", 0) for s in stages),
-    )
+    """crawl.shuffle_totals, but a measurement run must fail loudly when
+    the status API is unavailable instead of recording garbage deltas."""
+    totals = _shuffle_totals(spark)
+    if totals is None:
+        raise RuntimeError("Spark UI/status API unavailable — cannot measure")
+    return totals
 
 
 def main() -> None:

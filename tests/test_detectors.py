@@ -230,3 +230,10 @@ def test_language_r4_coverage():
         assert r and r["languages"][0]["code"] == want, (want, r)
     names = {detect_language(t)["languages"][0]["name"] for t in cases.values()}
     assert {"Japanese", "Korean", "RUSSIAN", "DUTCH", "SWEDISH", "Chinese"} == names
+
+
+def test_language_halfwidth_katakana():
+    """Half-width katakana (Shift_JIS-era pages, common in web archives)
+    is Japanese."""
+    r = detect_language("ﾃｽﾄﾃﾞｰﾀ ﾍﾟｰｼﾞ ｶﾞｲﾄﾞ ｻﾝﾌﾟﾙ ｺﾝﾃﾝﾂ")
+    assert r and r["languages"][0]["code"] == "ja"

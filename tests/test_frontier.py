@@ -744,6 +744,53 @@ def test_extract_hrefs_relative_resolution(spark):
         "https://host.example.com/up-two.html",
     }
 
+    # reviewer failure cases (r4): the collapse must be path-only and
+    # handle trailing '..', dot-directories, uppercase schemes
+    html2 = " ".join(
+        f'<a href="{h}">x</a>'
+        for h in [
+            "../style.css",            # one above parent dir, NOT host surgery
+            "..",                      # trailing dot-dot -> parent dir
+            "sub/..",                  # resolves back to the parent dir
+            "HTTPS://UPPER.example.com/Abs",   # scheme case-insensitive
+            "https://h.example.com/redirect?next=/a/../b",  # query untouched
+            "../../../../../deep.html",        # escapes root -> dropped
+        ]
+    )
+    docs_r = spark.createDataFrame(
+        [
+            (
+                "d3",
+                [{"kind": "text", "text": html2, "media_ref": None, "offset": 0}],
+                "https://host.example.com/a/b/page.html",
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    urls_r = {r.url for r in extract_hrefs(docs_r).collect()}
+    assert urls_r == {
+        "https://host.example.com/a/style.css",
+        "https://host.example.com/a/",
+        "https://host.example.com/a/b/",
+        "HTTPS://UPPER.example.com/Abs",
+        "https://h.example.com/redirect?next=/a/../b",
+    }
+
+    # dot-directory parents still collapse
+    docs_w = spark.createDataFrame(
+        [
+            (
+                "d4",
+                [{"kind": "text", "text": '<a href="../x">x</a>', "media_ref": None, "offset": 0}],
+                "https://h.example.com/.well-known/cfg/page",
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    assert {r.url for r in extract_hrefs(docs_w).collect()} == {
+        "https://h.example.com/.well-known/x"
+    }
+
     # path-less parent: directory is the origin root
     docs2 = spark.createDataFrame(
         [

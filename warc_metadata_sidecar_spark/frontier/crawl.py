@@ -63,12 +63,15 @@ def extract_hrefs(
     """REAL link discovery: hrefs from fetched page text, native expressions
     only (regexp_extract_all + relative resolution). Returns
     (parent_url, url). Resolution (RFC 3986 subset, r4):
-      - absolute http(s) links kept as-is;
+      - absolute http(s) links kept (any scheme case), path dot-segments
+        normalized;
       - protocol-relative '//host/p' gets the parent's scheme;
       - root-relative '/p' resolves against the parent's scheme+host;
       - directory-relative 'p' and './p' resolve against the parent's
-        directory; '../' segments collapse (up to 4 levels — deeper chains
-        are dropped rather than mis-resolved);
+        directory; '.'/'..' segments collapse PATH-ONLY per RFC 3986
+        5.2.4 (up to 4 '../' levels — deeper or root-escaping chains are
+        dropped rather than mis-resolved; the authority and query never
+        participate);
       - other schemes (mailto:, javascript:, data:, ...) and pure
         fragments are dropped.
 
@@ -108,22 +111,50 @@ def extract_hrefs(
     href = F.col("_href")
     has_origin = F.length("_origin") > 0
     resolved = (
-        F.when(href.rlike("^https?://"), href)
+        F.when(href.rlike("(?i)^https?://"), href)  # schemes are case-insensitive
         .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))  # other schemes
         .when(href.startswith("//") & (F.length("_scheme") > 0),
-              F.concat(F.col("_scheme"), F.lit(":"), href))
+              F.concat(F.lower(F.col("_scheme")), F.lit(":"), href))
         .when(href.startswith("/") & has_origin, F.concat(F.col("_origin"), href))
         .when(has_origin,
               F.concat(F.col("_dir"), F.regexp_replace(href, r"^(\./)+", "")))
     )
-    # collapse up to 4 '../' levels; anything deeper (or escaping the
-    # host root) is dropped rather than mis-resolved
-    collapsed = resolved
+    # Dot-segment removal on the PATH ONLY (RFC 3986 5.2.4): the authority
+    # and query must never participate — a whole-URL collapse would eat
+    # '://host/../' into the hostname, and queries legitimately carry
+    # '/../'. Intermediates are STAGED columns: the conditional chains
+    # would otherwise re-evaluate per downstream reference (Catalyst CSE
+    # skips conditional branches — the with_surt lesson).
+    links = (
+        links.select("parent_url", resolved.alias("_resolved"))
+        .filter(F.col("_resolved").isNotNull())
+        .withColumn(
+            "_pref",
+            F.regexp_extract("_resolved", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1),
+        )
+        .withColumn("_rest", F.expr(f"substring(_resolved, length(_pref) + 1, {1 << 30})"))
+        .withColumn("_path", F.regexp_extract("_rest", r"^([^?#]*)", 1))
+        .withColumn("_query", F.expr(f"substring(_rest, length(_path) + 1, {1 << 30})"))
+    )
+    # '.' segments out; a trailing '..' or '.' gains its slash so the
+    # segment patterns below see it
+    p = F.regexp_replace(F.col("_path"), r"/\./", "/")
+    p = F.regexp_replace(p, r"/\./", "/")  # odd-count runs like /././
+    p = F.regexp_replace(p, r"/\.$", "/")
+    p = F.regexp_replace(p, r"/\.\.$", "/../")
+    # collapse up to 4 '<segment>/../' levels; '(?!\.\./)' keeps a leading
+    # '../' from being consumed as a segment while dot-directories like
+    # '.well-known' still collapse
     for _ in range(4):
-        collapsed = F.regexp_replace(collapsed, r"/[^/.][^/]*/\.\./", "/")
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\./", "/")
+    links = links.withColumn("_p", p)
+    # anything still carrying a dot-dot segment (deeper than 4 levels, or
+    # escaping the host root) is dropped rather than mis-resolved
     links = links.select(
         "parent_url",
-        F.when(collapsed.rlike(r"/\.\./"), F.lit(None)).otherwise(collapsed).alias("url"),
+        F.when(F.col("_p").rlike(r"(^|/)\.\.(/|$)"), F.lit(None))
+        .otherwise(F.concat(F.col("_pref"), F.col("_p"), F.col("_query")))
+        .alias("url"),
     )
     return links.filter(F.col("url").isNotNull()).distinct()
 

@@ -295,17 +295,18 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
 _TOKEN_RE = re.compile(r"[\w一-鿿']+", re.UNICODE)
 # space-less scripts that need the char-level path: CJK ideographs, kana
-# (Japanese), hangul (Korean)
-_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힣]")
+# incl. half-width (Japanese), hangul (Korean)
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힣ｦ-ﾟ]")
 
 
 def _char_lang(ch: str) -> str | None:
     """Script-keyed language of one char (cld2 is script-first here):
-    kana -> ja, hangul -> ko; ideographs return None and fall back to the
-    zh marker table (kanji are shared between zh and ja — Japanese text
-    wins through its kana, like cld2's script scoring)."""
+    kana -> ja (incl. half-width katakana, the Shift_JIS-era web-archive
+    staple), hangul -> ko; ideographs return None and fall back to the zh
+    marker table (kanji are shared between zh and ja — Japanese text wins
+    through its kana, like cld2's script scoring)."""
     o = ord(ch)
-    if 0x3040 <= o <= 0x30FF:
+    if 0x3040 <= o <= 0x30FF or 0xFF66 <= o <= 0xFF9F:
         return "ja"
     if 0xAC00 <= o <= 0xD7A3:
         return "ko"
