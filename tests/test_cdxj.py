@@ -344,3 +344,25 @@ def test_surt_idn_hosts_all_twins_equal(spark):
     # spot-check the ACE form actually appears
     assert py_surt("https://www.münchen.de/Rathaus") == "de,xn--mnchen-3ya)/rathaus"
     assert py_surt("http://例え.テスト/") == "xn--zckzah,xn--r8jz45g)/"
+
+
+def test_surt_raw_char_escaping_all_twins(spark):
+    """r4: raw illegal path/query characters (space, quote, braces, pipe,
+    backslash, caret, backtick, angle brackets) escape to upper %XX in
+    both twins and the staged form — the last documented S1 remainder."""
+    from warc_metadata_sidecar_spark.functions.surt import with_surt
+
+    urls = [
+        "https://h.example.com/a b/c",
+        'https://h.example.com/p?q=a b&r="x"',
+        "https://h.example.com/br{a}ce|pipe^caret",
+        "https://h.example.com/back\\slash`tick<angle>",
+        "https://h.example.com/plain/path?x=1",
+    ]
+    assert py_surt(urls[0]) == "com,example,h)/a%20b/c"
+    assert py_surt(urls[1]) == "com,example,h)/p?q=a%20b&r=%22x%22"
+    assert py_surt(urls[2]) == "com,example,h)/br%7Ba%7Dce%7Cpipe%5Ecaret"
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    expected = [py_surt(u) for u in urls]
+    assert [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()] == expected
+    assert [r.canonical_url for r in with_surt(df).collect()] == expected

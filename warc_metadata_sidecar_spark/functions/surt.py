@@ -26,9 +26,11 @@ default canonicalizer — the rules real crawl URLs hit):
   in the twin, java.net.IDN.toASCII via try_reflect in the native forms —
   JVM-side, still no Python stage; verified byte-equal across both, and
   gated on a non-ASCII probe so ASCII hosts never pay the reflective
-  call). Not covered (documented): escaping of raw reserved chars; hosts
-  BOTH twins fail to encode (overlong/empty labels) key as their raw
-  lowercased form.
+  call); raw ILLEGAL characters in the path/query (space, quote, angle
+  brackets, braces, pipe, backslash, caret, backtick) escape to upper
+  %XX like the surt canonicalizer. Not covered (documented): hosts BOTH
+  twins fail to IDNA-encode (overlong/empty labels) key as their raw
+  lowercased form; raw illegal chars inside the HOST stay raw.
   e.g. https://www.UNT.edu/About?b=2&a=1&PHPSESSID=x -> 'edu,unt)/about?a=1&b=2'
        https://www.münchen.de/Rathaus -> 'de,xn--mnchen-3ya)/rathaus'
 """
@@ -82,19 +84,35 @@ def _py_decode_unreserved(s: str) -> str:
 
 
 def _py_canonical_rest(rest: str) -> str:
-    """Lowercase + session-strip + query-sort the path?query part (the
-    unreserved decode already ran on the whole URL in py_surt)."""
+    """Lowercase + session-strip + query-sort + raw-char escape of the
+    path?query part (the unreserved decode already ran on the whole URL in
+    py_surt)."""
     rest = re.sub(FRAGMENT_PATTERN, "", rest).lower()
     rest = re.sub(JSESSIONID_PATH_PATTERN, "", rest)
     if "?" in rest:
         path, _, query = rest.partition("?")
         args = [a for a in query.split("&") if a and not re.match(SESSION_PARAM_PATTERN, a)]
         rest = path + ("?" + "&".join(sorted(args)) if args else "")
-    return rest or "/"
+    return _py_escape_raw(rest) or "/"
 
 
 NON_ASCII_PATTERN = "[^\\x00-\\x7F]"
 _NON_ASCII_RE = re.compile(NON_ASCII_PATTERN)
+
+# raw characters that are ILLEGAL unescaped in a URL path/query (RFC 3986
+# excluded set, the ones real crawled hrefs actually carry) — the surt
+# canonicalizer escapes them; r4 closes this documented S1 remainder.
+# Applied to the rest (path?query) AFTER session-strip/sort, never to the
+# host (IDN handles non-ascii hosts; an illegal char in a host stays raw).
+RAW_ESCAPE_CHARS = ' "<>`{}|\\^'
+_RAW_ESCAPE_RE = re.compile("[" + re.escape(RAW_ESCAPE_CHARS) + "]")
+_RAW_ESCAPE_MAP = {c: "%%%02X" % ord(c) for c in RAW_ESCAPE_CHARS}
+
+
+def _py_escape_raw(rest: str) -> str:
+    if not _RAW_ESCAPE_RE.search(rest):
+        return rest
+    return _RAW_ESCAPE_RE.sub(lambda m: _RAW_ESCAPE_MAP[m.group(0)], rest)
 
 
 def _py_idna_host(host: str) -> str:
@@ -169,7 +187,13 @@ def _canonical_rest_col(rest: Column) -> Column:
     rebuilt = F.when(
         F.size(args) > 0, F.concat(path, F.lit("?"), F.array_join(args, "&"))
     ).otherwise(path)
-    return F.when(F.length(rebuilt) == 0, F.lit("/")).otherwise(rebuilt)
+    out = F.when(F.length(rebuilt) == 0, F.lit("/")).otherwise(rebuilt)
+    # raw-char escape (twin of _py_escape_raw): a chain of LITERAL
+    # replaces, unconditional on purpose — a gated form would reference
+    # the rebuilt chain 3x and Catalyst CSE skips conditional branches
+    for ch, rep in _RAW_ESCAPE_MAP.items():
+        out = F.replace(out, F.lit(ch), F.lit(rep))
+    return out
 
 
 def _idna_host_col(host: Column) -> Column:
