@@ -805,3 +805,32 @@ def test_extract_hrefs_relative_resolution(spark):
     assert {r.url for r in extract_hrefs(docs2).collect()} == {
         "https://host.example.com/rel.html"
     }
+
+
+def test_extract_hrefs_never_corrupts_host(spark):
+    """Property over a generated spread: a RELATIVE href's resolution always
+    stays on the parent's origin, never emits a dot-dot segment, and never
+    rewrites the hostname (the r4 whole-URL-collapse bug class)."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    origin = "https://host.example.com"
+    depths = ["", "/a", "/a/b", "/a/b/c", "/.well-known/x", "/a/.d/e"]
+    rels = ["p.html", "./p", "sub/p", "../p", "../../p", "../../../p",
+            "../../../../p", "..", "sub/..", "./../p", "x/./y"]
+    rows = []
+    i = 0
+    for d in depths:
+        parent = f"{origin}{d}/page.html" if d else origin
+        html = " ".join(f'<a href="{h}">x</a>' for h in rels)
+        rows.append((f"d{i}", [{"kind": "text", "text": html, "media_ref": None, "offset": 0}], parent))
+        i += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    out = extract_hrefs(docs).collect()
+    assert out
+    for r in out:
+        assert r.url.startswith(origin + "/") or r.url == origin, (r.parent_url, r.url)
+        assert "/../" not in r.url and not r.url.endswith("/..") , (r.parent_url, r.url)
+        assert "/./" not in r.url and not r.url.endswith("/."), (r.parent_url, r.url)
