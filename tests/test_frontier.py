@@ -754,7 +754,9 @@ def test_extract_hrefs_relative_resolution(spark):
             "sub/..",                  # resolves back to the parent dir
             "HTTPS://UPPER.example.com/Abs",   # scheme case-insensitive
             "https://h.example.com/redirect?next=/a/../b",  # query untouched
-            "../../../../../deep.html",        # escapes root -> dropped
+            "../../../../../deep.html",        # escapes root -> clamps at root
+            "?page=2",                         # query-only keeps the full base path
+            "/x/././././y",                    # any run of '/./' collapses (r5)
         ]
     )
     docs_r = spark.createDataFrame(
@@ -774,6 +776,22 @@ def test_extract_hrefs_relative_resolution(spark):
         "https://host.example.com/a/b/",
         "HTTPS://UPPER.example.com/Abs",
         "https://h.example.com/redirect?next=/a/../b",
+        "https://host.example.com/deep.html",
+        "https://host.example.com/a/b/page.html?page=2",
+        "https://host.example.com/x/y",
+    }
+
+    # r5: deep NON-escaping '../' chains resolve exactly (the 4-rung cap is
+    # gone — the segment-stack fold handles any depth)
+    deep_parent = "https://host.example.com/a/b/c/d/e/f/g/page.html"
+    html3 = '<a href="../../../../../../x.html">x</a> <a href="q/r/../../s/../t.html">y</a>'
+    docs_d = spark.createDataFrame(
+        [("d5", [{"kind": "text", "text": html3, "media_ref": None, "offset": 0}], deep_parent)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    assert {r.url for r in extract_hrefs(docs_d).collect()} == {
+        "https://host.example.com/a/x.html",
+        "https://host.example.com/a/b/c/d/e/f/g/t.html",
     }
 
     # dot-directory parents still collapse
@@ -816,7 +834,8 @@ def test_extract_hrefs_never_corrupts_host(spark):
     origin = "https://host.example.com"
     depths = ["", "/a", "/a/b", "/a/b/c", "/.well-known/x", "/a/.d/e"]
     rels = ["p.html", "./p", "sub/p", "../p", "../../p", "../../../p",
-            "../../../../p", "..", "sub/..", "./../p", "x/./y"]
+            "../../../../p", "../../../../../p", "../../../../../../../../p",
+            "..", "sub/..", "./../p", "x/./y", "?q=1", "a/././b"]
     rows = []
     i = 0
     for d in depths:
@@ -831,6 +850,11 @@ def test_extract_hrefs_never_corrupts_host(spark):
     out = extract_hrefs(docs).collect()
     assert out
     for r in out:
-        assert r.url.startswith(origin + "/") or r.url == origin, (r.parent_url, r.url)
-        assert "/../" not in r.url and not r.url.endswith("/..") , (r.parent_url, r.url)
-        assert "/./" not in r.url and not r.url.endswith("/."), (r.parent_url, r.url)
+        assert (
+            r.url.startswith(origin + "/")
+            or r.url.startswith(origin + "?")
+            or r.url == origin
+        ), (r.parent_url, r.url)
+        path = r.url[len(origin):].split("?", 1)[0]
+        assert "/../" not in path and not path.endswith("/.."), (r.parent_url, r.url)
+        assert "/./" not in path and not path.endswith("/."), (r.parent_url, r.url)

@@ -67,11 +67,14 @@ def extract_hrefs(
         normalized;
       - protocol-relative '//host/p' gets the parent's scheme;
       - root-relative '/p' resolves against the parent's scheme+host;
+      - query-only '?q' keeps the parent's full path (RFC 3986 §5.3);
       - directory-relative 'p' and './p' resolve against the parent's
         directory; '.'/'..' segments collapse PATH-ONLY per RFC 3986
-        5.2.4 (up to 4 '../' levels — deeper or root-escaping chains are
-        dropped rather than mis-resolved; the authority and query never
-        participate);
+        §5.2.4, implemented EXACTLY as a native segment-stack fold
+        (any run length, any depth — r5 closes the 4-rung cap); excess
+        '..' above the root clamps at the root like a browser does (the
+        authority and query never participate, so resolution can never
+        leave the parent's origin);
       - other schemes (mailto:, javascript:, data:, ...) and pure
         fragments are dropped.
 
@@ -115,16 +118,25 @@ def extract_hrefs(
         .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))  # other schemes
         .when(href.startswith("//") & (F.length("_scheme") > 0),
               F.concat(F.lower(F.col("_scheme")), F.lit(":"), href))
+        # query-only reference: RFC 3986 §5.3 keeps the base's FULL path
+        # ('/a/b.html' + '?x' -> '/a/b.html?x', not the parent directory)
+        .when(href.startswith("?") & has_origin,
+              F.concat(F.regexp_replace(F.col("parent_url"), r"[?#].*$", ""), href))
         .when(href.startswith("/") & has_origin, F.concat(F.col("_origin"), href))
-        .when(has_origin,
-              F.concat(F.col("_dir"), F.regexp_replace(href, r"^(\./)+", "")))
+        .when(has_origin, F.concat(F.col("_dir"), href))
     )
-    # Dot-segment removal on the PATH ONLY (RFC 3986 5.2.4): the authority
+    # Dot-segment removal on the PATH ONLY (RFC 3986 §5.2.4): the authority
     # and query must never participate — a whole-URL collapse would eat
     # '://host/../' into the hostname, and queries legitimately carry
-    # '/../'. Intermediates are STAGED columns: the conditional chains
-    # would otherwise re-evaluate per downstream reference (Catalyst CSE
-    # skips conditional branches — the with_surt lesson).
+    # '/../'. Implemented as ONE native `aggregate` fold over the split
+    # segments — an exact segment stack, so any run of '/./' and any '..'
+    # depth resolves in a single pass (no rung cap); '..' with nothing left
+    # to pop clamps at the root marker, same as a browser. Precondition
+    # (guaranteed by construction above): a non-empty _path starts with '/',
+    # so the stack's first pushed element is the '' root marker.
+    # Intermediates are STAGED columns: the conditional chains would
+    # otherwise re-evaluate per downstream reference (Catalyst CSE skips
+    # conditional branches — the with_surt lesson).
     links = (
         links.select("parent_url", resolved.alias("_resolved"))
         .filter(F.col("_resolved").isNotNull())
@@ -135,26 +147,39 @@ def extract_hrefs(
         .withColumn("_rest", F.expr(f"substring(_resolved, length(_pref) + 1, {1 << 30})"))
         .withColumn("_path", F.regexp_extract("_rest", r"^([^?#]*)", 1))
         .withColumn("_query", F.expr(f"substring(_rest, length(_path) + 1, {1 << 30})"))
+        .withColumn("_segs", F.expr("split(_path, '/')"))
+        .withColumn(
+            "_stack",
+            F.expr(
+                """
+                aggregate(_segs, cast(array() as array<string>),
+                  (acc, s) -> CASE
+                    WHEN s = '.' THEN acc
+                    WHEN s = '..' THEN
+                      CASE WHEN size(acc) <= 1 THEN acc
+                           ELSE slice(acc, 1, size(acc) - 1) END
+                    ELSE concat(acc, array(s)) END)
+                """
+            ),
+        )
+        # a trailing '.' or '..' resolves to a DIRECTORY (§5.2.4 replaces it
+        # with '/'), so the joined path regains its trailing slash
+        .withColumn(
+            "_p",
+            F.expr(
+                """
+                CASE WHEN _path = '' THEN ''
+                     ELSE array_join(
+                       CASE WHEN element_at(_segs, -1) IN ('.', '..')
+                            THEN concat(_stack, array(''))
+                            ELSE _stack END, '/')
+                END
+                """
+            ),
+        )
     )
-    # '.' segments out; a trailing '..' or '.' gains its slash so the
-    # segment patterns below see it
-    p = F.regexp_replace(F.col("_path"), r"/\./", "/")
-    p = F.regexp_replace(p, r"/\./", "/")  # odd-count runs like /././
-    p = F.regexp_replace(p, r"/\.$", "/")
-    p = F.regexp_replace(p, r"/\.\.$", "/../")
-    # collapse up to 4 '<segment>/../' levels; '(?!\.\./)' keeps a leading
-    # '../' from being consumed as a segment while dot-directories like
-    # '.well-known' still collapse
-    for _ in range(4):
-        p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\./", "/")
-    links = links.withColumn("_p", p)
-    # anything still carrying a dot-dot segment (deeper than 4 levels, or
-    # escaping the host root) is dropped rather than mis-resolved
     links = links.select(
-        "parent_url",
-        F.when(F.col("_p").rlike(r"(^|/)\.\.(/|$)"), F.lit(None))
-        .otherwise(F.concat(F.col("_pref"), F.col("_p"), F.col("_query")))
-        .alias("url"),
+        "parent_url", F.concat("_pref", "_p", "_query").alias("url")
     )
     return links.filter(F.col("url").isNotNull()).distinct()
 
