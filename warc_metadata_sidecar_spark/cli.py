@@ -178,6 +178,7 @@ def cmd_crawl(args) -> None:
         bucketed_seen=True,
         seen_lookup=args.seen_lookup,
         broadcast_state_limit=args.seen_broadcast_limit,
+        discovery=args.discovery,
     )
     for m in result.lineage:
         print(
@@ -236,6 +237,14 @@ def main() -> None:
         default=64 << 20,
         help="auto mode switches to shardjoin above this aggregate "
         "filter-state size in bytes",
+    )
+    cr.add_argument(
+        "--discovery",
+        choices=("synthetic", "hrefs"),
+        default="synthetic",
+        help="link discovery: the deterministic synthetic model (simulator-"
+        "reproducible schedule) or real href extraction + RFC 3986 "
+        "resolution from fetched page text (ingested corpora)",
     )
     cr.set_defaults(fn=cmd_crawl)
 
