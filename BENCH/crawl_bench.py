@@ -73,6 +73,18 @@ def main() -> None:
     )
     wall_b = time.time() - t0
     shutil.rmtree(ckpt, ignore_errors=True)
+    # r5: ANNOTATED loop — sidecar stage per round, rows checkpointed to
+    # round=R/annotated; the returned frame is one parquet scan (constant
+    # plan depth, VERDICT r4 #3)
+    ckpt_a = tempfile.mkdtemp(prefix="crawl_bench_ann_")
+    t0 = time.time()
+    result_a = run_crawl(
+        spark, docs, seeds, robots, rounds=rounds, universe=universe,
+        skew_stats=False, out_dir=ckpt_a, bucketed_seen=True, annotate=True,
+    )
+    n_annotated = result_a.annotated.count() if result_a.annotated is not None else 0
+    wall_a = time.time() - t0
+    shutil.rmtree(ckpt_a, ignore_errors=True)
     total_candidates = sum(m.candidates for m in result.lineage)
     total_selected = sum(m.selected for m in result.lineage)
     seen_after = result.lineage[-1].seen_after if result.lineage else 0
@@ -104,6 +116,14 @@ With the r3 BUCKETED seen layout + full per-round checkpointing to disk
 wall {wall_b:.1f}s — {round(total_candidates / wall_b, 2):,} candidate
 URLs/s including checkpoint IO; schedule identical (pinned by tests).
 
+ANNOTATED loop (bucketed seen + checkpointing + the §2a sidecar stage per
+round, rows written to round=R/annotated): wall {wall_a:.1f}s,
+{n_annotated:,} rows annotated —
+{round((total_selected + n_annotated) / wall_a, 2):,} scheduled+annotated
+URLs/s through the full loop. The returned annotated frame is ONE parquet
+scan over the round snapshots: plan depth constant in rounds (pinned by
+test_crawl_annotate_bounded_plan).
+
 Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
 `python BENCH/crawl_bench.py {universe} {rounds} {cpus}`.
 """
@@ -118,6 +138,8 @@ Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
                 "wall_sec": round(wall, 1),
                 "candidate_urls_per_sec": urls_per_sec,
                 "bucketed_ckpt_wall_sec": round(wall_b, 1),
+                "annotated_wall_sec": round(wall_a, 1),
+                "annotated_rows": n_annotated,
                 "selected": total_selected,
                 "seen_after": seen_after,
             }

@@ -584,3 +584,103 @@ def test_streaming_ledger_compacts_during_stream(spark, tmp_path, monkeypatch):
     # per-bucket fragmentation stays bounded by the in-stream compactions
     by_bucket = _files_by_bucket(str(tmp_path / "ledger"))
     assert max(len(fs) for fs in by_bucket.values()) <= 12
+
+
+def test_ledger_rejects_object_store_paths(spark, tmp_path):
+    """VERDICT r4 #4: the ledger's maintenance mechanics are local-FS
+    (os.listdir bucket discovery, os.replace swap) — an object-store path
+    would silently never compact, so every entry point fails fast with the
+    Iceberg guidance instead."""
+    import pytest
+
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        compact_ledger,
+        ensure_ledger_table,
+        start_sidecar_stream,
+    )
+
+    for bad in ("s3a://bucket/ledger", "hdfs://nn/ledger", "gs://b/l",
+                "abfss://c@acct.dfs.core.windows.net/l"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            ensure_ledger_table(spark, bad)
+        with pytest.raises(ValueError, match="local filesystem"):
+            compact_ledger(spark, bad)
+    with pytest.raises(ValueError, match="local filesystem"):
+        start_sidecar_stream(
+            spark,
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            ledger_dir="s3a://bucket/ledger",
+        )
+    # plain local paths pass the guard (no ledger yet -> None, no raise)
+    assert ensure_ledger_table(spark, str(tmp_path / "nothing")) is None
+
+
+def test_ledger_swap_failure_invalidates_table(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a compaction swap that fails PARTWAY leaves old+new copies
+    of some buckets on disk. The catalog entry must be dropped at that
+    moment — otherwise split_by_ledger's inner join double-serves every
+    duplicated digest for the rest of the session. The next
+    ensure_ledger_table() rebuild dedupes."""
+    import os as _os
+
+    import pytest
+
+    from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
+        LEDGER,
+        _ledger_table_name,
+        _write_ledger,
+        compact_ledger,
+        ensure_ledger_table,
+    )
+
+    ledger_dir = str(tmp_path / "ledger")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("sha1:"), F.col("id")).alias("payload_digest"),
+            F.lit(None).cast(LEDGER["mime"].dataType).alias("mime"),
+            F.lit("fmt/471").alias("puid"),
+            F.lit(None).cast(LEDGER["charset"].dataType).alias("charset"),
+            F.lit(None).cast(LEDGER["languages"].dataType).alias("languages"),
+            F.lit(None).cast("double").alias("soft404"),
+            F.lit("p").alias("payload"),
+        )
+
+    _write_ledger(rows(0, 50), ledger_dir, "overwrite")
+    for i in range(1, 6):
+        _write_ledger(rows(i * 50, (i + 1) * 50), ledger_dir, "append")
+    tbl = _ledger_table_name(ledger_dir)
+    assert spark.catalog.tableExists(tbl)
+
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def flaky_replace(src, dst):
+        # count DATA files only (the loop also moves .crc sidecars): fail on
+        # the second data-file move so exactly one consolidated bucket file
+        # lands next to its still-undeleted originals
+        if dst.endswith(".parquet") and not _os.path.basename(dst).startswith("."):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise OSError("disk detached mid-swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("os.replace", flaky_replace)
+    with pytest.raises(OSError, match="mid-swap"):
+        compact_ledger(spark, ledger_dir, max_files=4)
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # the partial swap left duplicates on disk, but the catalog entry is
+    # GONE — nothing can serve the duplicated view
+    assert calls["n"] > 1
+    assert not spark.catalog.tableExists(tbl)
+    raw = spark.read.schema(LEDGER).parquet(ledger_dir)
+    assert raw.count() > raw.select("payload_digest").distinct().count()
+
+    # restart-recovery path dedupes before anything reads the ledger again
+    tbl2 = ensure_ledger_table(spark, ledger_dir)
+    assert tbl2 == tbl
+    got = spark.table(tbl2)
+    assert got.count() == 300 == got.select("payload_digest").distinct().count()

@@ -383,7 +383,12 @@ def run_crawl(
       2. URL-seen filter: sharded tiered prefilter + exact anti-join (N2)
       3. politeness selection: robots deny + per-host budget window (N3/N4)
       4. fetch = equi-join into documents on url (N5)
-      5. sidecar-annotate fetched rows (the §2a stage) when annotate=True
+      5. sidecar-annotate fetched rows (the §2a stage) when annotate=True;
+         with out_dir the rows checkpoint per round (round=R/annotated) and
+         the returned frame is ONE parquet scan — constant plan depth at
+         any round count, and a resume keeps earlier rounds' annotations
+         (VERDICT r4 #3); without out_dir a lazy in-memory union is
+         returned (fine for tests/few rounds — its plan grows O(rounds))
       6. discover links -> next round's frontier appends (N7: appends are
          repartitioned on canonical-url hash via host_salt)
       7. checkpoint + lineage (N6)
@@ -577,7 +582,19 @@ def run_crawl(
             docs_for_round = documents.join(
                 selected.select("url").distinct(), "url", "left_semi"
             )
-            annotated_parts.append(sidecar_rows(docs_for_round, media))
+            ann = sidecar_rows(docs_for_round, media)
+            if out_dir is not None:
+                # VERDICT r4 #3: checkpoint annotated rows per round like the
+                # other round outputs — the returned frame is ONE parquet
+                # scan over the round dirs, so driver plan depth stays
+                # constant as rounds grow and no leg re-reads `documents`
+                # at consumption time. Durable: resume picks earlier rounds'
+                # snapshots back up (the lazy-union path lost them).
+                ann.write.mode("overwrite").parquet(
+                    _ckpt_dir(out_dir, rnd, "annotated")
+                )
+            else:
+                annotated_parts.append(ann)
 
         if link_fn is not None or discovery == "hrefs":
             # real discovery consumes the SAME fetched plan (the fetch
@@ -702,7 +719,18 @@ def run_crawl(
         )
 
     annotated = None
-    if annotated_parts:
+    if annotate and out_dir is not None:
+        # one multi-path scan over every round's annotated snapshot —
+        # including rounds BEFORE a resume point (the in-memory union could
+        # only ever cover rounds run in this invocation)
+        ann_dirs = [
+            _ckpt_dir(out_dir, r, "annotated")
+            for r in range(rounds)
+            if _snapshot_ok(out_dir, r, "annotated")
+        ]
+        if ann_dirs:
+            annotated = spark.read.parquet(*ann_dirs)
+    elif annotated_parts:
         annotated = annotated_parts[0]
         for a in annotated_parts[1:]:
             annotated = annotated.unionByName(a)

@@ -54,6 +54,30 @@ LEDGER_BUCKETS = 16
 LEDGER_COMPACT_FILES = 64
 
 
+# URI-scheme (non-local) path, e.g. s3a://, hdfs://, gs://, abfss://
+_REMOTE_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def _require_local_ledger(ledger_dir: str) -> None:
+    """Fail fast on object-store ledger paths (VERDICT r4 #4). The ledger's
+    maintenance mechanics — bucket discovery via os.listdir and the
+    crash-safe os.replace compaction swap — are LOCAL-filesystem
+    primitives: against an s3a://-style path they would silently never
+    compact (listdir sees nothing) while appends still land, growing the
+    ledger without bound. Production mapping for object stores: an Iceberg
+    ledger table bucketed by payload_digest, appends via writeTo(...).append(),
+    compaction via rewrite_data_files with a bucket filter — the same
+    per-bucket size-tiered semantics, object-store safe."""
+    if _REMOTE_SCHEME_RE.match(ledger_dir) and not ledger_dir.startswith("file:"):
+        raise ValueError(
+            f"ledger_dir must be a local filesystem path, got {ledger_dir!r}: "
+            "the ledger's bucket listing and compaction swap use local-FS "
+            "primitives (os.listdir/os.replace) and would silently never "
+            "compact on an object store. Use an Iceberg ledger table "
+            "(bucket(payload_digest) + rewrite_data_files) there instead."
+        )
+
+
 def _ledger_table_name(ledger_dir: str) -> str:
     return "sidecar_ledger_" + hashlib.md5(
         os.path.abspath(ledger_dir).encode()
@@ -83,6 +107,7 @@ def ensure_ledger_table(spark: SparkSession, ledger_dir: str) -> str | None:
     """The ledger table handle, or None when no ledger exists yet. A session
     restart (files on disk, table missing from the in-memory catalog)
     rebuilds the bucketed table once — which doubles as a compaction."""
+    _require_local_ledger(ledger_dir)
     if not _ledger_files(ledger_dir):
         return None
     tbl = _ledger_table_name(ledger_dir)
@@ -182,6 +207,7 @@ def compact_ledger(
     under the correct bucket names; Iceberg's rewrite_data_files with a
     bucket filter is the production analog. Returns True when any bucket
     was rewritten."""
+    _require_local_ledger(ledger_dir)
     per_bucket = per_bucket_files or max(4, max_files // LEDGER_BUCKETS)
     by_bucket = _files_by_bucket(ledger_dir)
     frag: list[int] = []
@@ -221,10 +247,21 @@ def compact_ledger(
         for b in frag:
             for f in by_bucket[b]:
                 _rm_with_crc(ledger_dir, f)
+    except BaseException:
+        # A PARTIAL swap leaves old+new copies of some buckets on disk while
+        # the in-memory catalog still serves the registered table —
+        # split_by_ledger's inner join would then double-serve every
+        # duplicated digest for the rest of this session (restart recovery
+        # only dedupes when the catalog entry is gone). Drop the entry NOW
+        # so the next ensure_ledger_table() rebuilds with its
+        # dropDuplicates pass before anything reads the ledger again.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        raise
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        spark.catalog.refreshTable(tbl)
+        if spark.catalog.tableExists(tbl):
+            spark.catalog.refreshTable(tbl)
     return True
 
 
@@ -242,6 +279,8 @@ def start_sidecar_stream(
     Returns the StreamingQuery. Use trigger availableNow semantics in tests
     via processAllAvailable().
     """
+    if ledger_dir is not None:
+        _require_local_ledger(ledger_dir)  # fail at START, not mid-stream
     stream = spark.readStream.schema(schema.DOCUMENTS).parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
