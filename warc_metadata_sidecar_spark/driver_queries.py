@@ -1180,9 +1180,12 @@ def url_seen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_centroid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-based IVF (the scale path: trained quantizer, nprobe=2,
-    bucket truncation). Rows-only driver check — Lloyd iterations are not
-    single-statement SQL; recall vs brute force is pinned in
-    tests/test_dedup_similarity.py."""
+    bucket truncation). ORACLED (VERDICT r4 #1): training is seeded and
+    bit-deterministic (sorted-fold means, similarity.py), so a sequential
+    pure-Python twin of the whole path — Lloyd iteration, nprobe probes,
+    FAISS-style list truncation, top-1 argmax — renders its full output as
+    DuckDB VALUES (_ann_ivf_centroid_oracle_sql); recall vs brute force is
+    additionally pinned in tests/test_dedup_similarity.py."""
     from warc_metadata_sidecar_spark.operators.similarity import ivf_topk
 
     register_views(spark, sf_dir)
@@ -1192,13 +1195,16 @@ def ann_ivf_centroid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection with the default multi-table SRP
-    blocking (rows-only: the hyperplane fold is impractical as one SQL
-    statement; the exact=True twin equality is pinned in
-    tests/test_dedup_similarity.py). The driver corpus has no natural
-    >=0.9-cosine pairs (verified against the exact all-pairs baseline), so
-    duplicates are PLANTED deterministically — every vec_id % 10 == 0 row
-    re-enters as vec_id + 1000000, like the text CORPUS_CTE's planted dups
-    — and each must be recovered through the SRP bucket join."""
+    blocking. ORACLED (VERDICT r4 #1): the hyperplanes are literal
+    (md5-derived), so a sequential Python twin — bucket fold, banded
+    candidate join, exact cosine verify — renders the expected pairs as
+    DuckDB VALUES (_dedup_cosine_srp_oracle_sql); the exact=True module
+    equality is additionally pinned in tests/test_dedup_similarity.py.
+    The driver corpus has no natural >=0.9-cosine pairs (verified against
+    the exact all-pairs baseline), so duplicates are PLANTED
+    deterministically — every vec_id % 10 == 0 row re-enters as
+    vec_id + 1000000, like the text CORPUS_CTE's planted dups — and each
+    must be recovered through the SRP bucket join."""
     from pyspark.sql import functions as F
 
     from warc_metadata_sidecar_spark.operators.similarity import embedding_cosine_dedup
@@ -1212,6 +1218,196 @@ def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dedup(corpus, threshold=0.9, planes=6, tables=4).orderBy(
         "id_a", "id_b"
     )
+
+
+# --- sequential twins for the two approximate-ANN paths (VERDICT r4 #1) ------
+
+def _spark_round6(x: float) -> float:
+    """Bit-exact emulation of Spark's round(col, 6) on DoubleType:
+    BigDecimal.valueOf(x) parses the shortest-roundtrip decimal string
+    (same digits as Python repr) and rescales HALF_UP (ties away from
+    zero) — NOT Python round()'s banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Sequential fold in array order — the same IEEE operation sequence as
+    the engine's F.aggregate(zip_with(...)) dot (similarity.py:_dot), so
+    the values are bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _norm_py(v: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _load_embeddings(sf_dir: str | None = None) -> list[tuple[int, list[float]]]:
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    # parquet float32 -> Python float is the exact widening Spark's
+    # cast('array<double>') performs
+    return [(int(i), [float(x) for x in v]) for i, v in rows]
+
+
+def _ivf_centroid_twin(sf_dir: str | None = None) -> list[tuple[int, int, float, int]]:
+    """Sequential twin of ivf_topk(k=1, n_centroids=16, nprobe=2,
+    max_bucket=200, iters=1): same md5-seeded init, one Lloyd iteration
+    with sorted-fold means, nprobe ranking (desc csim, asc centroid_id),
+    per-list truncation (desc csim, asc id), top-1 by (desc rounded sim,
+    asc neighbor_id). Every arithmetic step folds in the same order as the
+    engine's native expressions, so the rendered VALUES are bit-faithful."""
+    import hashlib
+
+    vecs = _load_embeddings(sf_dir)
+    k, nprobe, max_bucket, iters = 16, 2, 200, 1
+    seeds = sorted(
+        vecs, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )[:k]
+    centroids: dict[int, list[float]] = {c: list(v) for c, (_, v) in enumerate(seeds)}
+    for _ in range(iters):
+        cnorm = {c: _norm_py(cv) for c, cv in centroids.items()}
+        buckets: dict[int, list[list[float]]] = {}
+        for i, v in vecs:
+            vn = _norm_py(v)
+            best = max(
+                centroids,
+                key=lambda c: (_dot_py(v, centroids[c]) / (vn * cnorm[c]), -c),
+            )
+            buckets.setdefault(best, []).append(v)
+        dims = len(vecs[0][1])
+        centroids = {
+            b: [
+                _sorted_mean([v[d] for v in members]) for d in range(dims)
+            ]
+            for b, members in buckets.items()
+        }
+    cnorm = {c: _norm_py(cv) for c, cv in centroids.items()}
+    # nprobe probes per vector: (bucket, probe_rank, csim)
+    probes: dict[int, list[tuple[float, int]]] = {}
+    for i, v in vecs:
+        vn = _norm_py(v)
+        ranked = sorted(
+            ((_dot_py(v, centroids[c]) / (vn * cnorm[c]), c) for c in centroids),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probes[i] = ranked[:nprobe]
+    # candidate lists = probe_rank 1 slice, truncated per bucket
+    by_bucket: dict[int, list[tuple[float, int]]] = {}
+    for i, _ in vecs:
+        csim, b = probes[i][0]
+        by_bucket.setdefault(b, []).append((csim, i))
+    cand: dict[int, list[int]] = {
+        b: [i for _, i in sorted(members, key=lambda t: (-t[0], t[1]))[:max_bucket]]
+        for b, members in by_bucket.items()
+    }
+    vec_by = dict(vecs)
+    norm_by = {i: _norm_py(v) for i, v in vecs}
+    rows: list[tuple[int, int, float, int]] = []
+    for i, v in vecs:
+        best: tuple[float, int] | None = None
+        for _, b in probes[i]:
+            for n in cand.get(b, ()):
+                if n == i:
+                    continue
+                s = _spark_round6(_dot_py(v, vec_by[n]) / (norm_by[i] * norm_by[n]))
+                key = (-s, n)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            rows.append((i, best[1], -best[0], 1))
+    return rows
+
+
+def _sorted_mean(xs: list[float]) -> float:
+    """Mean via the sorted sequential fold — the twin of the engine's
+    aggregate(array_sort(collect_list(x)), 0.0, +) / count."""
+    acc = 0.0
+    for x in sorted(xs):
+        acc += x
+    return acc / len(xs)
+
+
+def _ann_ivf_centroid_oracle_sql() -> str:
+    rows = _ivf_centroid_twin()
+    values = ",\n    ".join(
+        "({}, {}, {!r}, 1)".format(i, n, s) for i, n, s, _ in rows
+    )
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(sim AS DOUBLE) AS sim, CAST(rnk AS INT) AS rnk
+FROM (VALUES
+    {values}
+) AS t(vec_id, neighbor_id, sim, rnk)
+ORDER BY vec_id
+"""
+
+
+def _dedup_cosine_srp_twin(sf_dir: str | None = None) -> list[tuple[int, int, float]]:
+    """Sequential twin of dedup_cosine_srp: the same planted corpus, the
+    same literal md5-derived hyperplanes (srp_hyperplanes IS the shared
+    scalar twin), banded bucket join with the max_bucket guard, exact
+    cosine on bucket-mates at threshold 0.9."""
+    from warc_metadata_sidecar_spark.operators.similarity import srp_hyperplanes
+
+    base = _load_embeddings(sf_dir)
+    corpus = base + [(i + 1000000, v) for i, v in base if i % 10 == 0]
+    planes, tables, max_bucket, threshold = 6, 4, 1000, 0.9
+    dims = len(corpus[0][1])
+    band_members: dict[tuple[int, int], list[int]] = {}
+    for t in range(tables):
+        hps = srp_hyperplanes(planes, t, dims)
+        for i, v in corpus:
+            b = 0
+            for p in range(planes):
+                if _dot_py(v, hps[p]) > 0:
+                    b += 1 << p
+            band_members.setdefault((t, b), []).append(i)
+    pairs: set[tuple[int, int]] = set()
+    for members in band_members.values():
+        if len(members) > max_bucket:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, c = members[x], members[y]
+                pairs.add((a, c) if a < c else (c, a))
+    vec_by = dict(corpus)
+    norm_by = {i: _norm_py(v) for i, v in corpus}
+    rows = []
+    for a, c in sorted(pairs):
+        s = _spark_round6(_dot_py(vec_by[a], vec_by[c]) / (norm_by[a] * norm_by[c]))
+        if s >= threshold:
+            rows.append((a, c, s))
+    return rows
+
+
+def _dedup_cosine_srp_oracle_sql() -> str:
+    rows = _dedup_cosine_srp_twin()
+    values = ",\n    ".join("({}, {}, {!r})".format(a, b, s) for a, b, s in rows)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(sim AS DOUBLE) AS sim
+FROM (VALUES
+    {values}
+) AS t(id_a, id_b, sim)
+ORDER BY id_a, id_b
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,4 +1601,8 @@ def oracle_sql() -> dict[str, str]:
     # reference's own loop shape) rendered as VALUES
     oracles["flagship_sidecar"] = _flagship_sidecar_oracle_sql()
     oracles["flagship_counters"] = _flagship_counters_oracle_sql()
+    # the two approximate-ANN paths vs their sequential Python twins
+    # rendered as VALUES (VERDICT r4 #1 — no_oracle down to 0)
+    oracles["ann_ivf_centroid_top1"] = _ann_ivf_centroid_oracle_sql()
+    oracles["dedup_cosine_srp"] = _dedup_cosine_srp_oracle_sql()
     return oracles

@@ -133,7 +133,25 @@ def ivf_train_centroids(
         centroids = (
             assigned.select("bucket", F.posexplode("_v").alias("pos", "x"))
             .groupBy("bucket", "pos")
-            .agg(F.avg("x").alias("m"))
+            # ORDER-INDEPENDENT mean (r5): fold the SORTED values instead of
+            # avg() — avg's partial-merge order varies with task completion,
+            # so trained centroids (and therefore IVF near-tie assignments)
+            # would differ at the bit level BETWEEN RUNS. Bit-stable
+            # training is what lets the sequential-twin VALUES oracle (and
+            # any cross-run reproducibility check) hold exactly. Bounded:
+            # training runs on the k seeds' corpus or a hash-sample
+            # (sample_mod), so each (bucket, pos) list is training-sized,
+            # not corpus-sized.
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list("x")),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("bucket")
             .agg(
                 F.transform(
