@@ -366,3 +366,34 @@ def test_surt_raw_char_escaping_all_twins(spark):
     expected = [py_surt(u) for u in urls]
     assert [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()] == expected
     assert [r.canonical_url for r in with_surt(df).collect()] == expected
+
+
+def test_surt_host_edge_rule_all_twins(spark):
+    """VERDICT r4 #7: the decided host-edge rule, matching the surt
+    library's escapeOnce — unencodable IDN hosts (overlong/empty labels)
+    percent-escape their UTF-8 bytes to upper %XX; a space in an ASCII
+    host escapes too; printable-but-illegal host chars stay raw (escapeOnce
+    leaves 0x21-0x7E untouched). All three forms byte-equal."""
+    from warc_metadata_sidecar_spark.functions.surt import with_surt
+
+    overlong = "ü" * 64  # ACE form would exceed the 63-char label limit
+    urls = [
+        f"https://{overlong}.example.com/p",       # unencodable -> %XX bytes
+        "https://ä..example.com/p",                # empty label -> %XX bytes
+        "https://bad host.example.com/p",          # ascii host with space
+        'https://qu"ote.example.com/p',            # printable illegal: raw
+        "https://www.münchen.de/Rathaus",          # encodable IDN unchanged
+        "https://plain.example.com/p",             # ascii fast path
+    ]
+    expected = [py_surt(u) for u in urls]
+    # the rule's shape, pinned explicitly
+    assert expected[0].startswith("com,example,%C3%BC")
+    assert "%C3%A4," in expected[1] or expected[1].startswith("com,example,,%C3%A4")
+    assert expected[2] == "com,example,bad%20host)/p"
+    assert expected[3] == 'com,example,qu"ote)/p'
+    assert expected[4] == "de,xn--mnchen-3ya)/rathaus"
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    single = [r.k for r in df.select(surt_col(F.col("url")).alias("k")).collect()]
+    staged = [r.canonical_url for r in with_surt(df).collect()]
+    assert single == expected
+    assert staged == expected

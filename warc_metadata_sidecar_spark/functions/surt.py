@@ -28,9 +28,15 @@ default canonicalizer — the rules real crawl URLs hit):
   gated on a non-ASCII probe so ASCII hosts never pay the reflective
   call); raw ILLEGAL characters in the path/query (space, quote, angle
   brackets, braces, pipe, backslash, caret, backtick) escape to upper
-  %XX like the surt canonicalizer. Not covered (documented): hosts BOTH
-  twins fail to IDNA-encode (overlong/empty labels) key as their raw
-  lowercased form; raw illegal chars inside the HOST stay raw.
+  %XX like the surt canonicalizer. HOST edge rule (r5, matching the surt
+  library's escapeOnce): hosts BOTH twins fail to IDNA-encode
+  (overlong/empty labels) percent-escape their UTF-8 bytes to upper %XX;
+  so does a space in an ASCII host; printable-but-illegal host chars
+  (quote, angle brackets, ...) stay raw — escapeOnce leaves 0x21-0x7E
+  untouched, so raw IS the library's behavior there. Documented
+  remainder: non-space CONTROL chars in pure-ASCII hosts stay raw (never
+  seen in crawl data; an instr gate beats a control-class regex on the
+  frontier hot path).
   e.g. https://www.UNT.edu/About?b=2&a=1&PHPSESSID=x -> 'edu,unt)/about?a=1&b=2'
        https://www.münchen.de/Rathaus -> 'de,xn--mnchen-3ya)/rathaus'
 """
@@ -115,17 +121,36 @@ def _py_escape_raw(rest: str) -> str:
     return _RAW_ESCAPE_RE.sub(lambda m: _RAW_ESCAPE_MAP[m.group(0)], rest)
 
 
+def _py_pct_escape_host(host: str) -> str:
+    """The surt library's escapeOnce semantics for hosts (r5, VERDICT r4
+    #7): every char outside printable ASCII 0x21-0x7E percent-escapes its
+    UTF-8 bytes (upper hex). Printable-but-illegal chars (quote, angle
+    brackets, ...) pass through — escapeOnce leaves 0x21-0x7E alone, so
+    'stay raw' IS the library's behavior for that class."""
+    out: list[str] = []
+    for ch in host:
+        if 0x21 <= ord(ch) <= 0x7E:
+            out.append(ch)
+        else:
+            out.extend("%{:02X}".format(b) for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
 def _py_idna_host(host: str) -> str:
     """IDNA2003 ACE form of a (lowercased, port-stripped) host — twin of
     the native try_reflect(java.net.IDN.toASCII) call. Unencodable hosts
-    (empty/overlong labels) fall back to the raw form, like try_reflect's
-    null -> coalesce."""
+    (empty/overlong labels) fall back to percent-escaping their UTF-8
+    bytes, the surt library's escapeOnce fallback (r5 — they previously
+    keyed raw); ASCII hosts carrying a space take the same escape (other
+    control chars in ASCII hosts stay raw — never seen in crawl data, and
+    a cheap instr gate beats a per-row control-class regex on the
+    frontier hot path; documented rule)."""
     if not _NON_ASCII_RE.search(host):
-        return host
+        return _py_pct_escape_host(host) if " " in host else host
     try:
         return host.encode("idna").decode("ascii")
     except UnicodeError:
-        return host
+        return _py_pct_escape_host(host)
 
 
 def py_surt(url: str | None) -> str | None:
@@ -196,19 +221,42 @@ def _canonical_rest_col(rest: Column) -> Column:
     return out
 
 
+def _pct_escape_host_col(host: Column) -> Column:
+    """Native twin of _py_pct_escape_host: per-char transform escaping
+    everything outside printable ASCII to upper %XX of its UTF-8 bytes.
+    Runs ONLY on the rare fallback branches (IDNA failure / space-bearing
+    host), never on the hot path."""
+    return F.array_join(
+        F.transform(
+            F.split(host, ""),
+            lambda ch: F.when(ch.rlike("^[\\x21-\\x7E]$"), ch).otherwise(
+                F.regexp_replace(F.hex(F.encode(ch, "UTF-8")), "(..)", r"%$1")
+            ),
+        ),
+        "",
+    )
+
+
 def _idna_host_col(host: Column) -> Column:
     """Native twin of _py_idna_host: java.net.IDN.toASCII via try_reflect —
     a JVM-side reflective call, NO Python stage. Gated on a non-ASCII
     probe so the (overwhelming) ASCII majority never pays reflection;
-    null on encode failure -> coalesce back to the raw host."""
+    null on encode failure -> the escapeOnce percent-escape fallback (r5;
+    an ASCII host with a space takes the same escape via a cheap instr
+    gate)."""
     ace = F.call_function(
         "try_reflect", F.lit("java.net.IDN"), F.lit("toASCII"), host
     )
     # non-ASCII probe as length arithmetic (utf-8 bytes > chars), not a
     # regex — the gate runs on every row of the frontier hot path
-    return F.when(
-        F.octet_length(host) > F.length(host), F.coalesce(ace, host)
-    ).otherwise(host)
+    return (
+        F.when(
+            F.octet_length(host) > F.length(host),
+            F.coalesce(ace, _pct_escape_host_col(host)),
+        )
+        .when(F.instr(host, " ") > 0, _pct_escape_host_col(host))
+        .otherwise(host)
+    )
 
 
 def surt_col(url: Column) -> Column:
