@@ -32,7 +32,9 @@ from warc_metadata_sidecar_spark.frontier.crawl import shuffle_totals
 from warc_metadata_sidecar_spark.frontier.seen import create_seen_bucketed
 from warc_metadata_sidecar_spark.session import build_session
 
-SIZES = [200_000, 800_000, 3_200_000]
+# r5 (VERDICT r4 #8): top size raised 10x to 32M rows — past any cache —
+# to confirm the flat bucketed curve holds; the spread covers 160x
+SIZES = [200_000, 3_200_000, 8_000_000, 32_000_000]
 N_CAND = 20_000
 
 
@@ -140,8 +142,9 @@ def main() -> None:
             fh.write(f"| {n:,} | {p:,} B | {b:,} B |\n")
         growth_p = rows[-1][1] / max(rows[0][1], 1)
         growth_b = rows[-1][2] / max(rows[0][2], 1)
+        span = rows[-1][0] // rows[0][0]
         fh.write(
-            f"\n16x more seen rows -> plain shuffle grows {growth_p:.1f}x; "
+            f"\n{span}x more seen rows -> plain shuffle grows {growth_p:.1f}x; "
             f"bucketed grows {growth_b:.2f}x (flat = candidates only).\n\n"
             "## Loop-level lineage (run_crawl RoundMetrics.shuffle_*_bytes)\n\n"
             "The crawl loop RESUMED over a pre-seeded 2,000,000-row seen set\n"
