@@ -887,3 +887,62 @@ def test_extract_hrefs_never_corrupts_host(spark):
         path = r.url[len(origin):].split("?", 1)[0]
         assert "/../" not in path and not path.endswith("/.."), (r.parent_url, r.url)
         assert "/./" not in path and not path.endswith("/."), (r.parent_url, r.url)
+
+
+def test_extract_hrefs_base_tag(spark):
+    """r5: a <base href> tag redefines the resolution base like a browser —
+    absolute base wins, root-relative base rebases onto the document
+    origin, absolute links and parent_url are unaffected."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    def doc(doc_id, html, url):
+        return (doc_id, [{"kind": "text", "text": html, "media_ref": None, "offset": 0}], url)
+
+    schema_s = (
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string"
+    )
+    # absolute base: relative forms resolve against it
+    html_abs = (
+        '<base href="https://cdn.example.org/assets/v2/">'
+        '<a href="app.js">a</a> <a href="../v1/lib.js">b</a> '
+        '<a href="/rooted">c</a> <a href="?v=3">d</a> '
+        '<a href="https://other.example.com/abs">e</a>'
+    )
+    docs = spark.createDataFrame(
+        [doc("d1", html_abs, "https://host.example.com/page.html")], schema_s
+    )
+    out = {(r.parent_url, r.url) for r in extract_hrefs(docs).collect()}
+    assert out == {
+        ("https://host.example.com/page.html", "https://cdn.example.org/assets/v2/app.js"),
+        ("https://host.example.com/page.html", "https://cdn.example.org/assets/v1/lib.js"),
+        ("https://host.example.com/page.html", "https://cdn.example.org/rooted"),
+        ("https://host.example.com/page.html", "https://cdn.example.org/assets/v2/?v=3"),
+        ("https://host.example.com/page.html", "https://other.example.com/abs"),
+    }
+
+    # root-relative base rebases onto the document's origin
+    html_root = '<base href="/docs/v1/"><a href="intro.html">x</a>'
+    docs2 = spark.createDataFrame(
+        [doc("d2", html_root, "https://host.example.com/a/b/page.html")], schema_s
+    )
+    assert {r.url for r in extract_hrefs(docs2).collect()} == {
+        "https://host.example.com/docs/v1/intro.html"
+    }
+
+    # no base tag: behavior unchanged (directory-relative against the page)
+    html_none = '<a href="sibling.html">x</a>'
+    docs3 = spark.createDataFrame(
+        [doc("d3", html_none, "https://host.example.com/a/b/page.html")], schema_s
+    )
+    assert {r.url for r in extract_hrefs(docs3).collect()} == {
+        "https://host.example.com/a/b/sibling.html"
+    }
+
+    # junk base (other scheme) ignored -> document URL stays the base
+    html_junk = '<base href="ftp://x/"><a href="rel.html">x</a>'
+    docs4 = spark.createDataFrame(
+        [doc("d4", html_junk, "https://host.example.com/a/page.html")], schema_s
+    )
+    assert {r.url for r in extract_hrefs(docs4).collect()} == {
+        "https://host.example.com/a/rel.html"
+    }

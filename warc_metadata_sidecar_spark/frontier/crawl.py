@@ -76,7 +76,12 @@ def extract_hrefs(
         authority and query never participate, so resolution can never
         leave the parent's origin);
       - other schemes (mailto:, javascript:, data:, ...) and pure
-        fragments are dropped.
+        fragments are dropped;
+      - a `<base href>` tag redefines the resolution base like a browser
+        (r5): an absolute http(s) base replaces the document URL for all
+        relative forms; a root-relative base ('/b/') rebases onto the
+        document's origin; other/invalid base values are ignored. The
+        emitted parent_url stays the REAL page URL either way.
 
     This is the production discovery path for ingested pages; the crawl
     LOOP keeps the synthetic deterministic link model (extract_links) so its
@@ -84,31 +89,61 @@ def extract_hrefs(
     """
     from warc_metadata_sidecar_spark.operators.sidecar import payload_text_col
 
+    # payload text staged ONCE (the with_surt CSE lesson: two HOF-bearing
+    # expressions over payload_text_col() would decode the spans twice)
     base = documents.select(
-        F.col(url_col).alias("parent_url"),
-        F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1).alias(
-            "_origin"
-        ),
-        F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1).alias(
-            "_scheme"
-        ),
+        F.col(url_col).alias("parent_url"), payload_text_col().alias("_text")
+    ).select(
+        "parent_url",
+        F.regexp_extract(
+            F.col("_text"),
+            r"""(?i)<base\s[^>]*?href\s*=\s*["']([^"'#>]+)""",
+            1,
+        ).alias("_base_href"),
+        # the lookbehind keeps the base tag's own href out of the link list
+        # (best-effort: the common '<base href=...>' form; a base tag with
+        # attributes before href is still harmlessly emitted as a link)
         F.regexp_extract_all(
-            payload_text_col(),
-            F.lit(r"""(?i)href\s*=\s*["']([^"'#>]+)"""),
+            F.col("_text"),
+            F.lit(r"""(?i)(?<!<base )href\s*=\s*["']([^"'#>]+)"""),
             F.lit(1),
         ).alias("_hrefs"),
     )
-    # parent directory incl. trailing slash; a path-less parent's dir is
+    # the effective base URL: <base href> absolute wins, root-relative
+    # rebases onto the document origin, anything else falls back to the
+    # document URL (staged column — the with_surt CSE lesson)
+    doc_origin = F.regexp_extract(
+        F.col("parent_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1
+    )
+    base = base.withColumn(
+        "_base_url",
+        F.when(F.col("_base_href").rlike("(?i)^https?://"), F.col("_base_href"))
+        .when(
+            F.col("_base_href").startswith("/")
+            & ~F.col("_base_href").startswith("//")
+            & (F.length(doc_origin) > 0),
+            F.concat(doc_origin, F.col("_base_href")),
+        )
+        .otherwise(F.col("parent_url")),
+    )
+    base = base.withColumn(
+        "_origin",
+        F.regexp_extract(F.col("_base_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1),
+    ).withColumn(
+        "_scheme",
+        F.regexp_extract(F.col("_base_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1),
+    )
+    # base directory incl. trailing slash; a path-less base's dir is
     # origin + '/'
     parent_dir = F.when(
-        F.regexp_replace(F.col("parent_url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+        F.regexp_replace(F.col("_base_url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
         .startswith("/"),
         F.regexp_replace(
-            F.regexp_replace(F.col("parent_url"), r"[?#].*$", ""), r"[^/]*$", ""
+            F.regexp_replace(F.col("_base_url"), r"[?#].*$", ""), r"[^/]*$", ""
         ),
     ).otherwise(F.concat(F.col("_origin"), F.lit("/")))
     links = base.select(
-        "parent_url", "_origin", "_scheme", parent_dir.alias("_dir"),
+        "parent_url", "_origin", "_scheme", "_base_url", parent_dir.alias("_dir"),
         F.explode("_hrefs").alias("_href"),
     )
     href = F.col("_href")
@@ -121,7 +156,7 @@ def extract_hrefs(
         # query-only reference: RFC 3986 §5.3 keeps the base's FULL path
         # ('/a/b.html' + '?x' -> '/a/b.html?x', not the parent directory)
         .when(href.startswith("?") & has_origin,
-              F.concat(F.regexp_replace(F.col("parent_url"), r"[?#].*$", ""), href))
+              F.concat(F.regexp_replace(F.col("_base_url"), r"[?#].*$", ""), href))
         .when(href.startswith("/") & has_origin, F.concat(F.col("_origin"), href))
         .when(has_origin, F.concat(F.col("_dir"), href))
     )
