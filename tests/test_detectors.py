@@ -373,3 +373,35 @@ def test_language_english_with_stray_greek_math():
     )
     got = detect_language(text)
     assert got["languages"][0]["code"] == "en"
+
+
+def test_language_r5b_token_profiles():
+    """Second r5 tranche: Turkish/Finnish/Czech/Ukrainian token profiles;
+    Ukrainian must win over Russian on Ukrainian text (і/ї/є-bearing
+    function words) and Russian text must stay Russian."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    cases = [
+        ("tr", "TURKISH", "türkçe bir dildir ve bu dil dünyada çok konuşulur ancak "
+                           "yazımı için latin alfabesi ile birlikte kullanılır ve daha "
+                           "sonra olarak gelişmiştir"),
+        ("fi", "FINNISH", "suomi on kieli jota puhutaan suomessa ja se ei ole helppo "
+                           "mutta hän oppii sen myös jos niin haluaa kuin muutkin"),
+        ("cs", "CZECH", "čeština je západoslovanský jazyk kterým se mluví v česku ale "
+                         "jeho gramatika je složitá a jsou na ni pro cizince podle "
+                         "všeho však těžké příklady které již znáte"),
+        ("uk", "UKRAINIAN", "українська мова і її історія але вона вже давно відома як "
+                             "мова що має багату літературу або пісенну традицію від "
+                             "давнини і його вплив був значним"),
+    ]
+    for code, name, text in cases:
+        got = detect_language(text)
+        assert got is not None, code
+        top = got["languages"][0]
+        assert (top["code"], top["name"]) == (code, name), (code, got["languages"][:2])
+    # Russian stays Russian despite sharing Cyrillic script with Ukrainian
+    ru = ("русский язык является одним из крупнейших языков мира и на нём "
+          "говорят миллионы людей но его грамматика не проста а мы изучаем "
+          "это с интересом как и он")
+    got = detect_language(ru)
+    assert got["languages"][0]["code"] == "ru", got["languages"][:2]

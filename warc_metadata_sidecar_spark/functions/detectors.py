@@ -351,10 +351,15 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     # the reliability bar on ordinary English pages
     "nl": ("DUTCH", frozenset("de het een en van ik dat niet die op te zijn voor maar ook aan naar bij".split())),
     "sv": ("SWEDISH", frozenset("och i att det som en på är av för med den till inte om han hon".split())),
-    # r5: Polish token profile — distinctive-only markers ('i'/'w'/'z'/'do'
-    # are shared with too many languages and would dilute, the Dutch
-    # lesson)
+    # r5: four more token profiles — distinctive-only markers ('i'/'w'/
+    # 'z'/'do'/'en'/'je' are shared with too many languages and would
+    # dilute, the Dutch lesson). Ukrainian keys on its і/ї/є-bearing
+    # function words, which Russian text never contains.
     "pl": ("POLISH", frozenset("się że nie jest był jego oraz które przez można tylko już bardzo został ich".split())),
+    "tr": ("TURKISH", frozenset("bir ve bu için ile olarak daha çok gibi ancak sonra kadar olan değil".split())),
+    "fi": ("FINNISH", frozenset("ja on ei että se hän oli mutta myös kuin niin jos ovat sekä".split())),
+    "cs": ("CZECH", frozenset("je se na že byl jako jsou ale pro jeho však které podle již".split())),
+    "uk": ("UKRAINIAN", frozenset("і що але як або це вже його від до під був".split())),
     # ...and SCRIPT-keyed languages (cld2 is script-first for these):
     # kana/hangul (r4) and the r5 additions — Arabic, Hebrew, Greek,
     # Devanagari->Hindi, Thai — where the characters are themselves the
