@@ -946,3 +946,51 @@ def test_extract_hrefs_base_tag(spark):
     assert {r.url for r in extract_hrefs(docs4).collect()} == {
         "https://host.example.com/a/rel.html"
     }
+
+
+def test_crawl_hrefs_schedule_equals_synthetic_on_equivalent_pages(spark, robots_df, seeds):
+    """Full-loop determinism for discovery='hrefs': over a corpus whose
+    pages' REAL hrefs are exactly the synthetic link model's outputs
+    (absolute URLs), the hrefs-mode schedule and seen set must be
+    IDENTICAL to synthetic mode — which is itself pinned to the
+    single-threaded simulator. Extends the north-rule ordering gate to the
+    real-discovery path beyond round-1 equality."""
+    from warc_metadata_sidecar_spark.frontier.crawl import (
+        LINK_ADDS,
+        LINK_MULTS,
+        run_crawl,
+    )
+
+    n = 400
+    rows = []
+    for p in range(n):
+        links = [
+            (p * m + a) % n for m, a in zip(LINK_MULTS, LINK_ADDS)
+        ]
+        html = " ".join(
+            f'<a href="https://host{q % 50:02d}.example.com/page/{q}">l</a>'
+            for q in links
+        )
+        rows.append(
+            (
+                f"d{p}",
+                [{"kind": "text", "text": html, "media_ref": None, "offset": 0}],
+                f"https://host{p % 50:02d}.example.com/page/{p}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    r_syn = run_crawl(
+        spark, docs, seeds, robots_df, rounds=3, universe=n, discovery="synthetic"
+    )
+    r_href = run_crawl(
+        spark, docs, seeds, robots_df, rounds=3, universe=n, discovery="hrefs"
+    )
+    s_syn = {(r.round, r.canonical_url, r.rnk) for r in r_syn.schedule.collect()}
+    s_href = {(r.round, r.canonical_url, r.rnk) for r in r_href.schedule.collect()}
+    assert s_syn == s_href
+    assert {r.canonical_url for r in r_syn.seen.collect()} == {
+        r.canonical_url for r in r_href.seen.collect()
+    }
