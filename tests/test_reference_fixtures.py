@@ -304,7 +304,11 @@ def test_crawl_loop_hrefs_discovery(spark, tmp_path):
     assert res.lineage[0].fetched == 1 and res.lineage[0].selected == 1
     expected = {r.url for r in extract_hrefs(docs).collect()}
     assert len(expected) > 20
-    assert res.lineage[0].new_links == len(expected)
+    # the loop runs extract_hrefs(distinct=False) — one less shuffle per
+    # round; the new_links metric is duplicate-inclusive like synthetic
+    # mode's, and rank_round's candidate dedup collapses the frontier
+    n_all = extract_hrefs(docs, distinct=False).count()
+    assert res.lineage[0].new_links == n_all >= len(expected)
     frontier = spark.read.parquet(f"{out}/round=0/frontier")
     assert {r.url for r in frontier.collect()} == expected
     # every discovered row canonicalized on entry (N1 runs inside the loop)

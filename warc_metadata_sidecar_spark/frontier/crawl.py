@@ -58,7 +58,7 @@ LINK_ADDS = (17, 5, 1)
 
 
 def extract_hrefs(
-    documents: DataFrame, url_col: str = "url"
+    documents: DataFrame, url_col: str = "url", distinct: bool = True
 ) -> DataFrame:
     """REAL link discovery: hrefs from fetched page text, native expressions
     only (regexp_extract_all + relative resolution). Returns
@@ -215,8 +215,11 @@ def extract_hrefs(
     )
     links = links.select(
         "parent_url", F.concat("_pref", "_p", "_query").alias("url")
-    )
-    return links.filter(F.col("url").isNotNull()).distinct()
+    ).filter(F.col("url").isNotNull())
+    # distinct is the public-API contract; the crawl loop passes
+    # distinct=False — rank_round's candidate dedup already collapses by
+    # canonical URL, so the extra exchange per round would be pure waste
+    return links.distinct() if distinct else links
 
 
 def extract_links(fetched: DataFrame, universe: int) -> DataFrame:
@@ -638,7 +641,7 @@ def run_crawl(
             links = (
                 link_fn(fetched_pages)
                 if link_fn is not None
-                else extract_hrefs(fetched_pages)
+                else extract_hrefs(fetched_pages, distinct=False)
             )
         else:
             links = extract_links(fetched, universe)
