@@ -245,6 +245,23 @@ bucket(canonical_url) analog). Measured evidence in BENCH/SEEN.md:
 - the WARC byte-export streams gzip members at flat ~1.7 MB task memory
   (vs ~2.4x output size for the blob path).
 
+## Round 5: scale evidence at 10x, correctness closed
+
+- URL-seen anti-join re-measured at a 32M-row seen set (10x the r4 top,
+  past any cache): plain-parquet shuffle grows to 653.6 MB while the
+  bucketed layout stays byte-flat at 521,804 B across a 160x size spread
+  (BENCH/SEEN.md);
+- rep-join re-measured over a 1M-output corpus with broadcast disabled:
+  321.5 MB vs 41.8 MB shuffle — the bucketed gap holds at 10x
+  (BENCH/REPJOIN.md);
+- every driver query now carries a hard oracle (no_oracle = 0): the two
+  approximate-ANN paths compare against sequential Python twins rendered
+  as DuckDB VALUES, and link resolution compares against CPython's
+  urljoin — an independent RFC 3986 implementation;
+- real href discovery is wired into the crawl loop (discovery='hrefs')
+  with no extra distinct shuffle per round, and annotate=True checkpoints
+  per round behind a single constant-depth parquet scan.
+
 Run: {dt.datetime.now(dt.timezone.utc).isoformat()} — `python BENCH/scaling.py {n_rows}`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
