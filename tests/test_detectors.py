@@ -284,6 +284,15 @@ def test_charset_ladder_r5_rungs():
         "euc-jp"
     ).decode("utf-8", "replace")
     assert detect_charset(euc) == ("EUC-JP", 0.99)
+    # review fix: SPACED CJK content (nav menus, title rows) must stay on
+    # the CJK rungs, not fall into the Cyrillic space-interleave rung —
+    # Cyrillic additionally requires a near-zero accidental-decode rate
+    for text, codec, want in (
+        ("中国 北京 上海 欢迎光临 本网站 新闻 体育 财经 科技 汽车", "gbk", "GB18030"),
+        ("首頁 新聞 軍事 國際 社會 評論 圖片 影音 更多內容", "big5", "Big5"),
+    ):
+        mangled = text.encode(codec, errors="ignore").decode("utf-8", "replace")
+        assert detect_charset(mangled) == (want, 0.99), (codec, text)
 
 
 def test_extended_signature_table_r5():
@@ -320,6 +329,17 @@ def test_extended_signature_table_r5():
         + b"application/epub+zip" + b"META-INF/container.xml" + b"\x00" * 64
     )
     assert sniff_mime(None, epub_extra) == (
+        "application/epub+zip", "application/epub+zip", "fmt/483"
+    )
+    # review fix: a LARGE extra field (zip allows 64 KiB) pushes the
+    # marker past any small prefix window — the pair is searched over the
+    # whole 1 KiB head
+    epub_big_extra = (
+        b"PK\x03\x04\x14\x00\x00\x00\x00\x00" + b"\x00" * 16
+        + b"\x08\x00\x2c\x01" + b"mimetype" + b"\x01\x02" * 150
+        + b"application/epub+zip" + b"META-INF/container.xml" + b"\x00" * 64
+    )
+    assert sniff_mime(None, epub_big_extra) == (
         "application/epub+zip", "application/epub+zip", "fmt/483"
     )
     # the contiguous classic form still matches

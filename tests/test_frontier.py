@@ -947,6 +947,17 @@ def test_extract_hrefs_base_tag(spark):
         "https://host.example.com/a/rel.html"
     }
 
+    # review fix: newline/tab-separated '<base\nhref=...' is both honored
+    # as the base AND kept out of the link list (the exclusion lookbehind
+    # matches any single whitespace, same as the extraction regex's \s)
+    html_nl = '<base\nhref="https://cdn.example.org/x/"><a href="p.html">x</a>'
+    docs5 = spark.createDataFrame(
+        [doc("d5", html_nl, "https://host.example.com/a/page.html")], schema_s
+    )
+    assert {r.url for r in extract_hrefs(docs5).collect()} == {
+        "https://cdn.example.org/x/p.html"
+    }
+
 
 def test_crawl_hrefs_schedule_equals_synthetic_on_equivalent_pages(spark, robots_df, seeds):
     """Full-loop determinism for discovery='hrefs': over a corpus whose
@@ -994,3 +1005,46 @@ def test_crawl_hrefs_schedule_equals_synthetic_on_equivalent_pages(spark, robots
     assert {r.canonical_url for r in r_syn.seen.collect()} == {
         r.canonical_url for r in r_href.seen.collect()
     }
+
+
+def test_crawl_annotate_excludes_stale_snapshots(spark, corpus, robots_df, seeds, media_tbl, tmp_path):
+    """Review fix: a stale round=R/annotated dir from an unrelated prior
+    run in a reused out_dir must not leak into the returned frame when the
+    crawl restarts fresh (no resume point)."""
+    out = str(tmp_path / "reused")
+    # plant a stale annotated snapshot for a round the fresh run will skip
+    stale = corpus.limit(3)
+    from warc_metadata_sidecar_spark.operators.sidecar import sidecar_rows
+
+    sidecar_rows(stale, media_tbl).write.mode("overwrite").parquet(
+        f"{out}/round=1/annotated"
+    )
+    # no frontier/seen snapshots exist -> resume_round == -1 -> fresh start
+    res = run_crawl(
+        spark, corpus, seeds, robots_df, rounds=1, universe=UNIVERSE,
+        annotate=True, media=media_tbl, out_dir=out,
+    )
+    assert [m.round for m in res.lineage] == [0]
+    # only round 0's fresh annotations are visible — the planted round=1
+    # snapshot (which a range(rounds)-based scan would NOT pick up here,
+    # but a longer rerun would) is excluded by run-lineage tracking
+    res2 = run_crawl(
+        spark, corpus, seeds, robots_df, rounds=2, universe=UNIVERSE,
+        annotate=True, media=media_tbl, out_dir=str(tmp_path / "fresh2"),
+    )
+    # and in the reused dir: rerun to rounds=2 resumes from round 0 and
+    # OVERWRITES round 1's annotated snapshot with this lineage's rows
+    res3 = run_crawl(
+        spark, corpus, seeds, robots_df, rounds=2, universe=UNIVERSE,
+        annotate=True, media=media_tbl, out_dir=out,
+    )
+    assert [m.round for m in res3.lineage] == [1]
+    r1_urls = {
+        r.url for r in spark.read.parquet(f"{out}/round=1/annotated").collect()
+    }
+    sched_r1 = {
+        r.url
+        for r in spark.read.parquet(f"{out}/round=1/schedule").collect()
+    }
+    assert r1_urls <= sched_r1  # stale rows gone, only scheduled docs remain
+    assert res2.annotated.count() > 0

@@ -605,6 +605,11 @@ def test_ledger_rejects_object_store_paths(spark, tmp_path):
             ensure_ledger_table(spark, bad)
         with pytest.raises(ValueError, match="local filesystem"):
             compact_ledger(spark, bad)
+    # review fix: file: URIs are rejected too — Spark resolves them but
+    # os.listdir on the URI string sees nothing, silently disabling the
+    # ledger (no serving, overwrite every batch, no compaction)
+    with pytest.raises(ValueError, match="local filesystem"):
+        ensure_ledger_table(spark, "file:///data/ledger")
     with pytest.raises(ValueError, match="local filesystem"):
         start_sidecar_stream(
             spark,

@@ -1277,6 +1277,10 @@ def _ivf_centroid_twin(sf_dir: str | None = None) -> list[tuple[int, int, float,
 
     vecs = _load_embeddings(sf_dir)
     k, nprobe, max_bucket, iters = 16, 2, 200, 1
+    # the twin mirrors the UNSAMPLED training regime; the module's adaptive
+    # sample_mod resolves to 1 below 512*k rows (similarity.py), which every
+    # oracle corpus satisfies — guard it so a corpus change fails loudly
+    assert len(vecs) <= 512 * k, "oracle corpus left the unsampled regime"
     seeds = sorted(
         vecs, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
     )[:k]

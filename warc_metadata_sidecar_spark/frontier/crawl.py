@@ -101,11 +101,12 @@ def extract_hrefs(
             1,
         ).alias("_base_href"),
         # the lookbehind keeps the base tag's own href out of the link list
-        # (best-effort: the common '<base href=...>' form; a base tag with
+        # (best-effort: the common '<base<ws>href=...' form with any single
+        # whitespace, matching the extraction regex's \s; a base tag with
         # attributes before href is still harmlessly emitted as a link)
         F.regexp_extract_all(
             F.col("_text"),
-            F.lit(r"""(?i)(?<!<base )href\s*=\s*["']([^"'#>]+)"""),
+            F.lit(r"""(?i)(?<!<base\s)href\s*=\s*["']([^"'#>]+)"""),
             F.lit(1),
         ).alias("_hrefs"),
     )
@@ -295,12 +296,17 @@ def _obs_int(obs: Observation, key: str, fallback_df: DataFrame) -> int:
     propagation can prune a CollectMetrics node when its subtree turns out
     empty at runtime (e.g. a round that discovers ZERO links — real-href
     discovery over a page with no markup): the observation then completes
-    with an EMPTY row and `.get` raises converting it. Only in that case do
-    we pay one extra count() job on the same frame — the common path stays
-    at the observed-for-free metric."""
+    with an EMPTY row and `.get` raises converting it (Py4JJavaError from
+    toPyRow) or the key is absent (KeyError). Only those two symptoms take
+    the fallback — one extra count() job on the same frame; any other
+    failure (connection loss, interrupt) surfaces instead of silently
+    re-executing plans. The common path stays at the observed-for-free
+    metric."""
+    from py4j.protocol import Py4JJavaError
+
     try:
         return int(obs.get[key] or 0)
-    except Exception:
+    except (Py4JJavaError, KeyError):
         return int(fallback_df.count())
 
 
@@ -544,6 +550,16 @@ def run_crawl(
     )
     schedules: list[DataFrame] = []
     annotated_parts: list[DataFrame] = []
+    # rounds whose annotated snapshot belongs to THIS run's lineage: rounds
+    # below a genuine resume point, plus rounds this run writes. A stale
+    # round=R/annotated dir from an unrelated prior run in a reused out_dir
+    # (e.g. its frontier snapshots were wiped so the crawl restarted fresh)
+    # must NOT leak into the returned frame.
+    ann_rounds: list[int] = (
+        [r for r in range(start_round) if out_dir and _snapshot_ok(out_dir, r, "annotated")]
+        if start_round > 0
+        else []
+    )
     lineage: list[RoundMetrics] = []
     # the state-size measurement feeds only the auto switch — explicit
     # broadcast/shardjoin selections skip the per-round agg job
@@ -631,6 +647,7 @@ def run_crawl(
                 ann.write.mode("overwrite").parquet(
                     _ckpt_dir(out_dir, rnd, "annotated")
                 )
+                ann_rounds.append(rnd)
             else:
                 annotated_parts.append(ann)
 
@@ -758,14 +775,11 @@ def run_crawl(
 
     annotated = None
     if annotate and out_dir is not None:
-        # one multi-path scan over every round's annotated snapshot —
-        # including rounds BEFORE a resume point (the in-memory union could
-        # only ever cover rounds run in this invocation)
-        ann_dirs = [
-            _ckpt_dir(out_dir, r, "annotated")
-            for r in range(rounds)
-            if _snapshot_ok(out_dir, r, "annotated")
-        ]
+        # one multi-path scan over this lineage's annotated snapshots —
+        # rounds below the resume point plus rounds written by this run
+        # (the in-memory union could only ever cover the latter; stale dirs
+        # from an unrelated prior run are excluded by construction)
+        ann_dirs = [_ckpt_dir(out_dir, r, "annotated") for r in sorted(ann_rounds)]
         if ann_dirs:
             annotated = spark.read.parquet(*ann_dirs)
     elif annotated_parts:

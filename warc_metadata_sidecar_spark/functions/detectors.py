@@ -174,7 +174,11 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
                     return mime, mime, puid
             return "application/x-ole-storage", "application/x-ole-storage", "fmt/111"
         if head.startswith(b"PK\x03\x04"):
-            if b"mimetype" in head[:256] and b"application/epub+zip" in head[:256]:
+            # whole-head window: a large local-header extra field (zip
+            # allows 64 KiB; alignment tools write hundreds of bytes) can
+            # push the epub marker past any small prefix — a 256-byte
+            # window just moved the ADVICE-r4 misclassification cliff
+            if b"mimetype" in head and b"application/epub+zip" in head:
                 return "application/epub+zip", "application/epub+zip", "fmt/483"
             for marker, mime, puid in _ZIP_KINDS:
                 if marker in head:
@@ -302,19 +306,29 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
             #    encodings (Shift-JIS, Big5); pair-free dense marks the
             #    both-bytes-high ones (EUC-JP, GB18030/GBK). The fingerprint
             #    splits each pair by language.
-            # 0.99 is the MBCS probers' confident rung. Known limit: a
+            # 0.99 is the MBCS probers' confident rung. Known limits: a
             # kanji-ONLY Japanese snippet (no kana) carries no fingerprint
-            # and reads as Chinese — real Japanese text always carries kana.
-            spaces = sample.count(" ")
-            if spaces * 8 > n_rep:
-                return "windows-1251", 0.73
+            # and reads as Chinese — real Japanese text always carries
+            # kana; a SHORT spaced CJK fragment with no accidental valid
+            # decodes can read as Cyrillic. CJK signals are checked FIRST
+            # so ordinary spaced CJK content (nav menus, titles) never
+            # falls into the Cyrillic rung: Cyrillic additionally requires
+            # a near-zero accident rate (double-byte CJK leaves ~1 valid
+            # char per 3-12 replacements; single-byte Cyrillic ~0).
             stripped = sample.replace(_REPLACEMENT, "")
             two = [ord(c) for c in _TWO_BYTE_RE.findall(stripped)]
+            # >= 2 adjacency hits: a single chance accident on a short
+            # hanzi fragment (1-2 valid chars total) must not fake the
+            # fingerprint; real kana text produces them in series
             kana_adj = sum(1 for o in two if (o & 0x3F) in (0x24, 0x25, 0x02, 0x03))
-            ja_sig = kana_adj > 0 and kana_adj * 2 >= len(two)
+            ja_sig = kana_adj >= 2 and kana_adj * 2 >= len(two)
             if len(_SJIS_PAIR_RE.findall(sample)) * 8 > n_rep:
                 return ("SHIFT_JIS", 0.99) if ja_sig else ("Big5", 0.99)
-            return ("EUC-JP", 0.99) if ja_sig else ("GB18030", 0.99)
+            if ja_sig:
+                return "EUC-JP", 0.99
+            if sample.count(" ") * 8 > n_rep and len(two) * 8 < n_rep:
+                return "windows-1251", 0.73
+            return "GB18030", 0.99
         # sparse replacements = single-byte western. cp1252's signature
         # artifacts are typographic punctuation (the don�t apostrophe,
         # �quoted� pairs); accented LETTERS with none of those read as
@@ -376,14 +390,16 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
 
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
 _TOKEN_RE = re.compile(r"[\w一-鿿']+", re.UNICODE)
-# scripts that take the char-level path: CJK ideographs, kana incl.
-# half-width (Japanese), hangul (Korean), plus the r5 script-first
-# languages — Arabic, Hebrew, Greek, Devanagari, Thai. Thai is space-less
-# like CJK; the others are space-separated but char-keying them gives the
-# same script-first answer cld2 produces without needing token profiles.
-_CJK_RE = re.compile(
-    "[一-鿿぀-ヿ가-힣ｦ-ﾟ"  # CJK / kana / hangul / half-width kana (r4)
-    "؀-ۿݐ-ݿ"  # Arabic
+# space-less scripts that need the char-level path: CJK ideographs, kana
+# incl. half-width (Japanese), hangul (Korean). The r5 script-first
+# languages (Arabic, Hebrew, Greek, Devanagari, Thai) stay on the FAST
+# token path — a stray Greek math symbol on an English page must not
+# route the whole page through the per-token Python walk (this is the
+# engine's hottest Python path); their gate below fires one regex search
+# and then classifies UNIQUE tokens only.
+_CJK_RE = re.compile("[一-鿿぀-ヿ가-힣ｦ-ﾟ]")
+_R5_SCRIPT_RE = re.compile(
+    "[؀-ۿݐ-ݿ"  # Arabic
     "֐-׿"  # Hebrew
     "Ͱ-Ͽἀ-῿"  # Greek (+ polytonic)
     "ऀ-ॿ"  # Devanagari
@@ -454,6 +470,13 @@ def detect_language(text: str | None) -> dict | None:
             if c:
                 for code in langs:
                     hit_counts[code] = hit_counts.get(code, 0) + c
+        # r5 script-first languages, still on the fast path: one regex
+        # search gates a scan over UNIQUE tokens (first-char script class)
+        if _R5_SCRIPT_RE.search(cleaned):
+            for tok, c in counts.items():
+                lang = _char_lang(tok[0]) if tok else None
+                if lang is not None:
+                    hit_counts[lang] = hit_counts.get(lang, 0) + c
     else:
         # space-less scripts tokenize as long runs; split to characters —
         # kana/hangul chars ARE the ja/ko markers, ideographs probe the zh

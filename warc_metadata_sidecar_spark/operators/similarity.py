@@ -101,17 +101,26 @@ def ivf_train_centroids(
     """Lloyd-iterated centroids: (centroid_id, centroid:array<double>).
 
     Deterministic: initial centroids are the k vectors with the smallest
-    md5(id) (a seedless uniform draw); training optionally runs on a
-    deterministic hash-sample (`sample_mod`: keep ids with
-    xxhash64(id) % sample_mod == 0 — the FAISS practice of training the
-    quantizer on a sample, so training cost is independent of corpus size).
+    md5(id) (a seedless uniform draw); training runs on a deterministic
+    hash-sample (`sample_mod`: keep ids with xxhash64(id) % sample_mod == 0
+    — the FAISS practice of training the quantizer on a sample, so
+    training cost is independent of corpus size). sample_mod=None (the
+    default) sizes the modulus ADAPTIVELY from one count() so the sample
+    is <= ~512*k rows — this is also what keeps the r5 sorted-fold means'
+    collect_list bounded: each (bucket, pos) list is sample-sized, never
+    corpus-sized (avg ~512 doubles), where the old avg() kept O(1) state
+    but was bit-unstable across runs. Small corpora (n <= 512*k, every
+    in-repo caller and the oracle twins) resolve to mod=1 — no sampling.
+    Pass sample_mod=1 to force full-corpus training explicitly.
     Assignment is a broadcast of k rows — no shuffle of the vectors.
     Each iteration localCheckpoints the k centroid rows (tiny), keeping the
     iterative plan flat."""
     e = _as_double(embeddings, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    if sample_mod and sample_mod > 1:
+    if sample_mod is None:
+        sample_mod = max(1, e.count() // (512 * k))
+    if sample_mod > 1:
         e = e.filter(F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(sample_mod)) == 0)
     # init = the k vectors with the smallest md5(id): orderBy().limit(k)
     # plans as distributed TakeOrderedAndProject (per-partition top-k then

@@ -68,13 +68,19 @@ def _require_local_ledger(ledger_dir: str) -> None:
     ledger table bucketed by payload_digest, appends via writeTo(...).append(),
     compaction via rewrite_data_files with a bucket filter — the same
     per-bucket size-tiered semantics, object-store safe."""
-    if _REMOTE_SCHEME_RE.match(ledger_dir) and not ledger_dir.startswith("file:"):
+    if _REMOTE_SCHEME_RE.match(ledger_dir) or ledger_dir.startswith("file:"):
+        # file: URIs are rejected too (not exempted): Spark resolves them,
+        # but os.listdir/os.path.isdir on the URI STRING see nothing — the
+        # ledger would silently never serve/compact while every batch
+        # overwrites it. Pass the plain path instead.
         raise ValueError(
-            f"ledger_dir must be a local filesystem path, got {ledger_dir!r}: "
-            "the ledger's bucket listing and compaction swap use local-FS "
-            "primitives (os.listdir/os.replace) and would silently never "
-            "compact on an object store. Use an Iceberg ledger table "
-            "(bucket(payload_digest) + rewrite_data_files) there instead."
+            f"ledger_dir must be a plain local filesystem path, got "
+            f"{ledger_dir!r}: the ledger's bucket listing and compaction "
+            "swap use local-FS primitives (os.listdir/os.replace) that do "
+            "not resolve URIs — a URI-form path silently never serves or "
+            "compacts. For object stores use an Iceberg ledger table "
+            "(bucket(payload_digest) + rewrite_data_files) instead; for "
+            "local disks drop the file: scheme."
         )
 
 
