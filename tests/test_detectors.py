@@ -284,6 +284,14 @@ def test_charset_ladder_r5_rungs():
         "euc-jp"
     ).decode("utf-8", "replace")
     assert detect_charset(euc) == ("EUC-JP", 0.99)
+    # the SJIS-only low-6-bit band (leads 0x81-0x9F as continuations of
+    # accidental valid decodes — impossible for Big5/GB, whose
+    # continuation bytes are all >= 0xA1): kanji/katakana-mixed SJIS
+    # prose with sparse hiragana classifies correctly through it
+    sjis_mixed = "日本は東アジアに位置する島国である。首都は東京で、人口はおよそ一億二千万人。".encode(
+        "shift_jis"
+    ).decode("utf-8", "replace")
+    assert detect_charset(sjis_mixed) == ("SHIFT_JIS", 0.99)
     # review fix: SPACED CJK content (nav menus, title rows) must stay on
     # the CJK rungs, not fall into the Cyrillic space-interleave rung —
     # Cyrillic additionally requires a near-zero accidental-decode rate

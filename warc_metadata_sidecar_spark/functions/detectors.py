@@ -322,8 +322,17 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
             # fingerprint; real kana text produces them in series
             kana_adj = sum(1 for o in two if (o & 0x3F) in (0x24, 0x25, 0x02, 0x03))
             ja_sig = kana_adj >= 2 and kana_adj * 2 >= len(two)
+            # Shift-JIS-only band: SJIS lead bytes 0x81-0x9F complete
+            # accidental valid decodes as CONTINUATIONS, putting the
+            # accident's low 6 bits below 0x20 — structurally impossible
+            # for Big5/GB (their continuation-range bytes are all >=
+            # 0xA1 -> low6 >= 0x21). Measured: every SJIS prose sample's
+            # accidents land in the band, zero hits across hanzi corpora.
+            sjis_low = any((o & 0x3F) < 0x20 for o in two)
             if len(_SJIS_PAIR_RE.findall(sample)) * 8 > n_rep:
-                return ("SHIFT_JIS", 0.99) if ja_sig else ("Big5", 0.99)
+                # katakana-ONLY fragments (ascii second bytes -> pairs but
+                # zero valid decodes) still read as Big5 — documented limit
+                return ("SHIFT_JIS", 0.99) if (ja_sig or sjis_low) else ("Big5", 0.99)
             if ja_sig:
                 return "EUC-JP", 0.99
             if sample.count(" ") * 8 > n_rep and len(two) * 8 < n_rep:
