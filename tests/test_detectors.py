@@ -433,3 +433,29 @@ def test_language_r5b_token_profiles():
           "это с интересом как и он")
     got = detect_language(ru)
     assert got["languages"][0]["code"] == "ru", got["languages"][:2]
+
+
+def test_tar_gnu_format_detected():
+    """ADVICE r5: GNU old-format tar writes magic+version 'ustar  \\x00' —
+    the old 6-byte slice could never match the 7-byte literal, so real GNU
+    archives read as octet-stream. Built with the stdlib tarfile writer
+    (an independent producer), all three families must sniff as tar."""
+    import io
+    import tarfile
+
+    from warc_metadata_sidecar_spark.functions.detectors import sniff_mime
+
+    for fmt in (tarfile.GNU_FORMAT, tarfile.USTAR_FORMAT, tarfile.PAX_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            data = b"hello tar"
+            info = tarfile.TarInfo("member.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        head = buf.getvalue()[:1024]
+        assert sniff_mime(None, head) == (
+            "application/x-tar", "application/x-tar", "x-fmt/265"
+        ), fmt
+    # an offset-257 region that is NOT a tar magic stays undetected
+    not_tar = b"\x00" * 257 + b"ustarXX" + b"\x00" * 200
+    assert sniff_mime(None, not_tar)[1] == "application/octet-stream"

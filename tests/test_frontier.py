@@ -1048,3 +1048,30 @@ def test_crawl_annotate_excludes_stale_snapshots(spark, corpus, robots_df, seeds
     }
     assert r1_urls <= sched_r1  # stale rows gone, only scheduled docs remain
     assert res2.annotated.count() > 0
+
+
+def test_crawl_hrefs_zero_link_round(spark, robots_df, seeds):
+    """ADVICE r5: a discovery='hrefs' round whose fetched pages contain NO
+    hrefs is exactly the case _obs_int's empty-relation fallback was added
+    for (AQE PropagateEmptyRelation can prune the CollectMetrics node over
+    an empty links frame). The round must complete with new_links == 0 —
+    not raise through Observation.get — and the loop goes idle."""
+    rows = [
+        (
+            f"d{p}",
+            [{"kind": "text", "text": "<p>a plain page with no links at all</p>",
+              "media_ref": None, "offset": 0}],
+            f"https://host{p % 50:02d}.example.com/page/{p}",
+        )
+        for p in range(100)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    res = run_crawl(
+        spark, docs, seeds, robots_df, rounds=2, universe=100, discovery="hrefs"
+    )
+    assert res.lineage, "round 0 must run"
+    assert all(m.new_links == 0 for m in res.lineage)
+    assert res.lineage[0].fetched > 0  # pages WERE fetched; they just link nowhere

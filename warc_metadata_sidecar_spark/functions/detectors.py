@@ -87,9 +87,13 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
 ]
 
 # tar has no leading magic: 'ustar' sits at offset 257 (within the 1 KiB
-# sniffing head), checked before the linear scan
+# sniffing head), checked before the linear scan. Version bytes are
+# writer-dependent — POSIX 'ustar\x00' + '00', GNU old-format 'ustar  \x00',
+# some writers NUL-pad — so match 'ustar' + a NUL-or-space 6th byte and
+# ignore the version (ADVICE r5: the old 6-byte slice could never equal
+# the 7-byte GNU literal, so real GNU tars read as octet-stream).
 _TAR_MAGIC_OFFSET = 257
-_TAR_MAGICS = (b"ustar\x00", b"ustar  ")
+_TAR_MAGIC = b"ustar"
 
 # PDF version byte ('%PDF-1.x') -> the per-version PRONOM id fido assigns
 _PDF_VERSION_PUIDS = {
@@ -191,7 +195,10 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
             if b"webm" in head[:64]:
                 return "video/webm", "video/webm", "fmt/573"
             return "video/x-matroska", "video/x-matroska", "fmt/569"
-        if head[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 6] in _TAR_MAGICS:
+        if (
+            head[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 5] == _TAR_MAGIC
+            and head[_TAR_MAGIC_OFFSET + 5:_TAR_MAGIC_OFFSET + 6] in (b"\x00", b" ")
+        ):
             return "application/x-tar", "application/x-tar", "x-fmt/265"
         for sig, fido_mime, magic_mime, puid in _BINARY_SIGNATURES:
             if head.startswith(sig):
@@ -324,11 +331,15 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
             ja_sig = kana_adj >= 2 and kana_adj * 2 >= len(two)
             # Shift-JIS-only band: SJIS lead bytes 0x81-0x9F complete
             # accidental valid decodes as CONTINUATIONS, putting the
-            # accident's low 6 bits below 0x20 — structurally impossible
-            # for Big5/GB (their continuation-range bytes are all >=
-            # 0xA1 -> low6 >= 0x21). Measured: every SJIS prose sample's
-            # accidents land in the band, zero hits across hanzi corpora.
-            sjis_low = any((o & 0x3F) < 0x20 for o in two)
+            # accident's low 6 bits below 0x20 — impossible for Big5
+            # (trails 0x40-0x7E/0xA1-0xFE, the 0xA1+ half -> low6 >= 0x21)
+            # and for GB2312-range prose. GBK/GB18030 trails DO span
+            # 0x40-0xFE (ADVICE r5), so a lone sub-0x20 accident on GBK
+            # text is possible in principle — require >= 2 hits like the
+            # kana-adjacency rung so one chance accident cannot flip a
+            # hanzi page to SHIFT_JIS (the claim is measured on GB2312
+            # prose, not structural for GBK extensions).
+            sjis_low = sum(1 for o in two if (o & 0x3F) < 0x20) >= 2
             if len(_SJIS_PAIR_RE.findall(sample)) * 8 > n_rep:
                 # katakana-ONLY fragments (ascii second bytes -> pairs but
                 # zero valid decodes) still read as Big5 — documented limit

@@ -119,7 +119,10 @@ def ivf_train_centroids(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
     if sample_mod is None:
-        sample_mod = max(1, e.count() // (512 * k))
+        # CEILING division (ADVICE r5): floor let corpora just under
+        # 2*512*k resolve to mod=1 and train on ~double the documented
+        # <= ~512*k-row bound (doubling the sorted-fold collect_list too)
+        sample_mod = max(1, -(-e.count() // (512 * k)))
     if sample_mod > 1:
         e = e.filter(F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(sample_mod)) == 0)
     # init = the k vectors with the smallest md5(id): orderBy().limit(k)
