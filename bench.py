@@ -25,6 +25,44 @@ from warc_metadata_sidecar_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# --- external-load gate (VERDICT r5 #1): the headline number must not ride
+# co-tenant weather. Same /proc/stat probe as BENCH/scaling.py (duplicated:
+# BENCH/ is not a package and bench.py must stay a standalone entry point);
+# probe values are RECORDED in the output JSON so a contaminated run is
+# visible in the artifact, and the throughput segment retries until its
+# before/after probes are both quiet.
+IDLE_THRESHOLD = float(os.environ.get("BENCH_IDLE_THRESHOLD", "1.5"))
+
+
+def busy_cores(interval: float = 0.5) -> float:
+    """Busy cores over `interval` from /proc/stat (whole host)."""
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = list(map(int, parts))
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t1, i1 = snap()
+    time.sleep(interval)
+    t2, i2 = snap()
+    dt, di = t2 - t1, i2 - i1
+    ncpu = os.cpu_count() or 32
+    return 0.0 if dt == 0 else (1.0 - di / dt) * ncpu
+
+
+def wait_idle(threshold: float = IDLE_THRESHOLD, tries: int = 12, pause: float = 10.0) -> float:
+    """Block (bounded) until the host reads < `threshold` busy cores;
+    returns the last probe. Bounded so the driver's per-round bench can
+    never hang on a persistently loud host — the recorded probe then
+    documents the contamination instead."""
+    b = busy_cores()
+    for _ in range(tries):
+        if b < threshold:
+            return b
+        time.sleep(pause)
+        b = busy_cores()
+    return b
+
 # headline subset: one per operator family (full inventory in queries())
 HEADLINE = [
     "sidecar_filters",
@@ -59,6 +97,8 @@ HEADLINE = [
 
 
 def main() -> None:
+    # gate BEFORE the JVM exists: this probe sees only external load
+    probe_start = round(wait_idle(), 2)
     spark = build_session(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
     qs = driver_queries.queries()
     driver_queries.register_views(spark, SF_DIR)
@@ -71,6 +111,7 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         _ = n
+    probe_queries_end = round(busy_cores(), 2)
 
     # north-star throughput: URLs scheduled + annotated per second, measured
     # on a 40x deterministic replication of the documents table (~200k rows
@@ -137,10 +178,32 @@ def main() -> None:
         return n_annotated, n_scheduled, time.time() - t0
 
     one_pass()  # warmup (python workers + JIT)
-    annotated, scheduled, dt = one_pass()
-    a2, s2, dt2 = one_pass()
-    if dt2 < dt:
-        annotated, scheduled, dt = a2, s2, dt2
+    # idle-gated measurement (VERDICT r5 #1): a pass only counts when the
+    # host probes quiet BEFORE it starts; up to 3 attempts, best-of the
+    # clean pairs (two passes per attempt like before). All probes are
+    # recorded — if the host never settles, the artifact says so.
+    attempts: list[dict] = []
+    annotated = scheduled = 0
+    dt = float("inf")
+    clean = False
+    for _ in range(3):
+        probe_before = round(wait_idle(), 2)
+        a1, s1, d1 = one_pass()
+        a2, s2, d2 = one_pass()
+        probe_after = round(busy_cores(), 2)
+        quiet = probe_before < IDLE_THRESHOLD and probe_after < IDLE_THRESHOLD
+        attempts.append(
+            {"probe_before": probe_before, "probe_after": probe_after,
+             "sec": [round(d1, 3), round(d2, 3)], "quiet": quiet}
+        )
+        best = (a1, s1, d1) if d1 <= d2 else (a2, s2, d2)
+        if quiet:
+            if not clean or best[2] < dt:
+                annotated, scheduled, dt = best
+            clean = True
+            break
+        if not clean and best[2] < dt:
+            annotated, scheduled, dt = best
     urls_per_sec = round((annotated + scheduled) / dt, 2)
 
     total = round(sum(times.values()) + dt, 3)
@@ -159,6 +222,12 @@ def main() -> None:
                 "scheduled": scheduled,
                 "throughput_sec": round(dt, 3),
                 "total_sec": total,
+                # idle-gate evidence (VERDICT r5 #1): probes in busy cores
+                "idle_threshold": IDLE_THRESHOLD,
+                "probe_start": probe_start,
+                "probe_queries_end": probe_queries_end,
+                "throughput_attempts": attempts,
+                "throughput_quiet": clean,
             }
         )
     )
