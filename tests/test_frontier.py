@@ -948,14 +948,25 @@ def test_extract_hrefs_base_tag(spark):
     }
 
     # review fix: newline/tab-separated '<base\nhref=...' is both honored
-    # as the base AND kept out of the link list (the exclusion lookbehind
-    # matches any single whitespace, same as the extraction regex's \s)
+    # as the base AND kept out of the link list (tag-span removal matches
+    # any whitespace run inside the tag)
     html_nl = '<base\nhref="https://cdn.example.org/x/"><a href="p.html">x</a>'
     docs5 = spark.createDataFrame(
         [doc("d5", html_nl, "https://host.example.com/a/page.html")], schema_s
     )
     assert {r.url for r in extract_hrefs(docs5).collect()} == {
         "https://cdn.example.org/x/p.html"
+    }
+
+    # VERDICT r5 #3: attribute-BEFORE-href base tags — the base href must
+    # neither leak as a crawl edge nor lose the rebase (the old lookbehind
+    # only suppressed the '<base<ws>href=' form)
+    html_attr = '<base target="_x" href="/b/"><a href="rel.html">x</a>'
+    docs6 = spark.createDataFrame(
+        [doc("d6", html_attr, "https://host.example.com/a/page.html")], schema_s
+    )
+    assert {r.url for r in extract_hrefs(docs6).collect()} == {
+        "https://host.example.com/b/rel.html"
     }
 
 

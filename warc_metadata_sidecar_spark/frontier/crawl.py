@@ -100,13 +100,16 @@ def extract_hrefs(
             r"""(?i)<base\s[^>]*?href\s*=\s*["']([^"'#>]+)""",
             1,
         ).alias("_base_href"),
-        # the lookbehind keeps the base tag's own href out of the link list
-        # (best-effort: the common '<base<ws>href=...' form with any single
-        # whitespace, matching the extraction regex's \s; a base tag with
-        # attributes before href is still harmlessly emitted as a link)
+        # the base tag's own href must not become a crawl edge: DELETE the
+        # whole `<base ...>` tag span before extraction (VERDICT r5 #3 —
+        # the old single-whitespace lookbehind leaked attribute-before-href
+        # forms like '<base target="_x" href="/b/">' into the link list).
+        # Tag-span removal handles any attribute order / whitespace run;
+        # an unterminated base tag (no '>') is malformed HTML and keeps
+        # the old best-effort behavior.
         F.regexp_extract_all(
-            F.col("_text"),
-            F.lit(r"""(?i)(?<!<base\s)href\s*=\s*["']([^"'#>]+)"""),
+            F.regexp_replace(F.col("_text"), r"(?i)<base\s[^>]*>", " "),
+            F.lit(r"""(?i)href\s*=\s*["']([^"'#>]+)"""),
             F.lit(1),
         ).alias("_hrefs"),
     )
