@@ -459,3 +459,77 @@ def test_tar_gnu_format_detected():
     # an offset-257 region that is NOT a tar magic stays undetected
     not_tar = b"\x00" * 257 + b"ustarXX" + b"\x00" * 200
     assert sniff_mime(None, not_tar)[1] == "application/octet-stream"
+
+
+def test_charset_bytes_ladder():
+    """VERDICT r5 #2: the raw-bytes charset ladder decides the cases that
+    are provably undecidable post-decode — KOI8-R vs windows-1251 (case-band
+    statistic), Big5 vs GB18030 (variant-marker counts under each decode),
+    katakana-only Shift-JIS — plus the BOM/ascii/utf-8 rungs on bytes."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
+
+    ru = "Российская Федерация расположена в Восточной Европе и Северной Азии."
+    zh_s = "中国是位于东亚的国家，首都是北京。人口约十四亿。经济发展迅速。"
+    zh_t = "臺灣位於東亞，首都為臺北。夜市文化聞名世界。繁體中文廣泛使用。"
+    ja = "日本語のテキストです。これはテストのための文章で、とても簡単な内容です。"
+    ja_kata = "カタカナ・フラグメント・サンプル・テキスト"
+    ko = "한국어 텍스트입니다 이것은 테스트를 위한 문장이며 매우 간단한 내용입니다"
+    cases = [
+        # the artifact-undecidable Cyrillic split, now decidable
+        (ru.encode("windows-1251"), "windows-1251", 0.73),
+        (ru.encode("koi8-r"), "KOI8-R", 0.73),
+        # Big5 vs GB18030 on bytes (GB pairs are valid-but-garbage Big5
+        # and vice versa: the marker count under the RIGHT decode wins)
+        (zh_s.encode("gb18030"), "GB18030", 0.99),
+        (zh_s.encode("gbk"), "GB18030", 0.99),
+        (zh_t.encode("big5"), "Big5", 0.99),
+        # ja / ko
+        (ja.encode("shift_jis"), "SHIFT_JIS", 0.99),
+        (ja.encode("euc_jp"), "EUC-JP", 0.99),
+        (ko.encode("euc_kr"), "EUC-KR", 0.99),
+        # katakana-only SJIS — the documented artifact-ladder limit,
+        # closed at the byte level (kana decode directly)
+        (ja_kata.encode("shift_jis"), "SHIFT_JIS", 0.99),
+        # kanji-only SJIS (no kana): competing CJK decodes fail/garbage
+        ("日本国東京都新宿区西新宿二丁目".encode("shift_jis"), "SHIFT_JIS", 0.99),
+        # single-byte western + BOM/ascii/utf-8 rungs
+        ("naïve café crème brûlée déjà vu".encode("latin-1"), "ISO-8859-1", 0.73),
+        ("don’t say “never” l’été".encode("cp1252"), "Windows-1252", 0.73),
+        (b"plain ascii text here", "ascii", 1.0),
+        (ja.encode("utf-8"), "utf-8", 0.99),
+        ("héllo there everyone".encode("utf-8"), "utf-8", 0.7525),
+        ("plain".encode("utf-8-sig"), "UTF-8-SIG", 1.0),
+        ("plain text".encode("utf-16"), "UTF-16", 1.0),
+        (b"", None, 0.0),
+    ]
+    for raw, want_enc, want_conf in cases:
+        assert detect_charset_bytes(raw) == (want_enc, want_conf), raw[:24]
+    # markup-heavy pages keep their rung (high-byte density diluted by
+    # ascii tags must not derail the run-adjacency / marker statistics)
+    ru_html = ("<html><head><title>Новости</title></head><body><p>" + ru
+               + "</p></body></html>")
+    assert detect_charset_bytes(ru_html.encode("koi8-r")) == ("KOI8-R", 0.73)
+    assert detect_charset_bytes(ru_html.encode("windows-1251")) == ("windows-1251", 0.73)
+    zh_html = "<html><body>" + zh_s + "</body></html>"
+    assert detect_charset_bytes(zh_html.encode("gb18030")) == ("GB18030", 0.99)
+    # an 8 KiB head cut MID-CHARACTER must not derail detection
+    assert detect_charset_bytes(zh_s.encode("gb18030")[:31]) == ("GB18030", 0.99)
+    assert detect_charset_bytes(ja.encode("shift_jis")[:33]) == ("SHIFT_JIS", 0.99)
+    assert detect_charset_bytes(ja.encode("utf-8")[:20]) == ("utf-8", 0.99)
+
+
+def test_detect_one_prefers_charset_head_bytes():
+    """The seam: with a raw charset_head the detector reports the
+    byte-level result; without it, the artifact ladder (which cannot split
+    KOI8-R from windows-1251) answers."""
+    ru_html = ("<html><body>Российская Федерация расположена в Восточной "
+               "Европе и Северной Азии.</body></html>")
+    raw = ru_html.encode("koi8-r")
+    text = raw.decode("utf-8", "replace")
+    with_head = _detect_one(text, None, "200", charset_head=raw)
+    assert with_head["charset_encoding"] == "KOI8-R"
+    without = _detect_one(text, None, "200")
+    assert without["charset_encoding"] == "windows-1251"  # documented artifact limit
+    # gating unchanged: a binary payload never computes charset even with a head
+    gif = _detect_one(None, b"GIF89a\x01", "200", charset_head=b"\xff\xfe junk")
+    assert gif["charset_encoding"] is None

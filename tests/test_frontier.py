@@ -1086,3 +1086,46 @@ def test_crawl_hrefs_zero_link_round(spark, robots_df, seeds):
     assert res.lineage, "round 0 must run"
     assert all(m.new_links == 0 for m in res.lineage)
     assert res.lineage[0].fetched > 0  # pages WERE fetched; they just link nowhere
+
+
+def test_extract_hrefs_edge_kinds(spark):
+    """VERDICT r5 #6: opt-in discovery surfaces — src, srcset (descriptors
+    stripped, empty candidates dropped), meta-refresh — resolve through
+    the same base/RFC 3986 pipeline; data-src lazy-load attributes never
+    emit edges; the default surface stays href-only."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    html = (
+        '<base href="https://b.example.com/x/">'
+        '<a href="a.html">t</a> <link rel="stylesheet" href="l.css">'
+        '<img src="i.png" data-src="skip.png">'
+        '<img srcset="s1.png 1x, ../s2.png 2x, ">'
+        '<meta http-equiv="refresh" content="3;url=/m.html">'
+        '<script src="/j.js"></script>'
+    )
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": html, "media_ref": None, "offset": 0}],
+          "https://host.example.com/page.html")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    all_kinds = extract_hrefs(
+        docs, edge_kinds=("href", "src", "srcset", "meta_refresh")
+    )
+    assert {r.url for r in all_kinds.collect()} == {
+        "https://b.example.com/x/a.html",
+        "https://b.example.com/x/l.css",
+        "https://b.example.com/x/i.png",
+        "https://b.example.com/x/s1.png",
+        "https://b.example.com/s2.png",
+        "https://b.example.com/m.html",
+        "https://b.example.com/j.js",
+    }
+    # default surface unchanged (href only)
+    assert {r.url for r in extract_hrefs(docs).collect()} == {
+        "https://b.example.com/x/a.html",
+        "https://b.example.com/x/l.css",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_hrefs(docs, edge_kinds=("href", "imgs"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -1639,6 +1640,172 @@ ORDER BY parent_url, url
 """
 
 
+def href_edge_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadened discovery surface (VERDICT r5 #6): link/area href, img and
+    script src, srcset candidates (descriptors stripped), and meta-refresh
+    url= targets, all through the SAME RFC 3986 resolution — oracled
+    against CPython's urljoin over the identical raw URL list."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    register_views(spark, sf_dir)
+    docs = spark.sql(
+        """
+        SELECT CAST(doc_id AS STRING) AS doc_id,
+               format_string('https://host%02d.example.com/dir/page/%d',
+                             CAST(doc_id % 50 AS INT), doc_id) AS url,
+               array(named_struct(
+                 'kind', 'text',
+                 'text', format_string(
+                   '<link rel="next" href="./n%d.html"> <area shape="rect" href="/area/%d"> <img src="img/%d.png" data-src="SKIP-%d.png"> <script src="/js/app%d.js"></script> <img srcset="a%d-1x.png 1x, ../a%d-2x.png 2x"> <meta http-equiv="refresh" content="0;url=/moved/%d">',
+                   doc_id, doc_id, doc_id, doc_id, doc_id,
+                   doc_id, doc_id, doc_id),
+                 'media_ref', CAST(NULL AS STRING),
+                 'offset', 0)) AS spans
+        FROM documents WHERE doc_id % 9 = 0
+        """
+    )
+    return extract_hrefs(
+        docs, edge_kinds=("href", "src", "srcset", "meta_refresh")
+    ).orderBy("parent_url", "url")
+
+
+def _href_edge_kinds_oracle_sql(sf_dir: str | None = None) -> str:
+    """urljoin-twin VALUES oracle for href_edge_kinds — the same pages'
+    raw edge URLs resolved by the CPython stdlib (data-src candidates
+    excluded on BOTH sides: lazy-load attributes are not crawl edges)."""
+    import duckdb
+    from urllib.parse import urljoin
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE doc_id % 9 = 0 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    rows: set[tuple[str, str]] = set()
+    for i in ids:
+        parent = f"https://host{i % 50:02d}.example.com/dir/page/{i}"
+        raw = [
+            f"./n{i}.html",      # <link href>
+            f"/area/{i}",        # <area href>
+            f"img/{i}.png",      # <img src>
+            f"/js/app{i}.js",    # <script src>
+            f"a{i}-1x.png",      # srcset candidate 1
+            f"../a{i}-2x.png",   # srcset candidate 2
+            f"/moved/{i}",       # meta refresh
+        ]
+        for h in raw:
+            rows.add((parent, urljoin(parent, h)))
+    values = ",\n    ".join(
+        "({}, {})".format(_sql_str(p), _sql_str(u)) for p, u in sorted(rows)
+    )
+    return f"""
+SELECT CAST(parent_url AS VARCHAR) AS parent_url, CAST(url AS VARCHAR) AS url
+FROM (VALUES
+    {values}
+) AS t(parent_url, url)
+ORDER BY parent_url, url
+"""
+
+
+# charset-on-raw-bytes fixtures (VERDICT r5 #2): (codec, expected ladder
+# name, expected confidence, sample prose). The EXPECTED values are ground
+# truth BY CONSTRUCTION — each fixture's bytes are produced by encoding
+# prose with `codec`, so the right answer is known independently of the
+# ladder's implementation (unlike a twin, which would share its logic).
+_CHARSET_FIXTURES: list[tuple[str, str, float, str]] = [
+    ("windows-1251", "windows-1251", 0.73,
+     "Российская Федерация расположена в Восточной Европе и Северной Азии."),
+    ("koi8-r", "KOI8-R", 0.73,
+     "Российская Федерация расположена в Восточной Европе и Северной Азии."),
+    ("gb18030", "GB18030", 0.99,
+     "中国是位于东亚的国家，首都是北京。人口约十四亿。经济发展迅速。"),
+    ("big5", "Big5", 0.99,
+     "臺灣位於東亞，首都為臺北。夜市文化聞名世界。繁體中文廣泛使用。"),
+    ("shift_jis", "SHIFT_JIS", 0.99,
+     "日本語のテキストです。これはテストのための文章で、とても簡単な内容です。"),
+    ("euc_jp", "EUC-JP", 0.99,
+     "今日もまた雨が降っている。もうすぐ梅雨が明けるだろう。"),
+    ("euc_kr", "EUC-KR", 0.99,
+     "한국어 텍스트입니다 이것은 테스트를 위한 문장이며 매우 간단한 내용입니다"),
+    ("latin-1", "ISO-8859-1", 0.73, "naïve café crème brûlée déjà vu français"),
+    ("cp1252", "Windows-1252", 0.73, "don’t say “never ever” again l’été"),
+    ("utf-8", "utf-8", 0.99, "日本語のテキストです。これはテストです。"),
+    ("ascii", "ascii", 1.0, "plain ascii text with nothing special at all"),
+]
+
+
+def charset_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-bytes charset detection (the chardet seam, VERDICT r5 #2)
+    oracled against GROUND TRUTH: each row's bytes are prose encoded with
+    a codec chosen by doc_id % 11, and the expected answer IS that codec —
+    known by construction, independent of the ladder. Covers the splits
+    the decode-artifact path provably cannot make (KOI8-R vs windows-1251,
+    Big5 vs GB18030 at the byte level, katakana/kana-free corners)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
+
+    register_views(spark, sf_dir)
+    base = spark.sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id % 11 AS INT) AS ci "
+        "FROM documents WHERE doc_id % 5 = 0"
+    )
+    fixtures = _CHARSET_FIXTURES
+
+    @F.pandas_udf("struct<encoding:string, confidence:double>")
+    def det(ci: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ci:
+            codec, _, _, prose = fixtures[int(i)]
+            enc, conf = detect_charset_bytes(prose.encode(codec))
+            rows.append({"encoding": enc, "confidence": conf})
+        return pd.DataFrame(rows)
+
+    codec_case = "CASE ci " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, (c, _, _, _) in enumerate(fixtures)
+    ) + " END"
+    return (
+        base.withColumn("d", det(F.col("ci")))
+        .selectExpr(
+            "doc_id",
+            f"{codec_case} AS codec",
+            "d.encoding AS encoding",
+            "CAST(d.confidence AS DOUBLE) AS confidence",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _charset_bytes_oracle_sql() -> str:
+    """Ground-truth oracle for charset_bytes: the same doc_id -> codec
+    mapping with the KNOWN right answers (the codec each fixture was
+    encoded with, in the ladder's reporting names) — no detection code on
+    this side at all."""
+    codec_case = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, (c, _, _, _) in enumerate(_CHARSET_FIXTURES)
+    ) + " END"
+    enc_case = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{e}'" for i, (_, e, _, _) in enumerate(_CHARSET_FIXTURES)
+    ) + " END"
+    conf_case = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+        f"WHEN {i} THEN {cf}" for i, (_, _, cf, _) in enumerate(_CHARSET_FIXTURES)
+    ) + " END"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {codec_case} AS codec,
+       {enc_case} AS encoding,
+       CAST({conf_case} AS DOUBLE) AS confidence
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY doc_id
+"""
+
+
 # --- public driver contract ---------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1665,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_cosine_srp"] = dedup_cosine_srp
     out["multimodal_features"] = multimodal_features
     out["href_resolution"] = href_resolution
+    out["href_edge_kinds"] = href_edge_kinds
+    out["charset_bytes"] = charset_bytes
     return out
 
 
@@ -1690,4 +1859,8 @@ def oracle_sql() -> dict[str, str]:
     # link resolution vs the CPython stdlib resolver (independent RFC 3986
     # implementation) rendered as VALUES
     oracles["href_resolution"] = _href_resolution_oracle_sql()
+    oracles["href_edge_kinds"] = _href_edge_kinds_oracle_sql()
+    # raw-bytes charset ladder vs ground-truth labels (the codec each
+    # fixture was ENCODED with — no detection logic on the oracle side)
+    oracles["charset_bytes"] = _charset_bytes_oracle_sql()
     return oracles

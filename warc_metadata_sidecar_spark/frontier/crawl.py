@@ -58,11 +58,28 @@ LINK_ADDS = (17, 5, 1)
 
 
 def extract_hrefs(
-    documents: DataFrame, url_col: str = "url", distinct: bool = True
+    documents: DataFrame,
+    url_col: str = "url",
+    distinct: bool = True,
+    edge_kinds: tuple[str, ...] = ("href",),
 ) -> DataFrame:
     """REAL link discovery: hrefs from fetched page text, native expressions
     only (regexp_extract_all + relative resolution). Returns
-    (parent_url, url). Resolution (RFC 3986 subset, r4):
+    (parent_url, url).
+
+    `edge_kinds` (VERDICT r5 #6, opt-in — the default stays the
+    urljoin-oracle-compatible href surface) selects which attributes emit
+    edges:
+      - 'href': every href= attribute (<a>, <link>, <area>);
+      - 'src': src= attributes (<img>, <script>, <iframe> media edges;
+        lazy-load 'data-src' deliberately excluded);
+      - 'srcset': each candidate URL of srcset= lists (descriptors like
+        '2x'/'640w' stripped);
+      - 'meta_refresh': the url= target of a numeric-delay content=
+        attribute ('0;url=...').
+    All kinds share one staged text and the same RFC 3986 resolution.
+
+    Resolution (RFC 3986 subset, r4):
       - absolute http(s) links kept (any scheme case), path dot-segments
         normalized;
       - protocol-relative '//host/p' gets the parent's scheme;
@@ -89,9 +106,22 @@ def extract_hrefs(
     """
     from warc_metadata_sidecar_spark.operators.sidecar import payload_text_col
 
+    unknown = set(edge_kinds) - {"href", "src", "srcset", "meta_refresh"}
+    if unknown or not edge_kinds:
+        raise ValueError(f"unknown edge_kinds: {sorted(unknown)}")
     # payload text staged ONCE (the with_surt CSE lesson: two HOF-bearing
-    # expressions over payload_text_col() would decode the spans twice)
-    base = documents.select(
+    # expressions over payload_text_col() would decode the spans twice);
+    # the base-stripped text likewise staged once — every edge-kind
+    # extraction reads the SAME _stripped column, so the regexp_replace
+    # runs once however many kinds are on.
+    # The base tag's own href must not become a crawl edge: DELETE the
+    # whole `<base ...>` tag span before extraction (VERDICT r5 #3 — the
+    # old single-whitespace lookbehind leaked attribute-before-href forms
+    # like '<base target="_x" href="/b/">' into the link list). Tag-span
+    # removal handles any attribute order / whitespace run; an
+    # unterminated base tag (no '>') is malformed HTML and keeps the old
+    # best-effort behavior.
+    staged = documents.select(
         F.col(url_col).alias("parent_url"), payload_text_col().alias("_text")
     ).select(
         "parent_url",
@@ -100,18 +130,56 @@ def extract_hrefs(
             r"""(?i)<base\s[^>]*?href\s*=\s*["']([^"'#>]+)""",
             1,
         ).alias("_base_href"),
-        # the base tag's own href must not become a crawl edge: DELETE the
-        # whole `<base ...>` tag span before extraction (VERDICT r5 #3 —
-        # the old single-whitespace lookbehind leaked attribute-before-href
-        # forms like '<base target="_x" href="/b/">' into the link list).
-        # Tag-span removal handles any attribute order / whitespace run;
-        # an unterminated base tag (no '>') is malformed HTML and keeps
-        # the old best-effort behavior.
-        F.regexp_extract_all(
-            F.regexp_replace(F.col("_text"), r"(?i)<base\s[^>]*>", " "),
-            F.lit(r"""(?i)href\s*=\s*["']([^"'#>]+)"""),
+        F.regexp_replace(F.col("_text"), r"(?i)<base\s[^>]*>", " ").alias("_stripped"),
+    )
+    kind_arrays = []
+    if "href" in edge_kinds:
+        kind_arrays.append(
+            F.regexp_extract_all(
+                F.col("_stripped"), F.lit(r"""(?i)href\s*=\s*["']([^"'#>]+)"""), F.lit(1)
+            )
+        )
+    if "src" in edge_kinds:
+        # (?<![\w-]) keeps 'data-src'/'lowsrc' lazy-load attributes out
+        kind_arrays.append(
+            F.regexp_extract_all(
+                F.col("_stripped"),
+                F.lit(r"""(?i)(?<![\w-])src\s*=\s*["']([^"'#>]+)"""),
+                F.lit(1),
+            )
+        )
+    if "srcset" in edge_kinds:
+        # attribute value -> comma-separated candidates -> URL before the
+        # optional width/density descriptor; empty entries (trailing
+        # commas) are dropped by the post-explode length filter
+        vals = F.regexp_extract_all(
+            F.col("_stripped"),
+            F.lit(r"""(?i)(?<![\w-])srcset\s*=\s*["']([^"'>]+)"""),
             F.lit(1),
-        ).alias("_hrefs"),
+        )
+        kind_arrays.append(
+            F.flatten(
+                F.transform(
+                    vals,
+                    lambda v: F.transform(
+                        F.split(v, ","),
+                        lambda s: F.regexp_extract(F.trim(s), r"^(\S+)", 1),
+                    ),
+                )
+            )
+        )
+    if "meta_refresh" in edge_kinds:
+        kind_arrays.append(
+            F.regexp_extract_all(
+                F.col("_stripped"),
+                F.lit(r"""(?i)content\s*=\s*["']\s*\d[\d.]*\s*;\s*url\s*=\s*([^"'>]+)"""),
+                F.lit(1),
+            )
+        )
+    base = staged.select(
+        "parent_url",
+        "_base_href",
+        (F.concat(*kind_arrays) if len(kind_arrays) > 1 else kind_arrays[0]).alias("_hrefs"),
     )
     # the effective base URL: <base href> absolute wins, root-relative
     # rebases onto the document origin, anything else falls back to the
@@ -149,7 +217,9 @@ def extract_hrefs(
     links = base.select(
         "parent_url", "_origin", "_scheme", "_base_url", parent_dir.alias("_dir"),
         F.explode("_hrefs").alias("_href"),
-    )
+        # srcset parsing can yield empty candidates (trailing commas);
+        # an empty href must not resolve to the parent directory itself
+    ).filter(F.length("_href") > 0)
     href = F.col("_href")
     has_origin = F.length("_origin") > 0
     resolved = (

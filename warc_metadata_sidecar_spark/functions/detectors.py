@@ -261,6 +261,178 @@ _TWO_BYTE_RE = re.compile("[\u0080-\u07ff]")
 _CP1252_RE = re.compile(r"[A-Za-z]�(?:s|t|ll|re)\b|(?:^|\s)�\w[\w .,-]{0,40}�(?=\s|[.,;:!?]|$)")
 
 
+# --- charset on RAW BYTES (VERDICT r5 #2): the reference runs chardet on
+# the raw payload byte stream (warc_metadata_sidecar.py:91-102). When the
+# ingest carries a `charset_head` (the first 8 KiB of a payload that is NOT
+# valid UTF-8 — sources/warc_ingest.py), this ladder probes real bytes and
+# the decode-artifact ladder below becomes the fallback. Byte-level probing
+# makes the post-decode-undecidable cases decidable: KOI8-R vs windows-1251
+# (identical artifact profiles, split here by the case-band statistic),
+# Big5 vs GB18030 (split by frequent-character markers under each decode),
+# katakana-only Shift-JIS (full-width kana decode directly).
+
+# frequent prose characters per Chinese variant — the tiny frequency-model
+# analog of chardet's language models. The byte encodings differ (的 is
+# B5C4 in GB2312 but AABA in Big5), so counting these after decoding under
+# EACH codec splits the two: real GB text decoded as Big5 is marker-free
+# garbage and vice versa.
+_GB_MARKERS = set("的是在不了有人我他这个为与国来上们时大地中就")
+_BIG5_MARKERS = set("的是在不了有人我他這個為與國來上們時大地中就")
+
+
+def _try_decode(raw: bytes, codec: str) -> str | None:
+    """Strict decode; a failure within the last 4 bytes is treated as head
+    truncation (an 8 KiB cut can land mid-character) and retried on the
+    prefix. Any earlier failure means the bytes are NOT this encoding."""
+    try:
+        return raw.decode(codec)
+    except UnicodeDecodeError as e:
+        if e.start >= len(raw) - 4 and e.start > 0:
+            try:
+                return raw[: e.start].decode(codec)
+            except UnicodeDecodeError:
+                return None
+        return None
+
+
+def _script_shares(s: str) -> tuple[float, float, float]:
+    """(fullwidth_kana, hanzi, hangul) shares among non-ascii chars."""
+    kana = hanzi = hangul = non_ascii = 0
+    for ch in s:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        non_ascii += 1
+        if 0x3040 <= o <= 0x30FF:
+            kana += 1
+        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            hanzi += 1
+        elif 0xAC00 <= o <= 0xD7A3:
+            hangul += 1
+    if not non_ascii:
+        return 0.0, 0.0, 0.0
+    return kana / non_ascii, hanzi / non_ascii, hangul / non_ascii
+
+
+def _cyrillic_case_score(s: str) -> tuple[float, float]:
+    """(cyrillic_share_among_non_ascii, lowercase_share_among_cyrillic) —
+    the chardet-style case-band statistic: KOI8-R puts lowercase at
+    0xC0-0xDF and windows-1251 at 0xE0-0xFF, so decoding prose (which is
+    predominantly lowercase) under the WRONG codec yields mostly-UPPERCASE
+    Cyrillic. The codec whose decode reads as lowercase prose wins."""
+    cyr = lower = non_ascii = 0
+    for ch in s:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        non_ascii += 1
+        if 0x0400 <= o <= 0x04FF:
+            cyr += 1
+            if "а" <= ch <= "я" or ch == "ё":
+                lower += 1
+    if not non_ascii:
+        return 0.0, 0.0
+    return cyr / non_ascii, (lower / cyr) if cyr else 0.0
+
+
+def detect_charset_bytes(raw: bytes | None) -> tuple[str | None, float]:
+    """chardet-shaped detection on RAW payload bytes. Rule ladder, most
+    structural evidence first; every rung is deterministic. Confidence
+    constants mirror the artifact ladder (BOM/ascii 1.0, MBCS 0.99,
+    single-byte 0.73 — chardet's own rungs)."""
+    if not raw:
+        return None, 0.0
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8-SIG", 1.0
+    if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
+        return "UTF-16", 1.0
+    if raw.count(0) * 3 > len(raw):
+        # BOM-less NUL-interleaved text (utf-16 without BOM)
+        return "UTF-16", 1.0
+    utf8 = _try_decode(raw, "utf-8")
+    if utf8 is not None:
+        if all(b < 0x80 for b in raw):
+            return "ascii", 1.0
+        extra = len(raw) - len(utf8)
+        return ("utf-8", 0.99) if extra >= 8 else ("utf-8", 0.7525)
+    # --- legacy encodings: the bytes are NOT utf-8 ---
+    sample = raw[:8192]
+    # Japanese first: full-width kana under a valid decode is the strongest
+    # signal (GB/Big5 text decoded as Shift-JIS yields only half-width
+    # soup, excluded from the share on purpose; GB2312's own A4/A5 kana
+    # rows make euc-jp-decoded CHINESE text kana-free).
+    sjis = _try_decode(sample, "shift_jis")
+    if sjis is not None:
+        kana, hanzi, _ = _script_shares(sjis)
+        if kana >= 0.05 and kana + hanzi >= 0.5:
+            return "SHIFT_JIS", 0.99
+    euc = _try_decode(sample, "euc_jp")
+    if euc is not None:
+        kana, hanzi, _ = _script_shares(euc)
+        if kana >= 0.05 and kana + hanzi >= 0.5:
+            return "EUC-JP", 0.99
+    # Chinese BEFORE Korean: GB2312 pairs are structurally valid EUC-KR
+    # (hangul rows B0-C8 overlap GB hanzi leads), so marker evidence — the
+    # codec whose decode reads as prose — must outrank bare decode validity.
+    # Korean text under gb18030 decodes to marker-free hanzi garbage, so
+    # the ordering costs Korean nothing.
+    big5 = _try_decode(sample, "big5")
+    gb = _try_decode(sample, "gb18030")
+    n_big5 = sum(1 for ch in big5 if ch in _BIG5_MARKERS) if big5 else 0
+    n_gb = sum(1 for ch in gb if ch in _GB_MARKERS) if gb else 0
+    if max(n_big5, n_gb) >= 2:
+        winner, s = ("Big5", big5) if n_big5 > n_gb else ("GB18030", gb)
+        _, hanzi, _ = _script_shares(s)
+        if hanzi >= 0.3:
+            return winner, 0.99
+    # Korean: real Korean prose is nearly ALL hangul among its non-ascii
+    # (0.8 bar — Chinese text decoded as EUC-KR lands in a hangul/hanja
+    # MIX across rows B0-F7 and stays under it)
+    kr = _try_decode(sample, "euc_kr")
+    if kr is not None:
+        _, _, hangul = _script_shares(kr)
+        if hangul >= 0.8:
+            return "EUC-KR", 0.99
+    # kanji-only Shift-JIS (no kana to key on): accept when the competing
+    # CJK decodes all failed or read as marker-free garbage
+    if sjis is not None and n_big5 < 2 and n_gb < 2:
+        _, hanzi, _ = _script_shares(sjis)
+        if hanzi >= 0.5:
+            return "SHIFT_JIS", 0.99
+    # Cyrillic single-byte: gated on high-byte RUN ADJACENCY — Cyrillic
+    # words are unbroken multi-byte runs, while Latin accents are isolated
+    # singles inside ascii words (a sparse-accent French page maps its few
+    # high bytes ENTIRELY into Cyrillic under cp1251, so a share-only gate
+    # would misfire). Then the case-band statistic splits KOI8-R from
+    # windows-1251 (the artifact ladder's provably-undecidable case).
+    n_high = in_long_runs = run = 0
+    for b in sample:
+        if b >= 0x80:
+            run += 1
+        else:
+            if run:
+                n_high += run
+                if run >= 2:
+                    in_long_runs += run
+            run = 0
+    if run:
+        n_high += run
+        if run >= 2:
+            in_long_runs += run
+    if n_high and in_long_runs / n_high >= 0.65:
+        cp1251 = _try_decode(sample, "windows-1251") or ""
+        koi8 = _try_decode(sample, "koi8-r") or ""
+        cyr_cp, low_cp = _cyrillic_case_score(cp1251)
+        cyr_koi, low_koi = _cyrillic_case_score(koi8)
+        if max(cyr_cp, cyr_koi) >= 0.6:
+            return ("windows-1251", 0.73) if low_cp >= low_koi else ("KOI8-R", 0.73)
+    # single-byte western: C1-control-range bytes mark cp1252's
+    # typographic extensions; their absence is plain latin-1
+    if any(0x80 <= b <= 0x9F for b in sample):
+        return "Windows-1252", 0.73
+    return "ISO-8859-1", 0.73
+
+
 def detect_charset(text: str | None) -> tuple[str | None, float]:
     """Return (encoding, confidence). encoding None when undetectable, like
     chardet on empty input (reference emits the field only when encoding is
@@ -631,10 +803,19 @@ def serialize_payload(
     return "\n".join(lines)
 
 
-def _detect_one(text: str | None, head: bytes | None, http_status: str | None) -> dict:
+def _detect_one(
+    text: str | None,
+    head: bytes | None,
+    http_status: str | None,
+    charset_head: bytes | None = None,
+) -> dict:
     """Full per-payload detector pass with the reference's gating: charset/
     language only for text-format mimes (F6, :255); soft404 only for
-    status-200 html (F7, :263-265)."""
+    status-200 html (F7, :263-265). `charset_head` is the optional raw
+    payload head the ingest carries for non-UTF-8 text payloads (VERDICT
+    r5 #2) — when present, charset probes REAL bytes like the reference's
+    chardet (warc_metadata_sidecar.py:91-102); the decode-artifact ladder
+    is the fallback for artifact-only inputs."""
     mime_fido, mime_magic, puid = sniff_mime(text, head)
     mimes_found = " ".join(v for v in (mime_fido, mime_magic) if v)
     charset_encoding: str | None = None
@@ -642,7 +823,10 @@ def _detect_one(text: str | None, head: bytes | None, http_status: str | None) -
     lang: dict | None = None
     soft404: float | None = None
     if TEXT_FORMAT_MIMES.search(mimes_found):
-        charset_encoding, charset_confidence = detect_charset(text)
+        if charset_head:
+            charset_encoding, charset_confidence = detect_charset_bytes(charset_head)
+        else:
+            charset_encoding, charset_confidence = detect_charset(text)
         lang = detect_language(text)
         if http_status == "200" and "html" in mimes_found:
             soft404 = detect_soft404(text)
@@ -682,16 +866,23 @@ def _detect_one(text: str | None, head: bytes | None, http_status: str | None) -
 
 
 @F.pandas_udf(DETECTED)
-def detect_all(text: pd.Series, head: pd.Series, http_status: pd.Series) -> pd.DataFrame:
+def detect_all(
+    text: pd.Series, head: pd.Series, http_status: pd.Series, charset_head: pd.Series
+) -> pd.DataFrame:
     """Arrow-batched detector stage: one Python roundtrip computes all of
     S3-S7 + S8 for a batch of distinct payloads. Gating lives INSIDE the
     batch (SURVEY.md §4: `when()` does not short-circuit Python UDFs)."""
+
+    def _b(v):
+        return bytes(v) if v is not None and not (isinstance(v, float) and pd.isna(v)) else None
+
     rows = [
         _detect_one(
             t if isinstance(t, str) else None,
-            bytes(h) if h is not None and not (isinstance(h, float) and pd.isna(h)) else None,
+            _b(h),
             s if isinstance(s, str) else None,
+            _b(ch),
         )
-        for t, h, s in zip(text, head, http_status)
+        for t, h, s, ch in zip(text, head, http_status, charset_head)
     ]
     return pd.DataFrame(rows)

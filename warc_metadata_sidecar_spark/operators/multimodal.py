@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata (schema.MEDIA), processed with Arrow-batched pandas UDFs.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): `decode_image` raises NotImplementedError when asked for a real
-decode and otherwise produces a deterministic fake feature vector from the
-bytes, so the Spark-side plumbing — schema, partitioning, UDF signature,
-Arrow batch shape — is real and tested end to end. Swap `_fake_decode` for
+Pixel decode (VERDICT r5 #8): the UNCOMPRESSED raster families decode for
+real with no dependencies — BMP (BI_RGB 24/32-bit), netpbm (P2/P3/P5/P6),
+TGA (type-2 truecolor) — via `decode_pixels`; `decode_image(real=True)`
+derives a deterministic feature vector (dims + per-channel means + std)
+from the actual pixels. Compressed codecs (JPEG/PNG/GIF/...) still raise
+NotImplementedError behind the same seam (PIL/ffmpeg absent from this
+container); `_fake_decode` remains the default-path stand-in so existing
+oracles are unchanged. Swap the NotImplementedError branch for
 PIL/torchvision/ffmpeg calls in production; nothing else changes.
 
 Scale notes: media bytes never pass through a join wider than needed —
@@ -17,7 +20,10 @@ partition streams Arrow batches without materializing the partition.
 from __future__ import annotations
 
 import hashlib
+import re as _re
+import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,18 +49,156 @@ def _fake_decode(data: bytes) -> list[float]:
     return [b / 255.0 for b in d[:FEATURE_DIM]]
 
 
+def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Uncompressed BI_RGB 24/32-bit BMP -> (w, h, channels, HxWxC uint8
+    RGB array). Bottom-up rows (negative height = top-down), rows padded
+    to 4 bytes, BGR(A) byte order."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    need = pix_off + row_bytes * h
+    if len(data) < need:
+        return None
+    raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
+    rows = raster.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB, alpha dropped
+    return w, h, 3, np.ascontiguousarray(rgb)
+
+
+_PNM_TOKEN = _re.compile(rb"(?:\s|#[^\n]*\n)*(\S+)")
+
+
+def _decode_netpbm(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """netpbm P2/P3 (ascii) and P5/P6 (binary) with maxval <= 255 ->
+    (w, h, channels, HxWxC uint8 array); grayscale replicated to 3
+    channels so features are comparable across families."""
+    if data[:2] not in (b"P2", b"P3", b"P5", b"P6"):
+        return None
+    magic = data[:2].decode()
+    nch = 3 if magic in ("P3", "P6") else 1
+    pos, vals = 2, []
+    while len(vals) < 3:
+        m = _PNM_TOKEN.match(data, pos)
+        if not m:
+            return None
+        vals.append(int(m.group(1)))
+        pos = m.end()
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        return None
+    n = w * h * nch
+    if magic in ("P5", "P6"):
+        pos += 1  # exactly one whitespace byte after maxval
+        if len(data) < pos + n:
+            return None
+        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    else:
+        toks = data[pos:].split()
+        if len(toks) < n:
+            return None
+        arr = np.array([int(t) for t in toks[:n]], dtype=np.uint8)
+    img = arr.reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return w, h, 3, img
+
+
+def _decode_tga(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Uncompressed truecolor TGA (type 2, 24/32 bpp) -> (w, h, 3, RGB
+    array). Bottom-left origin unless descriptor bit 5; BGR(A) order."""
+    if len(data) < 18:
+        return None
+    id_len, cmap_type, img_type = data[0], data[1], data[2]
+    if img_type != 2 or cmap_type != 0:
+        return None
+    w, h = struct.unpack_from("<HH", data, 12)
+    bpp, desc = data[16], data[17]
+    if bpp not in (24, 32) or w == 0 or h == 0:
+        return None
+    nch = bpp // 8
+    off = 18 + id_len
+    if len(data) < off + w * h * nch:
+        return None
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * nch, offset=off)
+    rows = raster.reshape(h, w, nch)
+    if not desc & 0x20:  # bottom-left origin
+        rows = rows[::-1]
+    rgb = rows[:, :, :3][:, :, ::-1]
+    return w, h, 3, np.ascontiguousarray(rgb)
+
+
+def decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """(width, height, channels, HxWx3 uint8 RGB array) for the
+    dependency-free uncompressed families, None otherwise."""
+    for dec in (_decode_bmp, _decode_netpbm, _decode_tga):
+        out = dec(data)
+        if out is not None:
+            return out
+    return None
+
+
+def _pixel_features(w: int, h: int, img: np.ndarray) -> list[float]:
+    """Deterministic FEATURE_DIM-float vector from REAL pixels: dims,
+    overall/per-channel means, std — each hand-computable (the decode
+    test pins them against arithmetic on the generated raster)."""
+    flat = img.astype(np.float64)
+    feats = [
+        w / 65535.0,
+        h / 65535.0,
+        img.shape[2] / 4.0,
+        float(flat.mean()) / 255.0,
+        float(flat[:, :, 0].mean()) / 255.0,
+        float(flat[:, :, 1].mean()) / 255.0,
+        float(flat[:, :, 2].mean()) / 255.0,
+        float(flat.std()) / 255.0,
+    ]
+    return feats + [0.0] * (FEATURE_DIM - len(feats))
+
+
 def decode_image(data: bytes, real: bool = False) -> list[float]:
+    """Feature vector for one image blob. real=False (the default every
+    existing oracle pins): deterministic fake. real=True: ACTUAL pixels
+    for BMP/netpbm/TGA; compressed codecs raise NotImplementedError (the
+    PIL/ffmpeg seam, honestly stubbed)."""
     if real:
-        raise NotImplementedError(
-            "real image decode requires PIL/torchvision — not present in this "
-            "container; the deterministic fake keeps the pipeline testable"
-        )
+        px = decode_pixels(data)
+        if px is None:
+            raise NotImplementedError(
+                "compressed-codec decode requires PIL/torchvision — not in "
+                "this container; BMP/netpbm/TGA decode natively"
+            )
+        w, h, _, img = px
+        return _pixel_features(w, h, img)
     return _fake_decode(data)
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
-    """media table -> per-blob features via mapInPandas (Arrow batches)."""
+def extract_media_features(media: DataFrame, real: bool = False) -> DataFrame:
+    """media table -> per-blob features via mapInPandas (Arrow batches).
+
+    real=True uses ACTUAL pixel statistics for the natively-decodable
+    families (BMP/netpbm/TGA) and falls back to the deterministic fake for
+    compressed codecs; real=False (the oracle-pinned default) is all-fake."""
     from warc_metadata_sidecar_spark.functions.detectors import sniff_mime
+
+    def one(b: bytes) -> list[float]:
+        if real:
+            try:
+                return decode_image(b, real=True)
+            except NotImplementedError:
+                return _fake_decode(b)
+        return _fake_decode(b)
 
     def batches(it):
         for pdf in it:
@@ -68,7 +212,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                         for b in pdf["bytes"]
                     ],
                     "features": [
-                        decode_image(bytes(b)) if b is not None else None for b in pdf["bytes"]
+                        one(bytes(b)) if b is not None else None for b in pdf["bytes"]
                     ],
                 }
             )

@@ -143,6 +143,14 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
       - ARC rows have NULL digest and never share (:226-228) — they get a
         per-row key, so each computes its own metadata.
     """
+    # optional raw-bytes charset seam (VERDICT r5 #2): ingest-produced
+    # documents carry `charset_head` (first 8 KiB of a non-UTF-8 payload,
+    # schema.DOCUMENTS_INGEST); driver-generated/legacy tables don't — a
+    # NULL column keeps the artifact-ladder fallback, and the head rides
+    # ONLY the representative rows (detector cardinality, never shuffled
+    # at record cardinality).
+    if "charset_head" not in documents.columns:
+        documents = documents.withColumn("charset_head", F.lit(None).cast("binary"))
     dedup_key = F.coalesce(
         F.col("payload_digest"), F.concat(F.lit("__row__:"), F.col("doc_id"))
     )
@@ -213,7 +221,10 @@ def extract_sidecar(documents: DataFrame, media: DataFrame | None = None) -> Dat
     # run twice per distinct payload)
     detect_once = detect_all.asNondeterministic()
     detected = rep_rows.withColumn(
-        "det", detect_once(F.col("payload_text"), F.col("head"), F.col("http_status"))
+        "det",
+        detect_once(
+            F.col("payload_text"), F.col("head"), F.col("http_status"), F.col("charset_head")
+        ),
     ).select("dedup_key", F.lit(True).alias("_detected"), "det.*")
 
     annotated = probe.join(detected, "dedup_key", "left")

@@ -45,6 +45,18 @@ DOCUMENTS = T.StructType(
     ]
 )
 
+# Ingest-extended documents: `charset_head` carries the FIRST 8 KiB of the
+# raw payload bytes, ONLY when the payload is not valid UTF-8 (VERDICT r5
+# #2 — the reference runs chardet on raw bytes, warc_metadata_sidecar.py:
+# 91-102, and the utf-8-replace decode is lossy exactly for legacy
+# encodings). UTF-8/ascii pages (the vast majority of the web) carry NULL,
+# so the column costs ~nothing at 100 TB and is column-pruned unless the
+# detector stage reads it. Optional everywhere: operators fall back to the
+# decode-artifact charset ladder when the column is absent or NULL.
+DOCUMENTS_INGEST = T.StructType(
+    list(DOCUMENTS.fields) + [T.StructField("charset_head", T.BinaryType())]
+)
+
 # --- media blobs: multimodal payloads as opaque binary + typed metadata ---
 # media_ref in a span points into this table. Bytes carry real magic numbers
 # so mime sniffing works on content, not names.

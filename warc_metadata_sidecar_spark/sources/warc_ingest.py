@@ -61,12 +61,29 @@ def _parse_with_warcio(path: str, data: bytes) -> list[dict]:  # pragma: no cove
                 else None,
                 "is_arc": is_arc,
                 "source_file": path.rsplit("/", 1)[-1],
+                "charset_head": _charset_head(payload),
             }
         )
     return rows
 
 
 _HDR = re.compile(r"^([A-Za-z0-9-]+): *(.*)$")
+
+
+def _charset_head(payload: bytes) -> bytes | None:
+    """First 8 KiB of the raw payload, ONLY when the bytes are not valid
+    UTF-8 (schema.DOCUMENTS_INGEST) — the utf-8-replace decode at ingest is
+    lossy exactly then, and the reference's chardet runs on raw bytes
+    (warc_metadata_sidecar.py:91-102). Valid-UTF-8/ascii payloads return
+    None: their decode is lossless, so the artifact-path charset result is
+    byte-equivalent and the column stays empty for most of the web."""
+    if not payload:
+        return None
+    try:
+        payload.decode("utf-8")
+        return None
+    except UnicodeDecodeError:
+        return payload[:8192]
 
 
 def _strip_http(body: bytes) -> tuple[str | None, bytes]:
@@ -207,6 +224,7 @@ def parse_warc_bytes(path: str, data: bytes) -> list[dict]:
             "http_status": status,
             "is_arc": is_arc,
             "source_file": source_file,
+            "charset_head": _charset_head(payload),
         }
 
     if is_arc:
@@ -274,7 +292,7 @@ def ingest_warc_files(spark, glob_path: str) -> DataFrame:
             for path, data in zip(pdf["path"], pdf["content"]):
                 rows.extend(parse_warc_bytes(path, bytes(data)))
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in schema.DOCUMENTS.fields}
+                {f.name: pd.Series(dtype="object") for f in schema.DOCUMENTS_INGEST.fields}
             )
 
-    return binary.select("path", "content").mapInPandas(batches, schema.DOCUMENTS)
+    return binary.select("path", "content").mapInPandas(batches, schema.DOCUMENTS_INGEST)
