@@ -533,3 +533,84 @@ def test_detect_one_prefers_charset_head_bytes():
     # gating unchanged: a binary payload never computes charset even with a head
     gif = _detect_one(None, b"GIF89a\x01", "200", charset_head=b"\xff\xfe junk")
     assert gif["charset_encoding"] is None
+
+
+def test_charset_katakana_artifact_rung():
+    """r6 (VERDICT r5 #5): katakana-only SJIS fragments — single 0x83 lead
+    (always replaced) + mostly-ascii trail gives pairs >= half the
+    replacements with ZERO accidental valid decodes; Big5 hanzi stays Big5
+    (its 0xA1+ trail half doubles replacements, pair ratio < 0.5)."""
+    for kata in ("カタカナ・フラグメント", "インターネット", "アクセスカウンタ", "ダウンロード"):
+        m = kata.encode("shift_jis").decode("utf-8", "replace")
+        assert detect_charset(m) == ("SHIFT_JIS", 0.99), kata
+    # Big5 prose (fragments long enough for the dense rung, >= 8
+    # replacements) keeps its rung
+    for zh in (
+        "臺灣位於東亞首都為臺北",
+        "夜市文化聞名世界歡迎光臨",
+        "歡迎光臨本網站請按下面的連結",
+        "繁體中文在臺灣香港與澳門廣泛使用",
+    ):
+        m = zh.encode("big5", errors="ignore").decode("utf-8", "replace")
+        assert detect_charset(m) == ("Big5", 0.99), zh
+
+
+def test_signature_tranche_r6():
+    """r6 signatures: WARC (well-known PRONOM id), parquet/avro/wasm/pcap/
+    pcapng/lz4/cab/cpio/squashfs/djvu (mime certain, puid honestly None —
+    the payload omits Preservation-Identifier exactly as the reference does
+    when fido yields nothing), ar vs deb sub-sniff, DICOM at offset 128."""
+    from warc_metadata_sidecar_spark.functions.detectors import serialize_payload
+
+    cases = [
+        (b"WARC/1.0\r\nWARC-Type: response", "application/warc", "fmt/289"),
+        (b"PAR1\x15\x04", "application/vnd.apache.parquet", None),
+        (b"Obj\x01\x04", "application/avro", None),
+        (b"\x00asm\x01\x00\x00\x00", "application/wasm", None),
+        (b"\xd4\xc3\xb2\xa1\x02\x00", "application/vnd.tcpdump.pcap", None),
+        (b"\x04\x22\x4d\x18\x64\x40", "application/x-lz4", None),
+        (b"MSCF\x00\x00\x00\x00", "application/vnd.ms-cab-compressed", None),
+        (b"070701001234", "application/x-cpio", None),
+        (b"hsqs\x00\x01", "application/x-squashfs", None),
+        (b"AT&TFORMDJVU", "image/vnd.djvu", None),
+        (b"!<arch>\ndebian-binary   123", "application/vnd.debian.binary-package", None),
+        (b"!<arch>\nfile1.o/        123", "application/x-archive", None),
+        (b"\x00" * 128 + b"DICM\x02\x00", "application/dicom", None),
+    ]
+    for head, mime, puid in cases:
+        got = sniff_mime(None, head)
+        assert got == (mime, mime, puid), (head[:12], got)
+    # a None puid serializes with NO Preservation-Identifier line
+    payload = serialize_payload("application/wasm", "application/wasm", None, None, 0.0, None, None)
+    assert "Preservation-Identifier" not in payload
+    assert "application/wasm" in payload
+
+
+def test_language_r6_token_profiles():
+    """r6 languages: Romanian/Hungarian/Vietnamese/Croatian; Czech text
+    must stay Czech despite Croatian sharing Slavic vocabulary."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    cases = [
+        ("ro", "ROMANIAN", "limba română este o limbă romanică și este vorbită de "
+                            "milioane de oameni dar pentru care din istorie au fost "
+                            "multe schimbări până acum fără acest lucru"),
+        ("hu", "HUNGARIAN", "a magyar nyelv és a magyar emberek hogy nem csak egy "
+                             "országban élnek már régóta mint még sok más nép vagy "
+                             "nemzet azonban szerint minden nagyon fontos"),
+        ("vi", "VIETNAMESE", "tiếng việt là ngôn ngữ của người việt nam và được sử "
+                              "dụng trong những văn bản một cách chính thức cho với "
+                              "này đã có không ít thay đổi"),
+        ("hr", "CROATIAN", "hrvatski jezik što ili koji se govori također nakon "
+                            "dugog razdoblja zbog povijesti između država prema "
+                            "novim pravilima tijekom godina gdje svoje mjesto bio"),
+    ]
+    for code, name, text in cases:
+        got = detect_language(text)
+        assert got is not None, code
+        top = got["languages"][0]
+        assert (top["code"], top["name"]) == (code, name), (code, got["languages"][:2])
+    cz = ("čeština je západoslovanský jazyk kterým se mluví v česku ale jeho "
+          "gramatika je složitá a jsou pro cizince podle všeho však těžké "
+          "příklady které již znáte")
+    assert detect_language(cz)["languages"][0]["code"] == "cs"

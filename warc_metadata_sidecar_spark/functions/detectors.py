@@ -84,7 +84,29 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"#!AMR\n", "audio/amr", "audio/amr", "fmt/663"),
     (b".snd", "audio/basic", "audio/basic", "x-fmt/136"),
     (b"\xed\xab\xee\xdb", "application/x-rpm", "application/x-rpm", "fmt/795"),
+    # r6 tranche. WARC carries its well-known PRONOM id; for the rest the
+    # mime is certain but the PUID is left None rather than fabricated —
+    # the serialization omits Preservation-Identifier exactly as the
+    # reference does when fido yields no id (warc_metadata_sidecar.py:
+    # 67-73,160-161); production fido restores them through the seam.
+    (b"WARC/1.0", "application/warc", "application/warc", "fmt/289"),
+    (b"WARC/1.1", "application/warc", "application/warc", "fmt/1355"),
+    (b"PAR1", "application/vnd.apache.parquet", "application/vnd.apache.parquet", None),
+    (b"Obj\x01", "application/avro", "application/avro", None),
+    (b"\x00asm", "application/wasm", "application/wasm", None),
+    (b"\xd4\xc3\xb2\xa1", "application/vnd.tcpdump.pcap", "application/vnd.tcpdump.pcap", None),
+    (b"\x0a\x0d\x0d\x0a", "application/x-pcapng", "application/x-pcapng", None),
+    (b"\x04\x22\x4d\x18", "application/x-lz4", "application/x-lz4", None),
+    (b"MSCF", "application/vnd.ms-cab-compressed", "application/vnd.ms-cab-compressed", None),
+    (b"070701", "application/x-cpio", "application/x-cpio", None),
+    (b"hsqs", "application/x-squashfs", "application/x-squashfs", None),
+    (b"AT&TFORM", "image/vnd.djvu", "image/vnd.djvu", None),
 ]
+
+# ar archives: '!<arch>\n' is both Unix ar and Debian packages — the first
+# member name 'debian-binary' marks a .deb (a container sub-sniff like the
+# zip/OLE2 rules)
+_AR_MAGIC = b"!<arch>\n"
 
 # tar has no leading magic: 'ustar' sits at offset 257 (within the 1 KiB
 # sniffing head), checked before the linear scan. Version bytes are
@@ -195,6 +217,17 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
             if b"webm" in head[:64]:
                 return "video/webm", "video/webm", "fmt/573"
             return "video/x-matroska", "video/x-matroska", "fmt/569"
+        if head.startswith(_AR_MAGIC):
+            # .deb is an ar archive whose first member is 'debian-binary'
+            if head[8:21] == b"debian-binary":
+                return (
+                    "application/vnd.debian.binary-package",
+                    "application/vnd.debian.binary-package",
+                    None,
+                )
+            return "application/x-archive", "application/x-archive", None
+        if head[128:132] == b"DICM":  # DICOM: 128-byte preamble then 'DICM'
+            return "application/dicom", "application/dicom", None
         if (
             head[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 5] == _TAR_MAGIC
             and head[_TAR_MAGIC_OFFSET + 5:_TAR_MAGIC_OFFSET + 6] in (b"\x00", b" ")
@@ -512,10 +545,24 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
             # hanzi page to SHIFT_JIS (the claim is measured on GB2312
             # prose, not structural for GBK extensions).
             sjis_low = sum(1 for o in two if (o & 0x3F) < 0x20) >= 2
-            if len(_SJIS_PAIR_RE.findall(sample)) * 8 > n_rep:
-                # katakana-ONLY fragments (ascii second bytes -> pairs but
-                # zero valid decodes) still read as Big5 — documented limit
-                return ("SHIFT_JIS", 0.99) if (ja_sig or sjis_low) else ("Big5", 0.99)
+            n_pairs = len(_SJIS_PAIR_RE.findall(sample))
+            if n_pairs * 8 > n_rep:
+                # katakana-pair rung (r6, VERDICT r5 #5): full-width
+                # katakana is a SINGLE lead byte (0x83, always replaced) +
+                # a mostly-ascii trail, so pairs are >= half the
+                # replacements (measured: katakana fragments 0.50-1.0,
+                # Big5 hanzi 0.14-0.43 — Big5's 0xA1+ trail half doubles
+                # its replacement count) with ZERO accidental valid
+                # decodes (0x83 completes nothing). Heuristic, >= 4 pairs:
+                # a short ascii-trail-heavy Big5 fragment can still cross
+                # it (documented); the charset_head byte path decides
+                # these cases exactly and is authoritative when present.
+                kata_sig = not two and n_pairs >= 4 and n_pairs * 2 >= n_rep
+                return (
+                    ("SHIFT_JIS", 0.99)
+                    if (ja_sig or sjis_low or kata_sig)
+                    else ("Big5", 0.99)
+                )
             if ja_sig:
                 return "EUC-JP", 0.99
             if sample.count(" ") * 8 > n_rep and len(two) * 8 < n_rep:
@@ -566,6 +613,16 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     "fi": ("FINNISH", frozenset("ja on ei että se hän oli mutta myös kuin niin jos ovat sekä".split())),
     "cs": ("CZECH", frozenset("je se na že byl jako jsou ale pro jeho však které podle již".split())),
     "uk": ("UKRAINIAN", frozenset("і що але як або це вже його від до під був".split())),
+    # r6: four more token profiles, distinctive-only markers again.
+    # Romanian avoids 'la'/'un'/'o'/'nu' (Romance/Slavic overlap);
+    # Hungarian's agglutination leaves its function words unique anyway;
+    # Vietnamese diacritic-bearing particles are globally unique;
+    # Croatian avoids 'je'/'se'/'na' (shared with Czech) and keys on its
+    # što/koji/također forms.
+    "ro": ("ROMANIAN", frozenset("și să este sunt pentru care din mai dar fost între până fără acest".split())),
+    "hu": ("HUNGARIAN", frozenset("és hogy nem egy már csak volt mint még vagy azonban szerint minden nagyon".split())),
+    "vi": ("VIETNAMESE", frozenset("của và là có không được người trong những một cho với này đã".split())),
+    "hr": ("CROATIAN", frozenset("što ili koji također nakon zbog između prema tijekom gdje svoje bio".split())),
     # ...and SCRIPT-keyed languages (cld2 is script-first for these):
     # kana/hangul (r4) and the r5 additions — Arabic, Hebrew, Greek,
     # Devanagari->Hindi, Thai — where the characters are themselves the
