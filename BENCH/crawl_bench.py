@@ -23,12 +23,21 @@ def main() -> None:
     universe = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    # 10x annotated config (VERDICT r5 #7): URL universe 10x, docs 5x (half
+    # the link space 404s — the miss path at scale), 50k seeds so the
+    # detector stage dominates the loop. 0 skips it.
+    big_universe = int(sys.argv[4]) if len(sys.argv) > 4 else 10 * universe
 
     from warc_metadata_sidecar_spark import gen
     from warc_metadata_sidecar_spark.frontier.crawl import run_crawl
     from warc_metadata_sidecar_spark.session import build_session
 
-    spark = build_session("crawl-bench", cpus=cpus, shuffle_partitions=2 * cpus)
+    # UI on: run_crawl records per-round executor shuffle deltas in the
+    # lineage when the status API is reachable (flat-curve evidence)
+    spark = build_session(
+        "crawl-bench", cpus=cpus, shuffle_partitions=2 * cpus,
+        extra={"spark.ui.enabled": "true", "spark.ui.retainedStages": "30000"},
+    )
     docs_path = f"/tmp/crawl_bench_docs_{universe}"
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         gen.documents(spark, universe).repartition(64).write.mode("overwrite").parquet(
@@ -85,6 +94,54 @@ def main() -> None:
     n_annotated = result_a.annotated.count() if result_a.annotated is not None else 0
     wall_a = time.time() - t0
     shutil.rmtree(ckpt_a, ignore_errors=True)
+
+    # --- 10x annotated loop (VERDICT r5 #7): the north-star metric's real
+    # regime — the detector stage dominates; per-round shuffle lineage
+    # must stay flat (bucketed seen, O(delta) rounds)
+    big = None
+    if big_universe:
+        big_docs_n = big_universe // 2
+        big_docs_path = f"/tmp/crawl_bench_docs_{big_docs_n}"
+        if not os.path.exists(os.path.join(big_docs_path, "_SUCCESS")):
+            gen.documents(spark, big_docs_n).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(big_docs_path)
+        big_docs = spark.read.parquet(big_docs_path)
+        big_seeds = gen.seed_frontier(spark, n_seeds=50_000)
+        ckpt_big = tempfile.mkdtemp(prefix="crawl_bench_big_")
+        t0 = time.time()
+        result_big = run_crawl(
+            spark, big_docs, big_seeds, robots, rounds=rounds,
+            universe=big_universe, skew_stats=False, out_dir=ckpt_big,
+            bucketed_seen=True, annotate=True,
+        )
+        n_annotated_big = (
+            result_big.annotated.count() if result_big.annotated is not None else 0
+        )
+        wall_big = time.time() - t0
+        shutil.rmtree(ckpt_big, ignore_errors=True)
+        big = {
+            "universe": big_universe,
+            "n_docs": big_docs_n,
+            "seeds": 50_000,
+            "wall_sec": round(wall_big, 1),
+            "annotated_rows": n_annotated_big,
+            "selected": sum(m.selected for m in result_big.lineage),
+            "lineage": [
+                {
+                    "round": m.round,
+                    "candidates": m.candidates,
+                    "selected": m.selected,
+                    "fetched": m.fetched,
+                    "seen_after": m.seen_after,
+                    "shuffle_read_mb": round(m.shuffle_read_bytes / 1e6, 1)
+                    if m.shuffle_read_bytes >= 0 else None,
+                    "shuffle_write_mb": round(m.shuffle_write_bytes / 1e6, 1)
+                    if m.shuffle_write_bytes >= 0 else None,
+                }
+                for m in result_big.lineage
+            ],
+        }
     total_candidates = sum(m.candidates for m in result.lineage)
     total_selected = sum(m.selected for m in result.lineage)
     seen_after = result.lineage[-1].seen_after if result.lineage else 0
@@ -127,6 +184,32 @@ test_crawl_annotate_bounded_plan).
 Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
 `python BENCH/crawl_bench.py {universe} {rounds} {cpus}`.
 """
+    if big is not None:
+        big_lineage_md = "\n".join(
+            "| {round} | {candidates:,} | {selected:,} | {fetched:,} | "
+            "{seen_after:,} | {sr} | {sw} |".format(
+                sr=l["shuffle_read_mb"], sw=l["shuffle_write_mb"], **l
+            )
+            for l in big["lineage"]
+        )
+        md += f"""
+## 10x annotated loop (r6, VERDICT r5 #7)
+
+{rounds} rounds over a **{big["universe"]:,}-URL universe / {big["n_docs"]:,}
+documents** (half the link space 404s — the fetch-miss path at scale),
+{big["seeds"]:,} seeds, bucketed seen + per-round checkpoints + the full
+sidecar detector stage per round:
+
+| round | candidates | selected | fetched | seen after | shuffle read MB | shuffle write MB |
+|---|---|---|---|---|---|---|
+{big_lineage_md}
+
+Wall {big["wall_sec"]}s, {big["annotated_rows"]:,} rows annotated —
+**{round((big["selected"] + big["annotated_rows"]) / big["wall_sec"], 2):,}
+scheduled+annotated URLs/s** through the full loop in the detector-dominated
+regime. Per-round shuffle bytes track the ROUND DELTA (candidates fetched
+that round), not |seen| — the flat-curve N2 property at 10x.
+"""
     with open(os.path.join(REPO, "BENCH", "CRAWL.md"), "w") as f:
         f.write(md)
     print(
@@ -142,6 +225,7 @@ Run: {dt.datetime.now(dt.timezone.utc).isoformat()} —
                 "annotated_rows": n_annotated,
                 "selected": total_selected,
                 "seen_after": seen_after,
+                "big": big,
             }
         )
     )

@@ -570,7 +570,7 @@ def test_signature_tranche_r6():
         (b"\xd4\xc3\xb2\xa1\x02\x00", "application/vnd.tcpdump.pcap", None),
         (b"\x04\x22\x4d\x18\x64\x40", "application/x-lz4", None),
         (b"MSCF\x00\x00\x00\x00", "application/vnd.ms-cab-compressed", None),
-        (b"070701001234", "application/x-cpio", None),
+        (b"070701000003E8000081A4", "application/x-cpio", None),
         (b"hsqs\x00\x01", "application/x-squashfs", None),
         (b"AT&TFORMDJVU", "image/vnd.djvu", None),
         (b"!<arch>\ndebian-binary   123", "application/vnd.debian.binary-package", None),

@@ -98,7 +98,6 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"\x0a\x0d\x0d\x0a", "application/x-pcapng", "application/x-pcapng", None),
     (b"\x04\x22\x4d\x18", "application/x-lz4", "application/x-lz4", None),
     (b"MSCF", "application/vnd.ms-cab-compressed", "application/vnd.ms-cab-compressed", None),
-    (b"070701", "application/x-cpio", "application/x-cpio", None),
     (b"hsqs", "application/x-squashfs", "application/x-squashfs", None),
     (b"AT&TFORM", "image/vnd.djvu", "image/vnd.djvu", None),
 ]
@@ -107,6 +106,7 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
 # member name 'debian-binary' marks a .deb (a container sub-sniff like the
 # zip/OLE2 rules)
 _AR_MAGIC = b"!<arch>\n"
+_HEX_RE = re.compile(rb"[0-9A-Fa-f]{8}")
 
 # tar has no leading magic: 'ustar' sits at offset 257 (within the 1 KiB
 # sniffing head), checked before the linear scan. Version bytes are
@@ -228,6 +228,11 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
             return "application/x-archive", "application/x-archive", None
         if head[128:132] == b"DICM":  # DICOM: 128-byte preamble then 'DICM'
             return "application/dicom", "application/dicom", None
+        if head[:6] in (b"070701", b"070702") and _HEX_RE.match(head[6:14]):
+            # cpio newc/crc: the whole 110-byte header is ASCII hex, so the
+            # magic alone would false-positive on date-like text ('070701
+            # report...'); requiring the next hex field keeps text out
+            return "application/x-cpio", "application/x-cpio", None
         if (
             head[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 5] == _TAR_MAGIC
             and head[_TAR_MAGIC_OFFSET + 5:_TAR_MAGIC_OFFSET + 6] in (b"\x00", b" ")
