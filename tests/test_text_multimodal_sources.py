@@ -838,3 +838,15 @@ def test_decode_image_real_compressed_still_stubbed(spark):
     assert [round(f, 6) for f in rows["m/gif"].features] == [
         round(f, 6) for f in _fake_decode(gif)
     ]
+
+
+def test_charset_head_skips_magic_binary():
+    """r6 scale refinement: magic-recognized binary payloads (charset is
+    F6-gated off for them anyway) carry NO charset_head — the head only
+    rides unknown-magic non-UTF-8 bytes, i.e. candidate legacy text."""
+    from warc_metadata_sidecar_spark.sources.warc_ingest import _charset_head
+
+    assert _charset_head(b"GIF89a" + bytes(range(256)) * 4) is None
+    assert _charset_head(b"\x89PNG\r\n\x1a\n" + b"\x00\xff" * 64) is None
+    legacy = ("Новости дня и погода на завтра" * 20).encode("koi8-r")
+    assert _charset_head(legacy) == legacy[:8192]

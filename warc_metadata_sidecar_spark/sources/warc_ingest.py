@@ -76,13 +76,24 @@ def _charset_head(payload: bytes) -> bytes | None:
     lossy exactly then, and the reference's chardet runs on raw bytes
     (warc_metadata_sidecar.py:91-102). Valid-UTF-8/ascii payloads return
     None: their decode is lossless, so the artifact-path charset result is
-    byte-equivalent and the column stays empty for most of the web."""
+    byte-equivalent and the column stays empty for most of the web.
+    Magic-recognized BINARY payloads (images/video/archives — also not
+    valid UTF-8) return None too: the detector gate (F6) never computes
+    charset for non-text mimes, so a head there would be dead weight at
+    exactly the records with the biggest payloads. Unknown-magic bytes
+    (octet-stream) keep the head — legacy-encoded text has no magic and
+    is indistinguishable from unknown binary until detection runs."""
     if not payload:
         return None
     try:
         payload.decode("utf-8")
         return None
     except UnicodeDecodeError:
+        from warc_metadata_sidecar_spark.functions.detectors import sniff_mime
+
+        mime = sniff_mime(None, payload[:1024])[1]
+        if mime is not None and mime != "application/octet-stream":
+            return None
         return payload[:8192]
 
 
