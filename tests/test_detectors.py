@@ -614,3 +614,17 @@ def test_language_r6_token_profiles():
           "gramatika je složitá a jsou pro cizince podle všeho však těžké "
           "příklady které již znáte")
     assert detect_language(cz)["languages"][0]["code"] == "cs"
+
+
+def test_charset_euc_kr_artifact_limit_and_byte_resolution():
+    """r6 documented limit: EUC-KR Korean reads as GB18030 through the
+    decode-ARTIFACT ladder (its accidental valid decodes start at trail
+    bytes and span the full two-byte band — no hangul fingerprint
+    survives); the raw-bytes path classifies it correctly, which is why
+    charset_head is authoritative."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
+
+    ko = "대한민국은 동아시아의 한반도에 위치한 나라이다 수도는 서울특별시이다"
+    raw = ko.encode("euc_kr")
+    assert detect_charset(raw.decode("utf-8", "replace")) == ("GB18030", 0.99)
+    assert detect_charset_bytes(raw) == ("EUC-KR", 0.99)

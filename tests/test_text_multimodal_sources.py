@@ -98,7 +98,7 @@ def test_frame_sample_plan(spark):
                 "meta": {"media_type": "video", "width": 64, "height": 64, "duration_ms": 3500},
             }
         ],
-        _schema.MEDIA,
+        sch.MEDIA,
     )
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]

@@ -179,6 +179,7 @@ def cmd_crawl(args) -> None:
         seen_lookup=args.seen_lookup,
         broadcast_state_limit=args.seen_broadcast_limit,
         discovery=args.discovery,
+        edge_kinds=tuple(args.edge_kinds.split(",")),
     )
     for m in result.lineage:
         print(
@@ -245,6 +246,12 @@ def main() -> None:
         help="link discovery: the deterministic synthetic model (simulator-"
         "reproducible schedule) or real href extraction + RFC 3986 "
         "resolution from fetched page text (ingested corpora)",
+    )
+    cr.add_argument(
+        "--edge-kinds",
+        default="href",
+        help="comma list of discovery surfaces for --discovery hrefs: "
+        "href,src,srcset,meta_refresh (default href)",
     )
     cr.set_defaults(fn=cmd_crawl)
 

@@ -492,6 +492,7 @@ def run_crawl(
     broadcast_state_limit: int = 64 << 20,
     discovery: str = "synthetic",
     link_fn=None,
+    edge_kinds: tuple[str, ...] = ("href",),
 ) -> CrawlResult:
     """Run `rounds` politeness rounds from `seeds` over the documents corpus.
 
@@ -538,6 +539,9 @@ def run_crawl(
     processes real fetched records, warc_metadata_sidecar.py:205).
     `link_fn` overrides both: a callable taking the fetched-pages frame
     (columns url + spans) and returning (parent_url, url) rows.
+    `edge_kinds` forwards to extract_hrefs in 'hrefs' mode (r6): which
+    attribute surfaces emit crawl edges (href / src / srcset /
+    meta_refresh); the default keeps the href-only oracle surface.
     """
     empty_seen = spark.createDataFrame([], "canonical_url string, first_round int")
     if bucketed_seen and out_dir is None:
@@ -731,7 +735,7 @@ def run_crawl(
             links = (
                 link_fn(fetched_pages)
                 if link_fn is not None
-                else extract_hrefs(fetched_pages, distinct=False)
+                else extract_hrefs(fetched_pages, distinct=False, edge_kinds=edge_kinds)
             )
         else:
             links = extract_links(fetched, universe)

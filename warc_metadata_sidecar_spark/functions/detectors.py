@@ -527,7 +527,13 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
             # kanji-ONLY Japanese snippet (no kana) carries no fingerprint
             # and reads as Chinese — real Japanese text always carries
             # kana; a SHORT spaced CJK fragment with no accidental valid
-            # decodes can read as Cyrillic. CJK signals are checked FIRST
+            # decodes can read as Cyrillic; EUC-KR Korean reads as
+            # GB18030 (measured r6: its accidental decodes START AT TRAIL
+            # BYTES — hangul trails 0xC2-0xDF complete against the next
+            # syllable's lead — so they span the full U+0080-07FF band
+            # and no hangul-specific fingerprint survives the decode).
+            # Each of these is decidable on raw bytes: the charset_head
+            # path (detect_charset_bytes) is authoritative when present. CJK signals are checked FIRST
             # so ordinary spaced CJK content (nav menus, titles) never
             # falls into the Cyrillic rung: Cyrillic additionally requires
             # a near-zero accident rate (double-byte CJK leaves ~1 valid
