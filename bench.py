@@ -63,6 +63,131 @@ def wait_idle(threshold: float = IDLE_THRESHOLD, tries: int = 12, pause: float =
         b = busy_cores()
     return b
 
+
+def calib_sec() -> float:
+    """Single-thread CPU calibration: wall of a FIXED arithmetic loop —
+    a direct effective-frequency proxy. /proc/stat cannot see
+    hypervisor-level frequency throttling (observed: two quiet-probed
+    runs 30 min apart, zero code delta, every query +20% and pass walls
+    DEGRADING within one attempt); this catches it. Recorded per attempt
+    in the JSON; an attempt whose calibration is >25% slower than the
+    session's best is retried like a loud-probe attempt."""
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    _ = s
+    return time.time() - t0
+
+
+def _burn(k: int) -> int:
+    s = 0
+    for i in range(k):
+        s += i * i
+    return s
+
+
+def calib_parallel_sec(procs: int = 8) -> float:
+    """Parallel CPU calibration: wall of a fixed 8-process burn. Catches
+    power-cap throttle modes a single-thread probe misses."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(procs) as p:
+        p.map(_burn, [4_000_000] * procs)
+    return time.time() - t0
+
+
+def _stat_vals() -> list[int]:
+    return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+
+def _tree_jiffies() -> int:
+    """utime+stime of this process tree (JVM + python workers) — what the
+    bench itself burned. Same accounting as BENCH/scale_job.py."""
+    total = 0
+    me = os.getpid()
+    parents: dict[int, int] = {}
+    stats: dict[int, tuple[int, int]] = {}
+    for pid_dir in os.listdir("/proc"):
+        if not pid_dir.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[-1].split()
+            parents[int(pid_dir)] = int(parts[1])
+            stats[int(pid_dir)] = (int(parts[11]), int(parts[12]))
+        except (OSError, ValueError, IndexError):
+            continue
+    mine = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, ppid in parents.items():
+            if pid not in mine and ppid in mine:
+                mine.add(pid)
+                changed = True
+    for pid in mine:
+        u, s = stats.get(pid, (0, 0))
+        total += u + s
+    return total
+
+
+def run_measured(run):
+    """Run `run()`; return (result, wall, steal_cores, ext_cores,
+    own_cores) — in-run attribution the before/after probes cannot see:
+    hypervisor steal, same-VM co-tenant busy (host minus our tree), and
+    our own sustained parallelism (own << cpus with a long wall = the
+    scheduler starved us, not the plan)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    v0, o0, t0 = _stat_vals(), _tree_jiffies(), time.time()
+    result = run()
+    v1, o1, t1 = _stat_vals(), _tree_jiffies(), time.time()
+    wall = max(t1 - t0, 1e-9)
+    # /proc/stat jiffies are summed across cpus: delta/hz/wall = avg cores
+    steal = (v1[7] - v0[7]) / hz / wall
+    host_busy = (sum(v1) - v1[3] - v1[4]) - (sum(v0) - v0[3] - v0[4])
+    own = (o1 - o0) / hz / wall
+    ext = max(0.0, host_busy / hz / wall - own)
+    return result, t1 - t0, round(steal, 2), round(ext, 2), round(own, 2)
+
+
+def calib_mem_sec() -> float:
+    """Memory-BANDWIDTH calibration: time numpy copies over a 256 MB
+    buffer. The decisive probe for this host: measured passes where the
+    same Spark work burned 2.2x the core-seconds at near-zero steal and
+    quiet neighbors — busy vCPUs retiring fewer instructions, i.e.
+    shared-host memory/SMT contention. ALU-bound burns can't see it;
+    streaming copies can."""
+    import numpy as np
+
+    a = np.ones(32 * (1 << 20), dtype=np.float64)  # 256 MB
+    t0 = time.time()
+    for _ in range(4):
+        b = a.copy()
+        a[0] = b[1]
+    return time.time() - t0
+
+
+def calib_io_sec(mb: int = 64) -> float:
+    """Disk IO calibration: write+fsync+read a fixed buffer in the shuffle
+    tmpdir. This VM's storage is a shared-host virtio device — observed
+    runs where BOTH CPU calibs were fast while IO-heavy Spark passes ran
+    50% slow; this probe is the attribution for that mode."""
+    import tempfile
+
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.time()
+    with tempfile.NamedTemporaryFile(dir="/tmp") as f:
+        for _ in range(mb):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+        f.seek(0)
+        while f.read(1 << 22):
+            pass
+    return time.time() - t0
+
 # headline subset: one per operator family (full inventory in queries())
 HEADLINE = [
     "sidecar_filters",
@@ -186,17 +311,45 @@ def main() -> None:
     annotated = scheduled = 0
     dt = float("inf")
     clean = False
-    for _ in range(3):
+    best_calib = best_calib_io = best_calib_mem = float("inf")
+    for _ in range(4):
         probe_before = round(wait_idle(), 2)
-        a1, s1, d1 = one_pass()
-        a2, s2, d2 = one_pass()
+        cal1 = round(calib_sec(), 3)
+        cal = round(calib_parallel_sec(), 3)
+        cal_io = round(calib_io_sec(), 3)
+        cal_mem = round(calib_mem_sec(), 3)
+        best_calib = min(best_calib, cal)
+        best_calib_io = min(best_calib_io, cal_io)
+        best_calib_mem = min(best_calib_mem, cal_mem)
+        # three timed passes (JIT/page-cache convergence takes more than
+        # one warmup on this host), each with in-run attribution
+        passes = []
+        for _ in range(3):
+            (a, s, d), _w, stl, ext, own = run_measured(one_pass)
+            passes.append((a, s, d, stl, ext, own))
         probe_after = round(busy_cores(), 2)
-        quiet = probe_before < IDLE_THRESHOLD and probe_after < IDLE_THRESHOLD
+        throttled = (
+            cal > 1.25 * best_calib
+            or cal_io > 1.5 * best_calib_io
+            or cal_mem > 1.3 * best_calib_mem
+        )
+        quiet = (
+            probe_before < IDLE_THRESHOLD
+            and probe_after < IDLE_THRESHOLD
+            and not throttled
+        )
         attempts.append(
             {"probe_before": probe_before, "probe_after": probe_after,
-             "sec": [round(d1, 3), round(d2, 3)], "quiet": quiet}
+             "calib_sec": cal1, "calib_par_sec": cal, "calib_io_sec": cal_io,
+             "calib_mem_sec": cal_mem,
+             "sec": [round(p[2], 3) for p in passes],
+             # per-pass in-run attribution: [steal, external-busy, own]
+             # avg cores — own << cpus with a long wall means the host
+             # starved the job, not the plan
+             "in_run_cores": [[p[3], p[4], p[5]] for p in passes],
+             "quiet": quiet}
         )
-        best = (a1, s1, d1) if d1 <= d2 else (a2, s2, d2)
+        best = min(passes, key=lambda p: p[2])[:3]
         if quiet:
             if not clean or best[2] < dt:
                 annotated, scheduled, dt = best
@@ -204,6 +357,7 @@ def main() -> None:
             break
         if not clean and best[2] < dt:
             annotated, scheduled, dt = best
+        time.sleep(20)  # throttle windows pass; give the next attempt air
     urls_per_sec = round((annotated + scheduled) / dt, 2)
 
     total = round(sum(times.values()) + dt, 3)
@@ -226,6 +380,14 @@ def main() -> None:
                 "idle_threshold": IDLE_THRESHOLD,
                 "probe_start": probe_start,
                 "probe_queries_end": probe_queries_end,
+                # CPU calibration (sec for fixed loops): comparable ACROSS
+                # rounds — slower calibs with identical code mean the
+                # host, not the engine. The parallel calib is the one the
+                # retry logic keys on (power-cap throttling binds only
+                # under parallel load).
+                "calib_par_sec_best": round(best_calib, 3),
+                "calib_io_sec_best": round(best_calib_io, 3),
+                "calib_mem_sec_best": round(best_calib_mem, 3),
                 "throughput_attempts": attempts,
                 "throughput_quiet": clean,
             }
