@@ -850,3 +850,185 @@ def test_charset_head_skips_magic_binary():
     assert _charset_head(b"\x89PNG\r\n\x1a\n" + b"\x00\xff" * 64) is None
     legacy = ("Новости дня и погода на завтра" * 20).encode("koi8-r")
     assert _charset_head(legacy) == legacy[:8192]
+
+
+def _png_encode(rows, ctype, filters, plte=None):
+    """Minimal PNG encoder for tests: `rows` is h lists of per-pixel byte
+    tuples (len = channels for ctype), `filters` one spec filter type per
+    row — forward-filters per PNG §9 so every reverse branch is exercised."""
+    import struct as st
+    import zlib
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    h, w = len(rows), len(rows[0])
+    stride = w * nch
+    flat = [bytes(v for p in r for v in (p if isinstance(p, tuple) else (p,))) for r in rows]
+    assert all(len(r) == stride for r in flat)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    out, prior = b"", bytes(stride)
+    for r, ft in zip(flat, filters):
+        if ft == 0:
+            line = r
+        elif ft == 1:
+            line = bytes((r[x] - (r[x - nch] if x >= nch else 0)) & 0xFF for x in range(stride))
+        elif ft == 2:
+            line = bytes((r[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            line = bytes(
+                (r[x] - (((r[x - nch] if x >= nch else 0) + prior[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        else:
+            line = bytes(
+                (r[x] - paeth(r[x - nch] if x >= nch else 0, prior[x],
+                              prior[x - nch] if x >= nch else 0)) & 0xFF
+                for x in range(stride)
+            )
+        out += bytes([ft]) + line
+        prior = r
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", bytes(v for p in plte for v in p))
+    return png + chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_every_filter_type():
+    """PNG decode (stdlib zlib): the same RGB raster encoded with each of
+    the five filter types — and a mixed per-row assignment — reverses to
+    the identical pixel array, equal to the BMP decode of those pixels."""
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    rows = [
+        [(10, 200, 30), (250, 5, 90), (7, 7, 7), (130, 140, 150)],
+        [(0, 255, 128), (33, 66, 99), (200, 100, 50), (1, 2, 3)],
+        [(90, 80, 70), (60, 50, 40), (255, 255, 0), (0, 0, 255)],
+    ]
+    expect = [[list(p) for p in r] for r in rows]
+    for ft in (0, 1, 2, 3, 4):
+        w, h, c, img = decode_pixels(_png_encode(rows, 2, [ft] * 3))
+        assert (w, h, c) == (4, 3, 3) and img.tolist() == expect, f"filter {ft}"
+    w, h, c, img = decode_pixels(_png_encode(rows, 2, [1, 4, 3]))
+    assert img.tolist() == expect
+    flat = _bmp24([p for r in rows for p in r], 4, 3)
+    assert decode_pixels(flat)[3].tolist() == expect
+
+
+def test_decode_png_color_types():
+    """Gray (0), palette (3), gray+alpha (4), RGBA (6) all normalize to
+    the same HxWx3 RGB raster contract."""
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    gray = [[0, 85], [170, 255]]
+    w, h, c, img = decode_pixels(_png_encode(gray, 0, [0, 2]))
+    assert img.tolist() == [[[0] * 3, [85] * 3], [[170] * 3, [255] * 3]]
+
+    plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    w, h, c, img = decode_pixels(_png_encode([[0, 1], [2, 0]], 3, [0, 1], plte=plte))
+    assert img.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]]
+
+    ga = [[(9, 255), (200, 0)], [(45, 128), (255, 64)]]
+    assert decode_pixels(_png_encode(ga, 4, [0, 4]))[3].tolist() == [
+        [[9] * 3, [200] * 3], [[45] * 3, [255] * 3]
+    ]
+
+    rgba = [[(1, 2, 3, 4), (5, 6, 7, 8)], [(9, 10, 11, 12), (13, 14, 15, 16)]]
+    assert decode_pixels(_png_encode(rgba, 6, [0, 3]))[3].tolist() == [
+        [[1, 2, 3], [5, 6, 7]], [[9, 10, 11], [13, 14, 15]]
+    ]
+
+
+def _wav(rate, nch, frames, bits=16):
+    """RIFF/WAVE PCM bytes from per-frame sample tuples in [-1, 1]."""
+    import struct as st
+
+    if bits == 16:
+        pcm = b"".join(
+            st.pack("<h", int(round(s * 32768)) if s < 1 else 32767)
+            for f in frames for s in f
+        )
+    else:
+        pcm = bytes(int(round(s * 128)) + 128 if s < 1 else 255 for f in frames for s in f)
+    fmt = st.pack("<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_decode_wav_hand_computed():
+    """WAV PCM decode: features equal plain arithmetic on the source
+    samples (duration, rate, channels, RMS, peak, zero crossings)."""
+    import math
+
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_audio, decode_wav
+
+    frames = [(0.5, -0.5), (-0.25, 0.25), (0.75, 0.125), (-0.5, -0.125)]
+    data = _wav(8000, 2, frames)
+    rate, nch, x = decode_wav(data)
+    assert (rate, nch, x.shape) == (8000, 2, (4, 2))
+    got = [v for f in x.tolist() for v in f]
+    want = [round(s * 32768) / 32768.0 for f in frames for s in f]
+    assert got == want
+
+    feats = decode_audio(data, real=True)
+    assert feats[0] == 4 / 8000 / 3600.0
+    assert feats[1] == 8000 / 192000.0 and feats[2] == 2 / 8.0
+    rms = math.sqrt(sum(v * v for v in want) / len(want))
+    assert abs(feats[3] - rms) < 1e-12
+    assert abs(feats[4] - max(abs(v) for v in want)) < 1e-12
+    decoded = [tuple(r) for r in x.tolist()]
+    mono = [(f[0] + f[1]) / 2 for f in decoded]
+    zc = sum(1 for a, b in zip(mono, mono[1:]) if (a < 0) != (b < 0)) / 3
+    assert abs(feats[5] - zc) < 1e-12
+    assert abs(feats[6] - sum(f[0] for f in decoded) / 4) < 1e-12
+    assert abs(feats[7] - sum(f[1] for f in decoded) / 4) < 1e-12
+    assert feats[8:] == [0.0] * 8
+
+    # 8-bit mono: unsigned bytes recentred at 128
+    m = _wav(4000, 1, [(0.0,), (0.5,), (-0.5,), (0.25,)], bits=8)
+    rate, nch, x = decode_wav(m)
+    assert (rate, nch) == (4000, 1)
+    assert x[:, 0].tolist() == [0.0, 64 / 128, -64 / 128, 32 / 128]
+
+
+def test_media_features_real_wav_and_compressed_audio(spark):
+    """extract_media_features(real=True): WAV blobs get REAL audio
+    features; an MP3 header (compressed, ffmpeg seam) falls back to the
+    deterministic fake — same contract as the image families."""
+    import pytest as _pytest
+
+    from warc_metadata_sidecar_spark import schema as _schema
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        _fake_decode,
+        decode_audio,
+        extract_media_features,
+    )
+
+    wav = _wav(8000, 1, [(0.5,), (-0.5,), (0.5,), (-0.5,)])
+    mp3 = b"\xff\xfb\x90\x00" + bytes(64)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(mp3, real=True)
+
+    media = spark.createDataFrame(
+        [
+            ("m/wav", bytearray(wav), {"media_type": "audio", "width": None, "height": None, "duration_ms": 1}),
+            ("m/mp3", bytearray(mp3), {"media_type": "audio", "width": None, "height": None, "duration_ms": 1}),
+        ],
+        _schema.MEDIA,
+    )
+    rows = {r.media_ref: r for r in extract_media_features(media, real=True).collect()}
+    assert abs(rows["m/wav"].features[3] - 0.5) < 1e-4  # RMS of a +-0.5 square
+    assert rows["m/wav"].features[2] == 1 / 8.0
+    assert [round(f, 6) for f in rows["m/mp3"].features] == [
+        round(f, 6) for f in _fake_decode(mp3)
+    ]
