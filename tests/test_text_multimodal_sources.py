@@ -819,24 +819,24 @@ def test_decode_image_real_compressed_still_stubbed(spark):
         extract_media_features,
     )
 
-    gif = b"GIF89a\x01\x00\x01\x00\x00\x00\x00;"
+    jpg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(64)
     with _pytest.raises(NotImplementedError):
-        decode_image(gif, real=True)
+        decode_image(jpg, real=True)
 
     px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
     bmp = _bmp24(px, 2, 2)
     media = spark.createDataFrame(
         [
             ("m/bmp", bytearray(bmp), {"media_type": "image", "width": 2, "height": 2, "duration_ms": None}),
-            ("m/gif", bytearray(gif), {"media_type": "image", "width": 1, "height": 1, "duration_ms": None}),
+            ("m/jpg", bytearray(jpg), {"media_type": "image", "width": 1, "height": 1, "duration_ms": None}),
         ],
         _schema.MEDIA,
     )
     rows = {r.media_ref: r for r in extract_media_features(media, real=True).collect()}
     assert rows["m/bmp"].sniffed_mime == "image/bmp"
     assert abs(rows["m/bmp"].features[3] - (65 / 255)) < 1e-6  # real mean
-    assert [round(f, 6) for f in rows["m/gif"].features] == [
-        round(f, 6) for f in _fake_decode(gif)
+    assert [round(f, 6) for f in rows["m/jpg"].features] == [
+        round(f, 6) for f in _fake_decode(jpg)
     ]
 
 
@@ -1032,3 +1032,113 @@ def test_media_features_real_wav_and_compressed_audio(spark):
     assert [round(f, 6) for f in rows["m/mp3"].features] == [
         round(f, 6) for f in _fake_decode(mp3)
     ]
+
+
+def _lzw_encode(indices, min_code_size):
+    """Real GIF-variant LZW compressor (test-local): emits Clear first,
+    builds the string table as the spec encoder does, grows the code
+    width at 2^width entries, caps at 4095, ends with EOI. Repetitive
+    inputs naturally produce the decoder's code==next-entry (KwKwK) case."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for i in indices:
+        nxt = run + bytes([i])
+        if nxt in table:
+            run = nxt
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        run = bytes([i])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(w, h, indices, palette, interlace=False, local=False, animated_tail=False):
+    """Minimal GIF89a encoder for tests: one frame, global or local color
+    table, optional interlaced row order, optional second-frame tail."""
+    import struct as st
+
+    bits = max(2, (max(len(palette) - 1, 1)).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    pal_bytes = bytes(v for p in pal for v in p)
+    gflags = (0x80 | (bits - 1)) if not local else 0x00
+    out = b"GIF89a" + st.pack("<HH", w, h) + bytes([gflags, 0, 0])
+    if not local:
+        out += pal_bytes
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension (skipped)
+    rows = [indices[y * w : (y + 1) * w] for y in range(h)]
+    if interlace:
+        order = [y for s_, st_ in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s_, h, st_)]
+        rows = [rows[y] for y in order]
+    stream = [i for r in rows for i in r]
+    iflags = (0x40 if interlace else 0) | ((0x80 | (bits - 1)) if local else 0)
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+    if local:
+        out += pal_bytes
+    lzw = _lzw_encode(stream, max(2, bits))
+    out += bytes([max(2, bits)])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    if animated_tail:
+        out += b"\x2c" + st.pack("<HHHH", 0, 0, 1, 1) + bytes([0, 2, 1, 0x44, 0])
+    return out + b"\x3b"
+
+
+def test_decode_gif_lzw_roundtrip():
+    """GIF LZW decode: a repetitive index stream (exercising dict growth
+    and the KwKwK code==next-entry case) recovers the exact raster through
+    the pure-Python inflater, for plain, interlaced, and local-color-table
+    frames; an animated tail after frame 1 is ignored."""
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    w, h = 8, 6
+    indices = [(x // 2 + y) % 4 for y in range(h) for x in range(w)]
+    expect = [[list(palette[indices[y * w + x]]) for x in range(w)] for y in range(h)]
+    for kwargs in ({}, {"interlace": True}, {"local": True}, {"animated_tail": True}):
+        got = decode_pixels(_gif(w, h, indices, palette, **kwargs))
+        assert got is not None, kwargs
+        gw, gh, gc, img = got
+        assert (gw, gh, gc) == (w, h, 3)
+        assert img.tolist() == expect, kwargs
+    # KwKwK stress: aaaa... and abababa... runs
+    mono = [(0, 0, 0), (255, 255, 255)]
+    run = [0] * 33 + [1, 0] * 20 + [1] * 7
+    got = decode_pixels(_gif(10, 8, run, mono))
+    assert [mono[i][0] for i in run] == [px[0] for r in got[3].tolist() for px in r]
+
+
+def test_decode_gif_features_match_bmp():
+    """The same pixels through GIF and BMP produce identical real
+    features (family-agnostic decode contract)."""
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_image
+
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    gif = _gif(2, 2, [0, 1, 2, 3], palette)
+    bmp = _bmp24(palette, 2, 2)
+    assert decode_image(gif, real=True) == decode_image(bmp, real=True)

@@ -3,13 +3,15 @@ metadata (schema.MEDIA), processed with Arrow-batched pandas UDFs.
 
 Pixel decode (VERDICT r5 #8): these families decode for real with no
 third-party dependency — BMP (BI_RGB 24/32-bit), netpbm (P2/P3/P5/P6),
-TGA (type-2 truecolor), and PNG (8-bit gray/RGB/palette/alpha via stdlib
-zlib — a genuine DEFLATE-compressed decode) — via `decode_pixels`;
+TGA (type-2 truecolor), PNG (8-bit gray/RGB/palette/alpha via stdlib
+zlib — a genuine DEFLATE-compressed decode), and GIF (87a/89a first
+frame via a pure-Python LZW inflater, interlace + local color tables)
+— via `decode_pixels`;
 `decode_image(real=True)` derives a deterministic feature vector (dims +
 per-channel means + std) from the actual pixels. `decode_wav` does the
 same for RIFF/WAVE integer PCM (8/16-bit, any channel count) ->
 `decode_audio(real=True)` features (duration/rate/RMS/peak/ZCR). The
-remaining compressed codecs (JPEG/GIF/WebP, MP3/OGG/FLAC) still raise
+remaining compressed codecs (JPEG/WebP, MP3/OGG/FLAC) still raise
 NotImplementedError behind the same seam (PIL/ffmpeg absent from this
 container); `_fake_decode` remains the default-path stand-in so existing
 oracles are unchanged. Swap the NotImplementedError branch for
@@ -165,7 +167,7 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """PNG via stdlib zlib: 8-bit depth, color types 0 (gray), 2 (RGB),
     3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. A REAL
     DEFLATE-compressed decode with no third-party dependency — the
-    remaining NotImplementedError seam covers JPEG/GIF/WebP only."""
+    remaining NotImplementedError seam covers JPEG/WebP only."""
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -209,6 +211,115 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     return w, h, 3, np.ascontiguousarray(img)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray | None:
+    """GIF-variant LZW (LSB-first bit packing, Clear/EOI codes, dict grows
+    to 4095 then freezes until Clear). Returns the index stream or None on
+    a malformed stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """GIF87a/89a first frame via a pure-Python LZW inflater: global or
+    local color table, optional interlacing (the four-pass row order).
+    Animated GIFs yield frame 1 composited onto the logical screen's
+    background-filled canvas only when the frame covers the full screen;
+    partial first frames return just that frame's raster."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(data) < 13:
+        return None
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            _, _, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0 or pos >= len(data):
+                return None
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            rows = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: passes at rows 0/8,4/8,2/4,1/2
+                ordered = np.zeros_like(rows)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    targets = range(start, h, step)
+                    ordered[list(targets)] = rows[src : src + len(targets)]
+                    src += len(targets)
+                rows = ordered
+            img = pal[np.minimum(rows, len(pal) - 1)]
+            return w, h, 3, np.ascontiguousarray(img)
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def _decode_tga(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """Uncompressed truecolor TGA (type 2, 24/32 bpp) -> (w, h, 3, RGB
     array). Bottom-left origin unless descriptor bit 5; BGR(A) order."""
@@ -236,8 +347,8 @@ def _decode_tga(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
 def decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """(width, height, channels, HxWx3 uint8 RGB array) for the
     dependency-free families (BMP/netpbm/TGA uncompressed, PNG via
-    stdlib zlib), None otherwise."""
-    for dec in (_decode_png, _decode_bmp, _decode_netpbm, _decode_tga):
+    stdlib zlib, GIF via pure-Python LZW), None otherwise."""
+    for dec in (_decode_png, _decode_gif, _decode_bmp, _decode_netpbm, _decode_tga):
         out = dec(data)
         if out is not None:
             return out
@@ -330,14 +441,14 @@ def _pixel_features(w: int, h: int, img: np.ndarray) -> list[float]:
 def decode_image(data: bytes, real: bool = False) -> list[float]:
     """Feature vector for one image blob. real=False (the default every
     existing oracle pins): deterministic fake. real=True: ACTUAL pixels
-    for PNG/BMP/netpbm/TGA; the remaining compressed codecs raise
+    for PNG/GIF/BMP/netpbm/TGA; the remaining compressed codecs raise
     NotImplementedError (the PIL/ffmpeg seam, honestly stubbed)."""
     if real:
         px = decode_pixels(data)
         if px is None:
             raise NotImplementedError(
-                "JPEG/GIF/WebP decode requires PIL/torchvision — not in this "
-                "container; PNG/BMP/netpbm/TGA decode natively"
+                "JPEG/WebP decode requires PIL/torchvision — not in this "
+                "container; PNG/GIF/BMP/netpbm/TGA decode natively"
             )
         w, h, _, img = px
         return _pixel_features(w, h, img)
