@@ -1444,6 +1444,135 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(frames, "media_ref", "left").orderBy("media_ref")
 
 
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode through the ENGINE path: gen.codec_rows() encodes
+    CLOSED-FORM rasters/PCM through the repo's encoders (PNG with all five
+    scanline filters, GIF via real LZW, BMP/P6/TGA, 16-bit WAV);
+    extract_media_features(real=True) decodes them back inside mapInPandas.
+    The DuckDB oracle never touches a blob: it recomputes every compared
+    feature slot straight from the same closed-form pixel/sample formulas
+    (generate_series + modular arithmetic) with the engine's exact operation
+    order, then casts through REAL to match the float32 feature column —
+    an encoder/decoder-independent statement that decode(encode(x))
+    features == arithmetic(x)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import extract_media_features
+
+    feats = extract_media_features(gen.codec_media(spark), real=True)
+    return feats.select(
+        "media_ref",
+        *[
+            F.element_at("features", i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("media_ref")
+
+
+def _multimodal_decode_real_oracle_sql() -> str:
+    """DuckDB twin of multimodal_decode_real — features from the closed
+    forms only. Exactness notes: pixel sums are integer-exact in float64,
+    so mean slots replicate numpy's (sum/n)/255 bit-for-bit; WAV samples
+    are dyadic rationals (s/2^15) over power-of-two frame counts, so RMS/
+    peak/ZCR/means are IEEE-exact; the image std slot's sum-of-squares may
+    differ from numpy's pairwise order in the last float64 ulp, which the
+    REAL cast absorbs (verified deterministic in tests)."""
+    from warc_metadata_sidecar_spark import gen
+
+    refs = ",\n    ".join(
+        f"({i}, '{r['media_ref']}')" for i, r in enumerate(gen.codec_rows())
+    )
+    pal = ",\n    ".join(
+        f"({i}, {c}, {v})"
+        for i, p in enumerate(gen.CODEC_PALETTE)
+        for c, v in enumerate(p)
+    )
+    return f"""
+WITH refs(m, media_ref) AS (VALUES
+    {refs}
+),
+pal(idx, c, pv) AS (VALUES
+    {pal}
+),
+rgbpx AS (
+    SELECT mm.m, cc.c,
+           CAST((mm.m*37 + yy.y*19 + xx.x*7 + cc.c*3) % 256 AS DOUBLE) AS v
+    FROM generate_series(0, 7) mm(m),
+         generate_series(0, 7) yy(y),
+         generate_series(0, 7) xx(x),
+         generate_series(0, 2) cc(c)
+),
+gifpx AS (
+    SELECT mm.m, pal.c, CAST(pal.pv AS DOUBLE) AS v
+    FROM (VALUES (8), (9)) mm(m),
+         generate_series(0, 7) yy(y),
+         generate_series(0, 7) xx(x)
+    JOIN pal ON pal.idx = (mm.m + yy.y + xx.x) % 4
+),
+allpx AS (SELECT * FROM rgbpx UNION ALL SELECT * FROM gifpx),
+means AS (
+    SELECT m, SUM(v) / 192 AS mean_all,
+           SUM(v) FILTER (c = 0) / 64 AS mean_r,
+           SUM(v) FILTER (c = 1) / 64 AS mean_g,
+           SUM(v) FILTER (c = 2) / 64 AS mean_b
+    FROM allpx GROUP BY m
+),
+img AS (
+    SELECT a.m,
+           CAST(CAST(8 AS DOUBLE) / 65535 AS REAL) AS f0,
+           CAST(CAST(8 AS DOUBLE) / 65535 AS REAL) AS f1,
+           CAST(CAST(3 AS DOUBLE) / 4 AS REAL) AS f2,
+           CAST(ANY_VALUE(s.mean_all) / 255 AS REAL) AS f3,
+           CAST(ANY_VALUE(s.mean_r) / 255 AS REAL) AS f4,
+           CAST(ANY_VALUE(s.mean_g) / 255 AS REAL) AS f5,
+           CAST(ANY_VALUE(s.mean_b) / 255 AS REAL) AS f6,
+           CAST(sqrt(SUM((a.v - s.mean_all) * (a.v - s.mean_all)) / 192) / 255
+                AS REAL) AS f7
+    FROM allpx a JOIN means s USING (m) GROUP BY a.m
+),
+pcm AS (
+    SELECT mm.m, ii.i, cc.c,
+           CAST((mm.m*73 + ii.i*31 + cc.c*17) % 4001 - 2000 AS DOUBLE) / 32768
+               AS x
+    FROM (VALUES (10), (11)) mm(m),
+         generate_series(0, 63) ii(i),
+         generate_series(0, 1) cc(c)
+),
+mono AS (
+    SELECT m, i,
+           (SUM(x) FILTER (c = 0) + SUM(x) FILTER (c = 1)) / 2 AS mv
+    FROM pcm GROUP BY m, i
+),
+zc AS (
+    SELECT m, SUM(CASE WHEN (mv < 0) != (pmv < 0) THEN 1 ELSE 0 END) AS n
+    FROM (SELECT m, mv, lag(mv) OVER (PARTITION BY m ORDER BY i) AS pmv
+          FROM mono)
+    GROUP BY m
+),
+wav AS (
+    SELECT p.m,
+           CAST(CAST(64 AS DOUBLE) / 8000 / 3600 AS REAL) AS f0,
+           CAST(CAST(8000 AS DOUBLE) / 192000 AS REAL) AS f1,
+           CAST(CAST(2 AS DOUBLE) / 8 AS REAL) AS f2,
+           CAST(sqrt(SUM(p.x * p.x) / 128) AS REAL) AS f3,
+           CAST(MAX(ABS(p.x)) AS REAL) AS f4,
+           CAST(CAST(ANY_VALUE(z.n) AS DOUBLE) / 63 AS REAL) AS f5,
+           CAST(SUM(p.x) FILTER (p.c = 0) / 64 AS REAL) AS f6,
+           CAST(SUM(p.x) FILTER (p.c = 1) / 64 AS REAL) AS f7
+    FROM pcm p JOIN zc z USING (m) GROUP BY p.m
+),
+feats AS (SELECT * FROM img UNION ALL SELECT * FROM wav)
+SELECT r.media_ref,
+       CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+       CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+       CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+       CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+FROM feats f JOIN refs r USING (m)
+ORDER BY r.media_ref
+"""
+
+
 def _multimodal_oracle_sql() -> str:
     """DuckDB twin of multimodal_features: the same blobs from hex literals,
     n_bytes via octet_length, mime via magic-prefix compare on hex(bytes),
@@ -1831,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
     out["dedup_cosine_srp"] = dedup_cosine_srp
     out["multimodal_features"] = multimodal_features
+    out["multimodal_decode_real"] = multimodal_decode_real
     out["href_resolution"] = href_resolution
     out["href_edge_kinds"] = href_edge_kinds
     out["charset_bytes"] = charset_bytes
@@ -1846,6 +1976,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["url_seen_bucketed"] = duck_sql_for("url_seen_antijoin")
     # engine mapInPandas multimodal path vs a from-hex DuckDB rebuild
     oracles["multimodal_features"] = _multimodal_oracle_sql()
+    # real-decode round trip vs closed-form pixel/sample arithmetic
+    oracles["multimodal_decode_real"] = _multimodal_decode_real_oracle_sql()
     # crawl loop vs the single-threaded simulator rendered as VALUES
     oracles["crawl_rounds"] = _crawl_rounds_oracle_sql()
     # flagship pipeline + counters vs the sequential per-record twin (the

@@ -227,6 +227,220 @@ def media(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(media_rows(), schema.MEDIA)
 
 
+# --- deterministic codec fixtures (real-decode oracle) ------------------------
+#
+# codec_rows() encodes CLOSED-FORM rasters/samples through the repo's own
+# encoders; the DuckDB oracle recomputes the decoded features straight from
+# the same closed form (generate_series + modular arithmetic), so the
+# round-trip engine statement decode(encode(pixels)) is checked against an
+# implementation that never sees a blob, an encoder, or the decoder.
+
+CODEC_W, CODEC_H = 8, 8  # 192 samples: sums exact in float64, n a 3*2^k
+CODEC_PALETTE = ((255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30))
+CODEC_FRAMES, CODEC_RATE = 64, 8000  # power-of-two frames: dyadic features
+
+
+def codec_pixel(m: int, y: int, x: int, ch: int) -> int:
+    """The closed-form RGB raster: also rendered as SQL in the oracle."""
+    return (m * 37 + y * 19 + x * 7 + ch * 3) % 256
+
+
+def codec_sample(m: int, i: int, ch: int) -> int:
+    """The closed-form 16-bit PCM sample: dyadic-exact features."""
+    return ((m * 73 + i * 31 + ch * 17) % 4001) - 2000
+
+
+def _rgb_raster(m: int) -> list[list[tuple[int, int, int]]]:
+    return [
+        [tuple(codec_pixel(m, y, x, c) for c in range(3)) for x in range(CODEC_W)]
+        for y in range(CODEC_H)
+    ]
+
+
+def _enc_bmp24(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    import struct as st
+
+    h, w = len(rows), len(rows[0])
+    pad = (4 - (w * 3) % 4) % 4
+    raster = b"".join(
+        b"".join(bytes((p[2], p[1], p[0])) for p in r) + b"\x00" * pad
+        for r in rows[::-1]  # bottom-up
+    )
+    hdr = b"BM" + st.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    hdr += st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return hdr + raster
+
+
+def _enc_p6(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    h, w = len(rows), len(rows[0])
+    return (f"P6\n{w} {h}\n255\n").encode() + b"".join(
+        bytes(p) for r in rows for p in r
+    )
+
+
+def _enc_tga(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    import struct as st
+
+    h, w = len(rows), len(rows[0])
+    hdr = bytes([0, 0, 2]) + b"\x00" * 9 + st.pack("<HH", w, h) + bytes([24, 0x20])
+    return hdr + b"".join(bytes((p[2], p[1], p[0])) for r in rows for p in r)
+
+
+def _enc_png(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Color-type-2 PNG; scanline filters cycle 0..4 so every reverse
+    branch of the decoder sits on the oracled path."""
+    import struct as st
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body))
+
+    h, w = len(rows), len(rows[0])
+    flat = [bytes(v for p in r for v in p) for r in rows]
+    stride = w * 3
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    out, prior = b"", bytes(stride)
+    for y, r in enumerate(flat):
+        ft = y % 5
+        if ft == 0:
+            line = r
+        elif ft == 1:
+            line = bytes((r[x] - (r[x - 3] if x >= 3 else 0)) & 0xFF for x in range(stride))
+        elif ft == 2:
+            line = bytes((r[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            line = bytes(
+                (r[x] - (((r[x - 3] if x >= 3 else 0) + prior[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        else:
+            line = bytes(
+                (r[x] - paeth(r[x - 3] if x >= 3 else 0, prior[x],
+                              prior[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        out += bytes([ft]) + line
+        prior = r
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(out))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _enc_gif(w: int, h: int, indices: list[int], palette=CODEC_PALETTE) -> bytes:
+    """GIF89a, global color table, real LZW (Clear first, width growth)."""
+    import struct as st
+
+    bits = max(2, (len(palette) - 1).bit_length())
+    clear, eoi = 1 << bits, (1 << bits) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, bits + 1
+    acc = nbits = 0
+    lzw = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for i in indices:
+        nxt = run + bytes([i])
+        if nxt in table:
+            run = nxt
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        run = bytes([i])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    pal = list(palette) + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    out = b"GIF89a" + st.pack("<HH", w, h) + bytes([0x80 | (bits - 1), 0, 0])
+    out += bytes(v for p in pal for v in p)
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + bytes([0, bits])
+    for off in range(0, len(lzw), 255):
+        out += bytes([len(lzw[off : off + 255])]) + bytes(lzw[off : off + 255])
+    return out + b"\x00\x3b"
+
+
+def _enc_wav(m: int) -> bytes:
+    import struct as st
+
+    pcm = b"".join(
+        st.pack("<h", codec_sample(m, i, c))
+        for i in range(CODEC_FRAMES)
+        for c in range(2)
+    )
+    fmt = st.pack("<HHIIHH", 1, 2, CODEC_RATE, CODEC_RATE * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def codec_rows() -> list[dict]:
+    """Deterministic blobs for the real-decode oracle: two of each raster
+    container (PNG/GIF/BMP/P6/TGA) over the closed-form pixels, two WAVs
+    over the closed-form samples."""
+    rows = []
+    for m, (kind, enc) in enumerate(
+        (k, e)
+        for k, e in (
+            ("png", _enc_png), ("bmp", _enc_bmp24), ("p6", _enc_p6), ("tga", _enc_tga)
+        )
+        for _ in range(2)
+    ):
+        rows.append(
+            {
+                "media_ref": f"codec://{kind}/{m}",
+                "bytes": enc(_rgb_raster(m)),
+                "meta": {"media_type": "image", "width": CODEC_W, "height": CODEC_H, "duration_ms": None},
+            }
+        )
+    for m in (8, 9):
+        idx = [(m + y + x) % len(CODEC_PALETTE) for y in range(CODEC_H) for x in range(CODEC_W)]
+        rows.append(
+            {
+                "media_ref": f"codec://gif/{m}",
+                "bytes": _enc_gif(CODEC_W, CODEC_H, idx),
+                "meta": {"media_type": "image", "width": CODEC_W, "height": CODEC_H, "duration_ms": None},
+            }
+        )
+    for m in (10, 11):
+        rows.append(
+            {
+                "media_ref": f"codec://wav/{m}",
+                "bytes": _enc_wav(m),
+                "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": CODEC_FRAMES * 1000 // CODEC_RATE},
+            }
+        )
+    return rows
+
+
+def codec_media(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(codec_rows(), schema.MEDIA)
+
+
 def seed_rows(n_seeds: int = 20) -> list[dict]:
     """Pure-Python seed frontier rows (no Spark) — shared by seed_frontier
     and the simulator-backed crawl_rounds oracle."""
