@@ -1142,3 +1142,56 @@ def test_decode_gif_features_match_bmp():
     gif = _gif(2, 2, [0, 1, 2, 3], palette)
     bmp = _bmp24(palette, 2, 2)
     assert decode_image(gif, real=True) == decode_image(bmp, real=True)
+
+
+def test_decode_corrupt_blobs_never_raise():
+    """Corrupt payloads with valid magic (certain at corpus scale) fall
+    through to None / the fake — never an exception that would kill the
+    mapInPandas task they ride in."""
+    import struct as st
+    import zlib
+
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        _fake_decode,
+        decode_audio,
+        decode_image,
+        decode_pixels,
+    )
+
+    def png_chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    corrupt = [
+        sig + png_chunk(b"IHDR", b"\x00\x01"),  # truncated IHDR (struct.error)
+        sig
+        + png_chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + png_chunk(b"PLTE", b"\x01\x02")  # palette not a multiple of 3
+        + png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00")),
+        sig
+        + png_chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + png_chunk(b"IDAT", b"not deflate"),  # zlib.error
+        b"GIF89a" + st.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + b"\x00" * 6
+        + b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + bytes([0, 2, 3])
+        + b"\xff\xff\xff\x00\x3b",  # garbage LZW
+        _gif(2, 2, [0, 1, 2, 3], [(1, 2, 3)] * 4)[:-10],  # truncated mid-data
+    ]
+    for i, blob in enumerate(corrupt):
+        assert decode_pixels(blob) is None, i
+        feats = decode_image(blob)  # default path: deterministic fake
+        assert feats == _fake_decode(blob), i
+
+    bad_wavs = [
+        b"RIFF" + st.pack("<I", 4) + b"WAVE",  # no fmt/data
+        b"RIFF" + st.pack("<I", 100) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16) + st.pack("<HHIIHH", 1, 2, 0, 0, 4, 16)
+        + b"data" + st.pack("<I", 8) + bytes(8),  # zero sample rate
+        b"RIFF" + st.pack("<I", 60) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16) + st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        + b"data" + st.pack("<I", 0),  # empty data chunk
+    ]
+    import pytest as _pytest
+
+    for i, blob in enumerate(bad_wavs):
+        with _pytest.raises(NotImplementedError):
+            decode_audio(blob, real=True)

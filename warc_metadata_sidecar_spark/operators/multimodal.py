@@ -347,9 +347,16 @@ def _decode_tga(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
 def decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """(width, height, channels, HxWx3 uint8 RGB array) for the
     dependency-free families (BMP/netpbm/TGA uncompressed, PNG via
-    stdlib zlib, GIF via pure-Python LZW), None otherwise."""
+    stdlib zlib, GIF via pure-Python LZW), None otherwise. A blob whose
+    magic matches but whose structure is corrupt (truncated header, bad
+    palette size, malformed LZW/DEFLATE stream) returns None rather than
+    raising — at corpus scale corrupt payloads are a certainty and must
+    not kill the Spark task they ride in."""
     for dec in (_decode_png, _decode_gif, _decode_bmp, _decode_netpbm, _decode_tga):
-        out = dec(data)
+        try:
+            out = dec(data)
+        except Exception:
+            continue
         if out is not None:
             return out
     return None
@@ -374,7 +381,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray] | None:
     if fmt is None or pcm is None:
         return None
     audio_fmt, nch, rate, _, _, bits = fmt
-    if audio_fmt != 1 or nch == 0 or bits not in (8, 16):
+    if audio_fmt != 1 or nch == 0 or rate == 0 or bits not in (8, 16):
         return None
     if bits == 8:
         samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
@@ -383,6 +390,8 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray] | None:
         n = len(pcm) // 2
         samples = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64) / 32768.0
     frames = samples.size // nch
+    if frames == 0:
+        return None
     return rate, nch, samples[: frames * nch].reshape(frames, nch)
 
 
@@ -410,7 +419,10 @@ def decode_audio(data: bytes, real: bool = False) -> list[float]:
     natively; compressed audio (MP3/OGG/FLAC/AAC) raises
     NotImplementedError (the ffmpeg seam, honestly stubbed)."""
     if real:
-        wav = decode_wav(data)
+        try:
+            wav = decode_wav(data)
+        except Exception:
+            wav = None  # corrupt container: same fallback as undecodable
         if wav is None:
             raise NotImplementedError(
                 "compressed-audio decode requires ffmpeg — not in this "
