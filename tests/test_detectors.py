@@ -628,3 +628,48 @@ def test_charset_euc_kr_artifact_limit_and_byte_resolution():
     raw = ko.encode("euc_kr")
     assert detect_charset(raw.decode("utf-8", "replace")) == ("GB18030", 0.99)
     assert detect_charset_bytes(raw) == ("EUC-KR", 0.99)
+
+
+def test_language_r6b_token_profiles():
+    """r6b languages: Norwegian (divergent-orthography markers split it
+    from Danish), Indonesian, Bulgarian (split from Russian), Slovak
+    (split from Czech) — and the neighbors must not flip."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    cases = [
+        ("no", "NORWEGIAN", "norsk er et språk som ble brukt i norge etter mange år "
+                             "og gjennom historien har det blitt mye endring mellom "
+                             "dialektene noen ganger må en se opp og ut mot havet for "
+                             "å forstå hvordan det fikk sin form nå"),
+        ("id", "INDONESIAN", "bahasa indonesia adalah bahasa resmi yang digunakan di "
+                              "seluruh negara dan dengan itu untuk komunikasi dari "
+                              "berbagai suku ini juga akan telah menjadi bahasa "
+                              "persatuan yang tidak tergantikan pada masa depan"),
+        ("bg", "BULGARIAN", "българският език е южнославянски език като той се "
+                             "говори от милиони хора които са в страната и това ще "
+                             "продължи през годините след което между другото би "
+                             "останал официален върху цялата територия беше и ще бъде"),
+        ("sk", "SLOVAK", "slovenčina je západoslovanský jazyk ako aj čeština bol "
+                          "vždy blízky sused ktoré slová sú podobné tiež podľa "
+                          "gramatiky medzi nimi alebo keď niekto hovorí pretože "
+                          "rozdiely môže počuť každý"),
+    ]
+    for code, name, text in cases:
+        got = detect_language(text)
+        assert got is not None, code
+        top = got["languages"][0]
+        assert (top["code"], top["name"]) == (code, name), (code, got["languages"][:2])
+    # neighbors stay put: Danish (the og/i/det/til core Norwegian avoids),
+    # Russian (и/в/не core Bulgarian avoids), Czech (je/se/na core Slovak
+    # avoids)
+    da = ("og i det at en den til er som af med for ikke han hun jeg var "
+          "en dansk tekst om historien")
+    assert detect_language(da)["languages"][0]["code"] == "da"
+    ru = ("русский язык и культура в россии не только на словах я думаю что "
+          "с ним по миру это он как все знают но его вклад к литературе а "
+          "мы из него у всех за века")
+    assert detect_language(ru)["languages"][0]["code"] == "ru"
+    cz = ("čeština je západoslovanský jazyk kterým se mluví v česku ale jeho "
+          "gramatika je složitá a jsou pro cizince podle všeho však těžké "
+          "příklady které již znáte")
+    assert detect_language(cz)["languages"][0]["code"] == "cs"

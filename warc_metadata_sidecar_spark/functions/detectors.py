@@ -634,6 +634,17 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     "hu": ("HUNGARIAN", frozenset("és hogy nem egy már csak volt mint még vagy azonban szerint minden nagyon".split())),
     "vi": ("VIETNAMESE", frozenset("của và là có không được người trong những một cho với này đã".split())),
     "hr": ("CROATIAN", frozenset("što ili koji također nakon zbog između prema tijekom gdje svoje bio".split())),
+    # r6b: four more. Norwegian Bokmål keys on the spellings that DIVERGE
+    # from Danish (etter/mellom/gjennom/ble vs efter/mellem/gennem/blev)
+    # and avoids the og/i/det/til core the two share; Indonesian function
+    # words are globally unique; Bulgarian avoids the и/в/не/на core
+    # shared with Russian and keys on ще/са/това/като; Slovak avoids the
+    # je/se/na core shared with Czech and keys on its ô/ä/ľ-free but
+    # orthographically distinct sú/aj/ako/bol/ktoré forms.
+    "no": ("NORWEGIAN", frozenset("å etter mellom gjennom ble blitt mye noen ut opp inn nå mot fikk".split())),
+    "id": ("INDONESIAN", frozenset("yang dan di dengan untuk tidak dari ini itu adalah pada akan juga telah".split())),
+    "bg": ("BULGARIAN", frozenset("ще са това като който също след което между би беше през върху".split())),
+    "sk": ("SLOVAK", frozenset("sú aj ako bol ktoré tiež podľa medzi alebo keď pretože môže".split())),
     # ...and SCRIPT-keyed languages (cld2 is script-first for these):
     # kana/hangul (r4) and the r5 additions — Arabic, Hebrew, Greek,
     # Devanagari->Hindi, Thai — where the characters are themselves the
