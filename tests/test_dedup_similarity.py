@@ -241,3 +241,94 @@ def test_srp_mixed_width_vectors_fall_back_per_row(spark):
         ).collect()
     }
     assert got == ref and len(got) == 30
+
+
+# --- connected-components clustering (dup_clusters) --------------------------
+
+def _uf_components(edges):
+    """Union-find twin (independent sequential implementation)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in list(parent):
+        out[n] = find(n)
+    return out
+
+
+def test_dup_clusters_chain_worst_case(spark):
+    """A pure chain is label propagation's worst case (O(diameter) rounds);
+    large/small-star must close it to one component in O(log n) rounds."""
+    from warc_metadata_sidecar_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 64)], ["id_a", "id_b"])
+    got = dup_clusters(pairs).collect()
+    assert {r.doc_id for r in got} == set(range(1, 65))
+    assert {r.cluster_id for r in got} == {1}
+    assert {r.cluster_size for r in got} == {64}
+
+
+def test_dup_clusters_matches_union_find_on_random_graph(spark):
+    """Deterministic pseudo-random graph (hash-derived edges, multiple
+    components, duplicate + reversed + self-loop edges) vs the sequential
+    union-find twin."""
+    import hashlib
+
+    from warc_metadata_sidecar_spark.operators.dedup import dup_clusters
+
+    edges = []
+    for i in range(150):
+        h = hashlib.md5(f"edge{i}".encode()).hexdigest()
+        a = int(h[:4], 16) % 997
+        b = int(h[4:8], 16) % 997
+        edges.append((a, b))  # self-loops happen when a == b
+        if i % 7 == 0:
+            edges.append((b, a))  # reversed duplicates
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dup_clusters(pairs).collect()}
+
+    want_root = _uf_components([(a, b) for a, b in edges if a != b])
+    sizes = {}
+    for n, r in want_root.items():
+        sizes[r] = sizes.get(r, 0) + 1
+    want = {n: (r, sizes[r]) for n, r in want_root.items()}
+    assert got == want and len(got) > 20
+    # more than one component, or the test is degenerate
+    assert len({r for r, _ in got.values()}) > 3
+
+
+def test_dup_clusters_empty_pairs(spark):
+    from warc_metadata_sidecar_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(pairs).collect() == []
+
+
+def test_minhash_dedup_clusters_end_to_end(spark):
+    """Near-identical docs chain into one cluster; distinct docs stay out."""
+    from warc_metadata_sidecar_spark.operators.dedup import minhash_dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "extra " + base),
+        (10, "completely different words about spark shuffles and parquet files"),
+        (11, "completely different words about spark shuffles and parquet files"),
+        (20, "a lone unique document with no duplicate partner anywhere at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in minhash_dedup_clusters(docs).collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+    assert 20 not in got

@@ -1221,6 +1221,66 @@ def dedup_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the same MinHash+LSH verified pairs as
+    `dedup_minhash_lsh` (module path — pinned equal to the SQL twin by
+    tests/test_module_oracle_parity.py), closed into connected components
+    by operators/dedup.dup_clusters (alternating large-star/small-star,
+    O(log n) rounds).  ORACLED: DuckDB recomputes the identical pairs from
+    the shared CTEs and closes them with a WITH RECURSIVE min-reachability
+    query — an independent transitive-closure implementation (recursive
+    SQL fixpoint vs the engine's star rounds)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.dedup import dup_clusters, minhash_dedup
+
+    register_views(spark, sf_dir)
+    corpus = spark.sql(
+        "WITH " + _render(CORPUS_CTE, SPARK) + " SELECT doc_id, text FROM corpus"
+    )
+    pairs = minhash_dedup(corpus)
+    return (
+        dup_clusters(pairs.select("id_a", "id_b"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """DuckDB twin of dedup_clusters: same pair CTEs as dedup_minhash_lsh,
+    components via recursive min-reachability (base: every node reaches
+    itself; step: whatever reaches a node reaches its neighbors; label =
+    min reaching node = component min)."""
+    body = (
+        "WITH RECURSIVE "
+        + CORPUS_CTE
+        + ", @SHINGLES"
+        + """,
+pairs AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels ORDER BY doc_id
+"""
+    )
+    body = body.replace("@SHINGLES", _shingle_cte(DUCK))
+    return _render(body, DUCK)
+
+
 # --- sequential twins for the two approximate-ANN paths (VERDICT r4 #1) ------
 
 def _spark_round6(x: float) -> float:
@@ -1959,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["url_seen_bucketed"] = url_seen_bucketed
     out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
     out["dedup_cosine_srp"] = dedup_cosine_srp
+    out["dedup_clusters"] = dedup_clusters
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
     out["href_resolution"] = href_resolution
@@ -1988,6 +2049,9 @@ def oracle_sql() -> dict[str, str]:
     # rendered as VALUES (VERDICT r4 #1 — no_oracle down to 0)
     oracles["ann_ivf_centroid_top1"] = _ann_ivf_centroid_oracle_sql()
     oracles["dedup_cosine_srp"] = _dedup_cosine_srp_oracle_sql()
+    # LSH pairs closed into components: engine star-rounds vs DuckDB
+    # recursive-CTE transitive closure over the shared pair CTEs
+    oracles["dedup_clusters"] = _dedup_clusters_oracle_sql()
     # link resolution vs the CPython stdlib resolver (independent RFC 3986
     # implementation) rendered as VALUES
     oracles["href_resolution"] = _href_resolution_oracle_sql()
