@@ -1195,3 +1195,87 @@ def test_decode_corrupt_blobs_never_raise():
     for i, blob in enumerate(bad_wavs):
         with _pytest.raises(NotImplementedError):
             decode_audio(blob, real=True)
+
+
+# --- container-metadata probe (ffprobe analogue, headers only) ---------------
+
+def test_probe_image_meta_all_families():
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_image_meta
+
+    assert probe_image_meta(gen._enc_jpeg_header(47, 33)) == ("jpeg", 47, 33)
+    assert probe_image_meta(gen._enc_webp_l(100, 50)) == ("webp", 100, 50)
+    assert probe_image_meta(gen._enc_webp_x(256, 128)) == ("webp", 256, 128)
+    raster = gen._rgb_raster(0)
+    assert probe_image_meta(gen._enc_png(raster)) == ("png", 8, 8)
+    assert probe_image_meta(gen._enc_bmp24(raster)) == ("bmp", 8, 8)
+    assert probe_image_meta(gen._enc_p6(raster)) == ("pnm", 8, 8)
+    assert probe_image_meta(gen._enc_tga(raster)) == ("tga", 8, 8)
+    idx = [(y + x) % 4 for y in range(8) for x in range(8)]
+    assert probe_image_meta(gen._enc_gif(8, 8, idx)) == ("gif", 8, 8)
+
+
+def test_probe_audio_meta_hand_computed():
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_audio_meta
+
+    # MPEG1 Layer III: 5 frames x 1152 samples @ 44100, 128 kbps, stereo
+    fmt, dur, rate, nch, kbps = probe_audio_meta(gen._enc_mp3(5, mpeg1=True))
+    assert (fmt, rate, nch, kbps) == ("mp3", 44100, 2, 128)
+    assert abs(dur - 5 * 1152 / 44100) < 1e-12
+    # MPEG2: 576-sample frames @ 22050, 64 kbps
+    fmt, dur, rate, nch, kbps = probe_audio_meta(gen._enc_mp3(7, mpeg1=False))
+    assert (fmt, rate, nch, kbps) == ("mp3", 22050, 2, 64)
+    assert abs(dur - 7 * 576 / 22050) < 1e-12
+    # FLAC STREAMINFO: 66150 samples @ 22050 = 3.0 s exactly
+    fmt, dur, rate, nch, kbps = probe_audio_meta(gen._enc_flac_meta(22050, 2, 66150))
+    assert (fmt, dur, rate, nch) == ("flac", 3.0, 22050, 2)
+    # OGG Vorbis: granule 88200 @ 44100 = 2.0 s
+    fmt, dur, rate, nch, kbps = probe_audio_meta(gen._enc_ogg("vorbis", 44100, 2, 88200))
+    assert (fmt, dur, rate, nch) == ("vorbis", 2.0, 44100, 2)
+    # Opus: granules tick at 48 kHz, pre-skip subtracted
+    fmt, dur, rate, nch, kbps = probe_audio_meta(
+        gen._enc_ogg("opus", 48000, 2, 96312, preskip=312)
+    )
+    assert (fmt, dur, rate, nch) == ("opus", 2.0, 48000, 2)
+    # WAV control: 64 frames @ 8000 Hz stereo 16-bit = 256 kbps
+    fmt, dur, rate, nch, kbps = probe_audio_meta(gen._enc_wav(0))
+    assert (fmt, rate, nch, kbps) == ("wav", 8000, 2, 256)
+    assert abs(dur - 64 / 8000) < 1e-12
+
+
+def test_probe_meta_rejects_garbage_and_truncation():
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        probe_audio_meta,
+        probe_image_meta,
+    )
+
+    assert probe_image_meta(b"") is None
+    assert probe_audio_meta(b"") is None
+    assert probe_image_meta(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+    assert probe_audio_meta(b"fLaC\x80\x00") is None  # truncated STREAMINFO
+    # a lone MP3 sync word inside noise must NOT validate (>=2 chained frames)
+    one = gen._enc_mp3(1, mpeg1=True)
+    assert probe_audio_meta(one) is None
+    assert probe_audio_meta(b"OggS" + b"\x00" * 10) is None
+    import hashlib
+
+    noise = b"".join(hashlib.sha256(bytes([i])).digest() for i in range(64))
+    assert probe_image_meta(noise) is None
+    assert probe_audio_meta(noise) is None
+
+
+def test_probe_media_meta_dataframe(spark):
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_media_meta
+
+    got = {r.media_ref: r for r in probe_media_meta(gen.probe_media(spark)).collect()}
+    assert len(got) == len(gen.probe_rows())
+    j = got["probe://jpeg/0"]
+    assert (j.fmt, j.width, j.height, j.duration_s) == ("jpeg", 40, 30, None)
+    m = got["probe://mp3/6"]
+    assert (m.fmt, m.sample_rate, m.channels, m.bitrate_kbps) == ("mp3", 44100, 2, 128)
+    assert abs(m.duration_s - 26 * 1152 / 44100) < 1e-9
+    o = got["probe://opus/10"]
+    assert (o.fmt, o.duration_s, o.sample_rate) == ("opus", 2.0, 48000)

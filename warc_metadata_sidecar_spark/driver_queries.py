@@ -1530,6 +1530,82 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probe (the ffprobe-style full-corpus pass) through
+    the ENGINE path: gen.probe_rows() encodes every compressed container
+    family from closed-form PARAMETERS (JPEG SOF dims, WebP VP8L/VP8X
+    canvas, chained MP3 Layer III frames, FLAC STREAMINFO bitfields, OGG
+    Vorbis/Opus granule positions); operators/multimodal.probe_media_meta
+    walks the real header structures back out inside mapInPandas. The
+    DuckDB oracle recomputes every field as ARITHMETIC on the same
+    parameters (frames*spf/rate, granule/48000, byte_rate*8/1000...) —
+    it never sees a blob, an encoder, or the probe."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_media_meta
+
+    meta = probe_media_meta(gen.probe_media(spark))
+    return meta.select(
+        "media_ref",
+        "fmt",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_s").cast("double").alias("duration_s"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("bitrate_kbps").cast("int").alias("bitrate_kbps"),
+    ).orderBy("media_ref")
+
+
+def _multimodal_probe_meta_oracle_sql() -> str:
+    """DuckDB twin of multimodal_probe_meta: each expected row is rebuilt
+    from the generator's closed-form parameters as SQL arithmetic.
+    Byte-length constants are structural (blob sizes fixed by the
+    container layouts: fLaC(4)+hdr(4)+STREAMINFO(34)=42; OGG page =
+    27+1+body): the bitrate slots divide them out exactly as the probe's
+    size/duration formula does."""
+    img = []
+    for m in (0, 1):
+        img.append(f"SELECT 'probe://jpeg/{m}' AS media_ref, 'jpeg' AS fmt, {40 + m} AS width, {30 + m} AS height")
+    for m in (2, 3):
+        img.append(f"SELECT 'probe://webpl/{m}', 'webp', {100 + m}, {50 + m}")
+    for m in (4, 5):
+        img.append(f"SELECT 'probe://webpx/{m}', 'webp', {200 + m}, {80 + m}")
+    img.append("SELECT 'probe://png/12', 'png', 8, 8")
+    aud = [
+        # mp3 m=6: MPEG1 (20+6 frames x 1152 spf @ 44100, 128 kbps)
+        "SELECT 'probe://mp3/6' AS media_ref, 'mp3' AS fmt, CAST(26 * 1152 AS DOUBLE) / 44100 AS duration_s, 44100 AS sample_rate, 2 AS channels, 128 AS bitrate_kbps",
+        # mp3 m=7: MPEG2 (27 frames x 576 spf @ 22050, 64 kbps)
+        "SELECT 'probe://mp3/7', 'mp3', CAST(27 * 576 AS DOUBLE) / 22050, 22050, 2, 64",
+        # flac m=8: 66150 samples @ 22050; 42-byte blob over 3 s -> 0 kbps
+        "SELECT 'probe://flac/8', 'flac', CAST(66150 AS DOUBLE) / 22050, 22050, 2, CAST(round(42 * 8 / (CAST(66150 AS DOUBLE) / 22050) / 1000) AS INT)",
+        # ogg vorbis m=9: granule 88200 @ 44100; pages 58+29=87 bytes
+        "SELECT 'probe://oggv/9', 'vorbis', CAST(88200 AS DOUBLE) / 44100, 44100, 2, CAST(round(87 * 8 / (CAST(88200 AS DOUBLE) / 44100) / 1000) AS INT)",
+        # opus m=10: (96312 - 312 preskip) / 48000; pages 47+29=76 bytes
+        "SELECT 'probe://opus/10', 'opus', CAST(96312 - 312 AS DOUBLE) / 48000, 48000, 2, CAST(round(76 * 8 / (CAST(96312 - 312 AS DOUBLE) / 48000) / 1000) AS INT)",
+        # wav m=11: 64 frames @ 8000 stereo 16-bit; byte_rate 32000
+        "SELECT 'probe://wav/11', 'wav', CAST(64 AS DOUBLE) / 8000, 8000, 2, CAST(round(32000 * 8 / 1000.0) AS INT)",
+    ]
+    return (
+        "WITH img AS ("
+        + " UNION ALL ".join(img)
+        + "), aud AS ("
+        + " UNION ALL ".join(aud)
+        + """)
+SELECT media_ref, fmt, width, height,
+       CAST(NULL AS DOUBLE) AS duration_s, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS channels, CAST(NULL AS INT) AS bitrate_kbps
+FROM img
+UNION ALL
+SELECT media_ref, fmt, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       duration_s, sample_rate, channels, bitrate_kbps
+FROM aud
+ORDER BY media_ref
+"""
+    )
+
+
 def _multimodal_decode_real_oracle_sql() -> str:
     """DuckDB twin of multimodal_decode_real — features from the closed
     forms only. Exactness notes: pixel sums are integer-exact in float64,
@@ -2022,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters"] = dedup_clusters
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
+    out["multimodal_probe_meta"] = multimodal_probe_meta
     out["href_resolution"] = href_resolution
     out["href_edge_kinds"] = href_edge_kinds
     out["charset_bytes"] = charset_bytes
@@ -2039,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["multimodal_features"] = _multimodal_oracle_sql()
     # real-decode round trip vs closed-form pixel/sample arithmetic
     oracles["multimodal_decode_real"] = _multimodal_decode_real_oracle_sql()
+    # container-metadata probe vs closed-form parameter arithmetic
+    oracles["multimodal_probe_meta"] = _multimodal_probe_meta_oracle_sql()
     # crawl loop vs the single-threaded simulator rendered as VALUES
     oracles["crawl_rounds"] = _crawl_rounds_oracle_sql()
     # flagship pipeline + counters vs the sequential per-record twin (the

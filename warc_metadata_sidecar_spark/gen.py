@@ -398,6 +398,120 @@ def _enc_wav(m: int) -> bytes:
     return b"RIFF" + st.pack("<I", len(body)) + body
 
 
+def _enc_jpeg_header(w: int, h: int) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI + APP0/JFIF + DQT stub +
+    SOF0 carrying the dims (the only part a header probe reads) + EOI."""
+    import struct as st
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0]) + bytes(64)
+    sof = st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out = b"\xff\xd8"
+    out += b"\xff\xe0" + st.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + st.pack(">H", 2 + len(dqt)) + dqt
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    return out + b"\xff\xd9"
+
+
+def _enc_webp_l(w: int, h: int) -> bytes:
+    """WebP VP8L header: 14-bit (w-1)/(h-1) packed after the 0x2F tag."""
+    import struct as st
+
+    bits = (w - 1) | ((h - 1) << 14)
+    body = b"\x2f" + st.pack("<I", bits) + bytes(8)
+    chunk = b"VP8L" + st.pack("<I", len(body)) + body
+    return b"RIFF" + st.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _enc_webp_x(w: int, h: int) -> bytes:
+    """WebP VP8X extended header: 24-bit little-endian canvas-1 dims."""
+    import struct as st
+
+    body = bytes(4) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunk = b"VP8X" + st.pack("<I", len(body)) + body
+    return b"RIFF" + st.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk + bytes(16)
+
+
+def _enc_mp3(n_frames: int, mpeg1: bool = True) -> bytes:
+    """Chained constant-bitrate Layer III frames (headers + zero payload):
+    MPEG1 44100 Hz 128 kbps (frame 417 B, 1152 spf) or MPEG2 22050 Hz
+    64 kbps (frame 208 B, 576 spf), joint-stereo mode, ID3v2 prefix."""
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x14" + bytes(0x14)
+    if mpeg1:
+        hdr, flen = bytes([0xFF, 0xFB, 0x90, 0x40]), 144 * 128000 // 44100
+    else:
+        hdr, flen = bytes([0xFF, 0xF3, 0x80, 0x40]), 72 * 64000 // 22050
+    return id3 + (hdr + bytes(flen - 4)) * n_frames
+
+
+def _enc_flac_meta(rate: int, nch: int, total: int) -> bytes:
+    """fLaC magic + last-flagged STREAMINFO block (34 bytes, real
+    bitfield layout: rate(20) | ch-1(3) | bps-1(5) | total_samples(36))."""
+    v = (rate << 44) | ((nch - 1) << 41) | (15 << 36) | total
+    info = bytes(10) + v.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+
+def _enc_ogg(codec: str, rate: int, nch: int, granule: int, preskip: int = 0) -> bytes:
+    """Two-page OGG stream: identification-header page (Vorbis or Opus)
+    + a final page carrying the terminal granule position."""
+    import struct as st
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + st.pack("<IB", 0, nch) + st.pack("<I", rate)
+            + bytes(12) + b"\xb8\x01"
+        )
+    else:
+        ident = b"OpusHead" + bytes([1, nch]) + st.pack("<H", preskip) + st.pack("<I", rate) + bytes(3)
+
+    def page(ptype: int, gran: int, seq: int, body: bytes) -> bytes:
+        return (
+            b"OggS\x00" + bytes([ptype]) + st.pack("<q", gran)
+            + st.pack("<II", 1, seq) + bytes(4) + bytes([1, len(body)]) + body
+        )
+
+    return page(0x02, 0, 0, ident) + page(0x04, granule, 1, b"\x00")
+
+
+def probe_rows() -> list[dict]:
+    """Deterministic blobs for the container-metadata probe oracle: every
+    compressed-container family whose PAYLOAD decode is stubbed but whose
+    HEADER structure is public (JPEG SOF, WebP VP8L/VP8X, MP3 frames, FLAC
+    STREAMINFO, OGG Vorbis/Opus) plus native wav/png controls. All
+    parameters are closed-form in m so the oracle recomputes them as
+    arithmetic without seeing a blob."""
+    rows = []
+
+    def add(kind: str, m: int, blob: bytes, media_type: str) -> None:
+        rows.append(
+            {
+                "media_ref": f"probe://{kind}/{m}",
+                "bytes": blob,
+                "meta": {"media_type": media_type, "width": None, "height": None, "duration_ms": None},
+            }
+        )
+
+    for m in (0, 1):
+        add("jpeg", m, _enc_jpeg_header(40 + m, 30 + m), "image")
+    for m in (2, 3):
+        add("webpl", m, _enc_webp_l(100 + m, 50 + m), "image")
+    for m in (4, 5):
+        add("webpx", m, _enc_webp_x(200 + m, 80 + m), "image")
+    for m in (6, 7):
+        add("mp3", m, _enc_mp3(20 + m, mpeg1=(m == 6)), "audio")
+    add("flac", 8, _enc_flac_meta(22050, 2, 66150), "audio")
+    add("oggv", 9, _enc_ogg("vorbis", 44100, 2, 88200), "audio")
+    add("opus", 10, _enc_ogg("opus", 48000, 2, 96312, preskip=312), "audio")
+    add("wav", 11, _enc_wav(11), "audio")
+    add("png", 12, _enc_png(_rgb_raster(12)), "image")
+    return rows
+
+
+def probe_media(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(probe_rows(), schema.MEDIA)
+
+
 def codec_rows() -> list[dict]:
     """Deterministic blobs for the real-decode oracle: two of each raster
     container (PNG/GIF/BMP/P6/TGA) over the closed-form pixels, two WAVs

@@ -467,6 +467,258 @@ def decode_image(data: bytes, real: bool = False) -> list[float]:
     return _fake_decode(data)
 
 
+def probe_image_meta(data: bytes) -> tuple[str, int, int] | None:
+    """(fmt, width, height) from CONTAINER HEADERS ONLY — no pixel decode.
+
+    This is the ffprobe-style metadata pass a corpus pipeline runs over
+    every blob before deciding what to decode: it covers the compressed
+    codecs whose pixel decode stays stubbed (JPEG via SOF marker scan,
+    WebP VP8/VP8L/VP8X) plus the native families. Returns None for
+    unrecognized or structurally corrupt containers — never raises."""
+    try:
+        if len(data) < 10:
+            return None
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", data, 16)
+            return ("png", w, h)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", data, 6)
+            return ("gif", w, h)
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack_from("<ii", data, 18)
+            return ("bmp", w, abs(h))
+        if data[:2] == b"\xff\xd8":
+            # JPEG: walk marker segments to the first SOF (C0-CF minus
+            # DHT C4 / JPG C8 / DAC CC): [len:2][prec:1][h:2][w:2]
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                if marker == 0xFF:  # fill bytes
+                    pos += 1
+                    continue
+                if marker in (0x01, *range(0xD0, 0xD9)):  # standalone (RST/SOI)
+                    pos += 2
+                    continue
+                if marker == 0xD9:  # EOI before any SOF
+                    return None
+                (seglen,) = struct.unpack_from(">H", data, pos + 2)
+                if seglen < 2:
+                    return None
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if pos + 9 > len(data):
+                        return None
+                    h, w = struct.unpack_from(">HH", data, pos + 5)
+                    return ("jpeg", w, h)
+                pos += 2 + seglen
+            return None
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+            tag = data[12:16]
+            if tag == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack_from("<HH", data, 26)
+                return ("webp", w & 0x3FFF, h & 0x3FFF)
+            if tag == b"VP8L" and data[20] == 0x2F:
+                (bits,) = struct.unpack_from("<I", data, 21)
+                return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            if tag == b"VP8X":
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+                return ("webp", w, h)
+            return None
+        if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            toks = _re.findall(rb"\d+", _re.sub(rb"#[^\n]*", b"", data[2:256]))
+            if len(toks) >= 2:
+                return ("pnm", int(toks[0]), int(toks[1]))
+            return None
+        if len(data) >= 18 and data[1] in (0, 1) and data[2] in (1, 2, 3, 9, 10, 11):
+            w, h = struct.unpack_from("<HH", data, 12)
+            bpp = data[16]
+            if 0 < w < 32768 and 0 < h < 32768 and bpp in (8, 16, 24, 32):
+                return ("tga", w, h)
+        return None
+    except Exception:
+        return None
+
+
+# MPEG-1/2/2.5 Layer III tables (public header spec): kbps by bitrate
+# index, Hz by samplerate index. Index 0 (free-format) and 15 are invalid.
+_MP3_BITRATE = {
+    1: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATE = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _mp3_frame(data: bytes, pos: int) -> tuple[int, int, int] | None:
+    """Parse one Layer III frame header at pos -> (frame_len, samples,
+    (rate, kbps)) or None if invalid."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3 = data[pos], data[pos + 1], data[pos + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b2 >> 1) & 3  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx, sr_idx = b3 >> 4, (b3 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    kbps = _MP3_BITRATE[1 if version == 3 else 2][br_idx]
+    rate = _MP3_RATE[version][sr_idx]
+    pad = (b3 >> 1) & 1
+    spf = 1152 if version == 3 else 576
+    flen = spf // 8 * kbps * 1000 // rate + pad
+    if flen < 24:
+        return None
+    return flen, spf, (rate << 16) | kbps
+
+
+def probe_audio_meta(data: bytes) -> tuple[str, float, int, int, int] | None:
+    """(fmt, duration_s, sample_rate, channels, bitrate_kbps) from stream
+    metadata only — the compressed codecs' headers are fully public
+    structure even when their payload decode stays stubbed:
+
+      wav   fmt chunk + data size (exact)
+      flac  STREAMINFO bitfields: rate(20) ch(3) bps(5) total_samples(36)
+      mp3   Layer III frame-header walk (ID3v2 skipped, >=2 valid frames
+            chained end-to-end required — a lone sync word in noise
+            doesn't validate); average bitrate over walked frames
+      ogg   Vorbis/Opus identification header + last-page granule
+            position (Opus granules tick at 48 kHz, pre-skip subtracted)
+
+    Returns None for unrecognized/corrupt blobs — never raises."""
+    try:
+        if len(data) < 16:
+            return None
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            pos, fmt, nbytes = 12, None, None
+            while pos + 8 <= len(data):
+                tag = data[pos : pos + 4]
+                (length,) = struct.unpack_from("<I", data, pos + 4)
+                if tag == b"fmt " and length >= 16:
+                    fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+                elif tag == b"data":
+                    nbytes = min(length, len(data) - pos - 8)
+                pos += 8 + length + (length & 1)
+            if fmt is None or nbytes is None:
+                return None
+            _, nch, rate, byte_rate, block, bits = fmt
+            if nch == 0 or rate == 0 or block == 0:
+                return None
+            dur = nbytes / block / rate
+            return ("wav", dur, rate, nch, round(byte_rate * 8 / 1000))
+        if data[:4] == b"fLaC" and len(data) >= 42 and (data[4] & 0x7F) == 0:
+            # STREAMINFO: bytes 18-25 hold rate(20)|ch-1(3)|bps-1(5)|total(36)
+            v = int.from_bytes(data[18:26], "big")
+            rate = v >> 44
+            nch = ((v >> 41) & 7) + 1
+            total = v & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            dur = total / rate
+            kbps = round(len(data) * 8 / dur / 1000) if dur > 0 else 0
+            return ("flac", dur, rate, nch, kbps)
+        if data[:4] == b"OggS":
+            first, last_granule, pos = None, 0, 0
+            while pos + 27 <= len(data) and data[pos : pos + 4] == b"OggS":
+                granule = struct.unpack_from("<q", data, pos + 6)[0]
+                nsegs = data[pos + 26]
+                seg_tbl = data[pos + 27 : pos + 27 + nsegs]
+                if len(seg_tbl) < nsegs:
+                    break
+                body = pos + 27 + nsegs
+                if first is None:
+                    hdr = data[body : body + 19]
+                    if hdr[:7] == b"\x01vorbis":
+                        first = ("vorbis", hdr[11], struct.unpack_from("<I", hdr, 12)[0], 0)
+                    elif hdr[:8] == b"OpusHead":
+                        pre = struct.unpack_from("<H", hdr, 10)[0]
+                        first = ("opus", hdr[9], 48000, pre)
+                    else:
+                        return None
+                if granule > 0:
+                    last_granule = granule
+                pos = body + sum(seg_tbl)
+            if first is None:
+                return None
+            codec, nch, rate, pre = first
+            ticks = max(last_granule - pre, 0)
+            dur = ticks / (48000 if codec == "opus" else rate)
+            kbps = round(len(data) * 8 / dur / 1000) if dur > 0 else 0
+            return (codec, dur, rate, nch, kbps)
+        # MP3: optional ID3v2 prefix, then chained Layer III frames
+        pos = 0
+        if data[:3] == b"ID3" and len(data) > 10:
+            size = 0
+            for b in data[6:10]:
+                size = (size << 7) | (b & 0x7F)
+            pos = 10 + size
+        frames, total_spf, kbps_sum, rate0, nch = 0, 0, 0, None, 2
+        while pos + 4 <= len(data):
+            fr = _mp3_frame(data, pos)
+            if fr is None:
+                break
+            flen, spf, packed = fr
+            rate, kbps = packed >> 16, packed & 0xFFFF
+            if rate0 is None:
+                rate0 = rate
+                # channel mode bits: 3 = mono
+                nch = 1 if (data[pos + 3] >> 6) == 3 else 2
+            frames += 1
+            total_spf += spf
+            kbps_sum += kbps
+            pos += flen
+        if frames >= 2 and rate0:
+            return ("mp3", total_spf / rate0, rate0, nch, round(kbps_sum / frames))
+        return None
+    except Exception:
+        return None
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+    ]
+)
+
+
+def probe_media_meta(media: DataFrame) -> DataFrame:
+    """media table -> per-blob container metadata via mapInPandas: the
+    cheap full-corpus pass (headers only, no pixel/sample decode) whose
+    output drives selective decode downstream. One Arrow-batched Python
+    worker per partition; blobs never shuffle (same contract as
+    extract_media_features)."""
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for ref, b in zip(pdf["media_ref"], pdf["bytes"]):
+                raw = bytes(b) if b is not None else b""
+                img = probe_image_meta(raw)
+                if img is not None:
+                    fmt, w, h = img
+                    rows.append((ref, fmt, w, h, None, None, None, None))
+                    continue
+                aud = probe_audio_meta(raw)
+                if aud is not None:
+                    fmt, dur, rate, nch, kbps = aud
+                    rows.append((ref, fmt, None, None, dur, rate, nch, kbps))
+                    continue
+                rows.append((ref, None, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return media.mapInPandas(batches, PROBE_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, real: bool = False) -> DataFrame:
     """media table -> per-blob features via mapInPandas (Arrow batches).
 
