@@ -1279,3 +1279,317 @@ def test_probe_media_meta_dataframe(spark):
     assert abs(m.duration_s - 26 * 1152 / 44100) < 1e-9
     o = got["probe://opus/10"]
     assert (o.fmt, o.duration_s, o.sample_rate) == ("opus", 2.0, 48000)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decode (r6): test-local generic encoder + an INDEPENDENT
+# naive double-loop IDCT twin (different algorithm from the decoder's
+# matrix-product IDCT) pin the Huffman/zigzag/dequant/IDCT/color pipeline
+
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    def __init__(self):
+        self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.nb += 1
+            if self.nb == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = self.nb = 0
+
+    def flush(self):
+        if self.nb:
+            pad = 8 - self.nb
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpeg_block_symbols(zz):
+    """(sym, amplitude_bits) stream for one quantized block in zigzag order
+    (DC handled by the caller)."""
+    out, run = [], 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            out.append((0xF0, 0, 0))
+            run -= 16
+        v = zz[k]
+        s = abs(v).bit_length()
+        amp = v if v > 0 else v + (1 << s) - 1
+        out.append(((run << 4) | s, amp, s))
+        run = 0
+    if last_nz < 63:
+        out.append((0x00, 0, 0))
+    return out
+
+
+def _enc_jpeg(w, h, comps, quant, block_fn, restart=0):
+    """Test-local baseline JPEG encoder, independent of gen._enc_jpeg_dc:
+    arbitrary per-block quantized coefficients (natural-order 8x8 lists via
+    block_fn(comp_index, block_seq)), arbitrary sampling factors, one shared
+    quant table (natural order), optional restart interval. AC Huffman table
+    is built canonically over the symbols actually used (all at 8 bits)."""
+    import struct as st
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # pass 1: per-MCU symbol streams
+    def zigzag(block):
+        return [block[_JZZ[k] // 8][_JZZ[k] % 8] for k in range(64)]
+
+    seqs = [0] * len(comps)
+    preds = [0] * len(comps)
+    mcu_streams, ac_syms = [], set()
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            preds = [0] * len(comps)
+        stream = []
+        for ci, (cid, ch, cv) in enumerate(comps):
+            for _ in range(ch * cv):
+                zz = zigzag(block_fn(ci, seqs[ci]))
+                seqs[ci] += 1
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                s = abs(diff).bit_length()
+                amp = diff if diff > 0 else diff + (1 << s) - 1
+                acs = _jpeg_block_symbols(zz)
+                ac_syms.update(sym for sym, _, _ in acs)
+                stream.append((s, amp, acs))
+        mcu_streams.append(stream)
+
+    ac_list = sorted(ac_syms)
+    assert len(ac_list) <= 200
+    ac_code = {sym: i for i, sym in enumerate(ac_list)}  # all codes 8 bits
+
+    bw = _JpegBits()
+    out = bytearray(b"\xff\xd8")
+    qz = bytes(quant[_JZZ[k]] for k in range(64))
+    out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + b"\x00" + qz
+    nf = len(comps)
+    out += (
+        b"\xff\xc0" + st.pack(">H", 2 + 6 + 3 * nf) + bytes([8])
+        + st.pack(">HH", h, w)
+        + bytes([nf])
+        + b"".join(bytes([cid, (ch << 4) | cv, 0]) for cid, ch, cv in comps)
+    )
+    out += (
+        b"\xff\xc4" + st.pack(">H", 2 + 17 + 12)
+        + bytes([0x00, 0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    )
+    counts = [0] * 16
+    counts[7] = len(ac_list)  # every AC code 8 bits long
+    out += (
+        b"\xff\xc4" + st.pack(">H", 2 + 17 + len(ac_list))
+        + bytes([0x10]) + bytes(counts) + bytes(ac_list)
+    )
+    if restart:
+        out += b"\xff\xdd" + st.pack(">H", 4) + st.pack(">H", restart)
+    out += (
+        b"\xff\xda" + st.pack(">H", 2 + 1 + 2 * nf + 3)
+        + bytes([nf]) + b"".join(bytes([cid, 0x00]) for cid, _, _ in comps)
+        + bytes([0, 63, 0])
+    )
+    for mcu, stream in enumerate(mcu_streams):
+        if restart and mcu and mcu % restart == 0:
+            bw.flush()
+            out += bytes(bw.buf)
+            bw = _JpegBits()
+            out += bytes([0xFF, 0xD0 + ((mcu // restart - 1) % 8)])
+        for s, amp, acs in stream:
+            bw.put(s, 4)
+            if s:
+                bw.put(amp, s)
+            for sym, a, sl in acs:
+                bw.put(ac_code[sym], 8)
+                if sl:
+                    bw.put(a, sl)
+    bw.flush()
+    out += bytes(bw.buf) + b"\xff\xd9"
+    return bytes(out)
+
+
+def _naive_jpeg_plane(blocks, bw, bh, quant):
+    """Independent IDCT twin: direct double-loop cosine sums per T.81 A.3.3
+    over dequantized coefficients, +128, floor(x+0.5), clip — no numpy
+    matrix product anywhere."""
+    import math
+
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    for bi, block in enumerate(blocks):
+        by, bx = divmod(bi, bw)
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4.0 * block[v][u] * quant[v * 8 + u]
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                        )
+                plane[by * 8 + y][bx * 8 + x] = min(
+                    255, max(0, math.floor(s + 128.0 + 0.5))
+                )
+    return plane
+
+
+def test_decode_jpeg_dc_tiles_hand_computed():
+    """gen's closed-form DC-only fixture decodes bit-exactly to the tile
+    RGB stated by codec_jpeg_rgb (the same arithmetic the DuckDB oracle
+    renders as SQL)."""
+    import numpy as np
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    for m in (12, 13):
+        w, h, nch, img = decode_pixels(gen._enc_jpeg_dc(m))
+        assert (w, h, nch) == (16, 16, 3)
+        for t in range(4):
+            ty, tx = divmod(t, 2)
+            tile = img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8]
+            assert (tile == np.array(gen.codec_jpeg_rgb(m, t), dtype=np.uint8)).all()
+
+
+def test_decode_jpeg_ac_matches_naive_idct():
+    """Grayscale blocks with real AC structure (runs, a >16-zero gap
+    forcing ZRL, negative amplitudes, multiple categories) decode to
+    exactly what the independent double-loop IDCT computes."""
+    import numpy as np
+
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    quant = [1] * 64
+    quant[0], quant[9], quant[63] = 2, 3, 5
+
+    def mkblock(seed):
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = 40 * (seed + 1) - 300
+        b[0][1] = 17 - 5 * seed
+        b[1][0] = -23 + seed
+        b[2][3] = 9
+        b[7][7] = seed - 1  # forces a long zero run / end-of-block edge
+        return b
+
+    blocks = [mkblock(s) for s in range(4)]
+    blob = _enc_jpeg(16, 16, [(1, 1, 1)], quant, lambda ci, i: blocks[i])
+    out = decode_pixels(blob)
+    assert out is not None
+    w, h, nch, img = out
+    assert (w, h, nch) == (16, 16, 3)
+    expect = _naive_jpeg_plane(blocks, 2, 2, quant)
+    assert (img[:, :, 0] == np.array(expect, dtype=np.uint8)).all()
+    assert (img[:, :, 1] == img[:, :, 0]).all() and (img[:, :, 2] == img[:, :, 0]).all()
+
+
+def test_decode_jpeg_420_box_upsample():
+    """4:2:0 (Y 2x2, chroma 1x1) with flat DC-only blocks: each 8x8 Y
+    quadrant keeps its value, chroma box-upsamples to the full canvas,
+    and the color transform matches the closed form per quadrant."""
+    import math
+
+    import numpy as np
+
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    yv = [100, 50, 200, 25]
+    cb, cr = 90, 160
+    quant = [1] * 64
+
+    def dcblock(v):
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = 8 * (v - 128)
+        return b
+
+    def block_fn(ci, i):
+        if ci == 0:
+            return dcblock(yv[i])
+        return dcblock(cb if ci == 1 else cr)
+
+    blob = _enc_jpeg(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], quant, block_fn)
+    out = decode_pixels(blob)
+    assert out is not None
+    w, h, nch, img = out
+    assert (w, h) == (16, 16)
+
+    def c8(x):
+        return min(255, max(0, math.floor(x + 0.5)))
+
+    for q, v in enumerate(yv):
+        qy, qx = divmod(q, 2)
+        exp = (
+            c8(v + 1.402 * (cr - 128)),
+            c8(v - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            c8(v + 1.772 * (cb - 128)),
+        )
+        tile = img[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        assert (tile == np.array(exp, dtype=np.uint8)).all(), (q, tile[0, 0], exp)
+
+
+def test_decode_jpeg_restart_interval():
+    """DRI=1 with RSTn separators: DC predictors reset per interval, so the
+    decode still recovers the absolute tile values."""
+    import numpy as np
+
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    vals = [30, 130, 250, 7]
+    quant = [1] * 64
+
+    def block_fn(ci, i):
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = 8 * (vals[i] - 128)
+        return b
+
+    blob = _enc_jpeg(16, 16, [(1, 1, 1)], quant, block_fn, restart=1)
+    assert blob.count(b"\xff\xd0") >= 1  # real RST markers present
+    out = decode_pixels(blob)
+    assert out is not None
+    _, _, _, img = out
+    for t, v in enumerate(vals):
+        ty, tx = divmod(t, 2)
+        tile = img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8]
+        assert (tile == v).all(), (t, tile[0, 0], v)
+
+
+def test_decode_jpeg_unsupported_and_corrupt_fall_through():
+    """Progressive SOF2, 12-bit precision, truncated entropy streams, and
+    header-only blobs all return None (the decode_image seam then raises
+    NotImplementedError as before) — never an exception."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_pixels,
+    )
+
+    good = gen._enc_jpeg_dc(12)
+    assert _decode_jpeg(good) is not None
+    # SOF0 -> SOF2 (progressive): unsupported, falls through
+    assert _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    # truncated mid-entropy
+    assert _decode_jpeg(good[: len(good) - 12]) is None
+    # 12-bit precision byte inside SOF
+    i = good.index(b"\xff\xc0")
+    bad = good[: i + 4] + bytes([12]) + good[i + 5 :]
+    assert _decode_jpeg(bad) is None
+    # header-only (no scan): the existing stub-contract blob
+    assert decode_pixels(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(64)) is None

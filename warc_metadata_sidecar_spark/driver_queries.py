@@ -1698,7 +1698,53 @@ wav AS (
            CAST(SUM(p.x) FILTER (p.c = 1) / 64 AS REAL) AS f7
     FROM pcm p JOIN zc z USING (m) GROUP BY p.m
 ),
-feats AS (SELECT * FROM img UNION ALL SELECT * FROM wav)
+jpgycc AS (
+    SELECT mm.m, yy.y, xx.x,
+           CAST((mm.m*37 + ((yy.y // 8) * 2 + xx.x // 8) * 53) % 256 AS DOUBLE) AS yv,
+           CAST((mm.m*29 + ((yy.y // 8) * 2 + xx.x // 8) * 71) % 256 AS DOUBLE) AS cbv,
+           CAST((mm.m*31 + ((yy.y // 8) * 2 + xx.x // 8) * 97) % 256 AS DOUBLE) AS crv
+    FROM (VALUES (12), (13)) mm(m),
+         generate_series(0, 15) yy(y),
+         generate_series(0, 15) xx(x)
+),
+jpgpx AS (
+    -- the JFIF color transform with the decoder's exact floor(x+0.5)
+    -- rounding on integer samples (flat DC-only blocks recover losslessly)
+    SELECT m, 0 AS c,
+           LEAST(255, GREATEST(0, FLOOR(yv + 1.402*(crv-128) + 0.5))) AS v
+    FROM jpgycc
+    UNION ALL
+    SELECT m, 1,
+           LEAST(255, GREATEST(0, FLOOR(yv - 0.344136*(cbv-128) - 0.714136*(crv-128) + 0.5)))
+    FROM jpgycc
+    UNION ALL
+    SELECT m, 2,
+           LEAST(255, GREATEST(0, FLOOR(yv + 1.772*(cbv-128) + 0.5)))
+    FROM jpgycc
+),
+jpgmeans AS (
+    SELECT m, SUM(v) / 768 AS mean_all,
+           SUM(v) FILTER (c = 0) / 256 AS mean_r,
+           SUM(v) FILTER (c = 1) / 256 AS mean_g,
+           SUM(v) FILTER (c = 2) / 256 AS mean_b
+    FROM jpgpx GROUP BY m
+),
+jpg AS (
+    SELECT a.m,
+           CAST(CAST(16 AS DOUBLE) / 65535 AS REAL) AS f0,
+           CAST(CAST(16 AS DOUBLE) / 65535 AS REAL) AS f1,
+           CAST(CAST(3 AS DOUBLE) / 4 AS REAL) AS f2,
+           CAST(ANY_VALUE(s.mean_all) / 255 AS REAL) AS f3,
+           CAST(ANY_VALUE(s.mean_r) / 255 AS REAL) AS f4,
+           CAST(ANY_VALUE(s.mean_g) / 255 AS REAL) AS f5,
+           CAST(ANY_VALUE(s.mean_b) / 255 AS REAL) AS f6,
+           CAST(sqrt(SUM((a.v - s.mean_all) * (a.v - s.mean_all)) / 768) / 255
+                AS REAL) AS f7
+    FROM jpgpx a JOIN jpgmeans s USING (m) GROUP BY a.m
+),
+feats AS (
+    SELECT * FROM img UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM wav
+)
 SELECT r.media_ref,
        CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
        CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,

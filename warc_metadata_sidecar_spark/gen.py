@@ -398,6 +398,99 @@ def _enc_wav(m: int) -> bytes:
     return b"RIFF" + st.pack("<I", len(body)) + body
 
 
+CODEC_JPEG_WH = 16  # 2x2 grid of flat 8x8 tiles -> 4 one-block MCUs
+
+
+def codec_jpeg_ycc(m: int, t: int) -> tuple[int, int, int]:
+    """Closed-form flat (Y, Cb, Cr) for tile t (0..3) of JPEG fixture m —
+    also rendered as SQL arithmetic in the decode-real oracle."""
+    return (
+        (m * 37 + t * 53) % 256,
+        (m * 29 + t * 71) % 256,
+        (m * 31 + t * 97) % 256,
+    )
+
+
+def codec_jpeg_rgb(m: int, t: int) -> tuple[int, int, int]:
+    """The RGB every pixel of tile t decodes to: the JFIF color transform
+    with floor(x+0.5) rounding on the exactly-recovered integer samples
+    (flat DC-only blocks under an all-ones quant table are lossless)."""
+    import math
+
+    y, cb, cr = codec_jpeg_ycc(m, t)
+
+    def c8(x: float) -> int:
+        return min(255, max(0, int(math.floor(x + 0.5))))
+
+    return (
+        c8(y + 1.402 * (cr - 128)),
+        c8(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        c8(y + 1.772 * (cb - 128)),
+    )
+
+
+def _enc_jpeg_dc(m: int) -> bytes:
+    """Baseline JPEG over the closed-form tiles: 16x16, 3 components 4:4:4,
+    all-ones quant table, minimal canonical Huffman tables (DC categories
+    0..11 at 4 bits, AC holding only EOB at 1 bit), flat DC-only blocks.
+    F(0,0) = 8*(v-128) is integer-exact under q=1, so the decode is
+    bit-lossless and the oracle can state the pixels in closed form."""
+    import struct as st
+
+    buf = bytearray()
+    acc = nb = 0
+
+    def put(v: int, n: int) -> None:
+        nonlocal acc, nb
+        for i in range(n - 1, -1, -1):
+            acc = (acc << 1) | ((v >> i) & 1)
+            nb += 1
+            if nb == 8:
+                buf.append(acc)
+                if acc == 0xFF:
+                    buf.append(0x00)  # byte stuffing
+                acc = nb = 0
+
+    preds = [0, 0, 0]
+    for t in range(4):  # MCU row-major == tile index
+        ycc = codec_jpeg_ycc(m, t)
+        for ci in range(3):
+            dc = 8 * (ycc[ci] - 128)
+            diff, preds[ci] = dc - preds[ci], dc
+            s = abs(diff).bit_length()
+            put(s, 4)  # DC table: code for category s IS s (4 bits)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            put(0, 1)  # AC table: EOB is the single 1-bit code '0'
+    if nb:
+        put((1 << (8 - nb)) - 1, 8 - nb)  # pad with 1s
+
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0"
+        + st.pack(">H", 2 + 6 + 9)
+        + bytes([8])
+        + st.pack(">HH", CODEC_JPEG_WH, CODEC_JPEG_WH)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + st.pack(">H", 2 + 17 + 12)
+        + bytes([0x00, 0, 0, 0, 12] + [0] * 12)
+        + bytes(range(12))
+    )
+    out += (
+        b"\xff\xc4"
+        + st.pack(">H", 2 + 17 + 1)
+        + bytes([0x10, 1] + [0] * 15 + [0x00])
+    )
+    out += b"\xff\xda" + st.pack(">H", 2 + 1 + 6 + 3) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    return out + bytes(buf) + b"\xff\xd9"
+
+
 def _enc_jpeg_header(w: int, h: int) -> bytes:
     """Minimal structurally-valid JPEG prefix: SOI + APP0/JFIF + DQT stub +
     SOF0 carrying the dims (the only part a header probe reads) + EOI."""
@@ -515,7 +608,8 @@ def probe_media(spark: SparkSession) -> DataFrame:
 def codec_rows() -> list[dict]:
     """Deterministic blobs for the real-decode oracle: two of each raster
     container (PNG/GIF/BMP/P6/TGA) over the closed-form pixels, two WAVs
-    over the closed-form samples."""
+    over the closed-form samples, two baseline JPEGs over the closed-form
+    DC-only tiles (lossless under an all-ones quant table)."""
     rows = []
     for m, (kind, enc) in enumerate(
         (k, e)
@@ -546,6 +640,14 @@ def codec_rows() -> list[dict]:
                 "media_ref": f"codec://wav/{m}",
                 "bytes": _enc_wav(m),
                 "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": CODEC_FRAMES * 1000 // CODEC_RATE},
+            }
+        )
+    for m in (12, 13):
+        rows.append(
+            {
+                "media_ref": f"codec://jpeg/{m}",
+                "bytes": _enc_jpeg_dc(m),
+                "meta": {"media_type": "image", "width": CODEC_JPEG_WH, "height": CODEC_JPEG_WH, "duration_ms": None},
             }
         )
     return rows

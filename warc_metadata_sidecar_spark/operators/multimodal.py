@@ -4,14 +4,16 @@ metadata (schema.MEDIA), processed with Arrow-batched pandas UDFs.
 Pixel decode (VERDICT r5 #8): these families decode for real with no
 third-party dependency — BMP (BI_RGB 24/32-bit), netpbm (P2/P3/P5/P6),
 TGA (type-2 truecolor), PNG (8-bit gray/RGB/palette/alpha via stdlib
-zlib — a genuine DEFLATE-compressed decode), and GIF (87a/89a first
-frame via a pure-Python LZW inflater, interlace + local color tables)
-— via `decode_pixels`;
+zlib — a genuine DEFLATE-compressed decode), GIF (87a/89a first
+frame via a pure-Python LZW inflater, interlace + local color tables),
+and baseline JPEG (SOF0/SOF1: canonical-Huffman entropy decode,
+restart intervals, dequant + zigzag + numpy IDCT, chroma box
+upsampling, JFIF YCbCr->RGB) — via `decode_pixels`;
 `decode_image(real=True)` derives a deterministic feature vector (dims +
 per-channel means + std) from the actual pixels. `decode_wav` does the
 same for RIFF/WAVE integer PCM (8/16-bit, any channel count) ->
 `decode_audio(real=True)` features (duration/rate/RMS/peak/ZCR). The
-remaining compressed codecs (JPEG/WebP, MP3/OGG/FLAC) still raise
+remaining compressed codecs (progressive JPEG/WebP, MP3/OGG/FLAC) raise
 NotImplementedError behind the same seam (PIL/ffmpeg absent from this
 container); `_fake_decode` remains the default-path stand-in so existing
 oracles are unchanged. Swap the NotImplementedError branch for
@@ -344,15 +346,294 @@ def _decode_tga(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     return w, h, 3, np.ascontiguousarray(rgb)
 
 
+# Zigzag scan order: position k in the entropy-coded sequence -> natural
+# (row-major) coefficient index. ITU-T T.81 Figure A.6.
+_JPEG_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal 8-point DCT basis: _JPEG_A[u, x] = c(u)/2 * cos((2x+1)u*pi/16),
+# c(0)=1/sqrt(2) else 1; spatial = A.T @ coeffs @ A (the 2-D type-III IDCT).
+_JPEG_A = np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+) / 2.0
+_JPEG_A[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+class _JpegErr(Exception):
+    """Internal: malformed entropy stream / table miss — mapped to None."""
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman spec (16 length counts + symbol list) ->
+    {(code_length, code_value): symbol} for bit-serial decoding."""
+    lut: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) -> (w, h, 3, RGB array),
+    dependency-free: marker walk, canonical-Huffman entropy decode with
+    0xFF00 byte unstuffing, DRI/RSTn restart intervals (DC predictors
+    reset per interval), dequant + zigzag + orthonormal matrix IDCT
+    (numpy), box chroma upsampling for subsampled scans, JFIF YCbCr->RGB
+    with floor(x+0.5) rounding on integer component samples — the same
+    integer-samples-then-color-convert order libjpeg uses. Grayscale
+    replicates to 3 channels like the netpbm path. Progressive (SOF2),
+    arithmetic coding, 12-bit precision, and CMYK return None (those stay
+    behind the PIL seam), as does any structurally corrupt stream."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (w, h, [(comp_id, h_i, v_i, tq), ...])
+    restart = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before any scan
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                n = 128 if pq else 64
+                if len(body) < i + n:
+                    return None
+                raw = np.frombuffer(
+                    body, dtype=">u2" if pq else np.uint8, count=64, offset=i
+                ).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = raw
+                qt[tq] = nat
+                i += n
+        elif marker in (0xC0, 0xC1):  # baseline / extended-sequential Huffman
+            if len(body) < 6 or body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if w == 0 or h == 0 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            comps = [
+                (body[6 + 3 * j], body[7 + 3 * j] >> 4, body[7 + 3 * j] & 15,
+                 body[8 + 3 * j])
+                for j in range(nc)
+            ]
+            frame = (w, h, comps)
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive / lossless / arithmetic: PIL seam
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                n = sum(counts)
+                if len(body) < i + 17 + n:
+                    return None
+                huff[(tc, th)] = _jpeg_huff_table(counts, body[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                return None
+            restart = int.from_bytes(body, "big")
+        elif marker == 0xDA:  # SOS: scan header, entropy data follows
+            if frame is None or len(body) < 1:
+                return None
+            ns = body[0]
+            if ns != len(frame[2]) or len(body) < 1 + 2 * ns + 3:
+                return None
+            scomps = []
+            for j in range(ns):
+                cid, tbls = body[1 + 2 * j], body[2 + 2 * j]
+                idx = next(
+                    (k for k, c in enumerate(frame[2]) if c[0] == cid), None
+                )
+                if idx is None:
+                    return None
+                scomps.append((idx, tbls >> 4, tbls & 15))
+            scan = (scomps, pos + 2 + seglen)
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        return None
+    w, h, comps = frame
+    scomps, entropy_start = scan
+
+    # single-component scans form one-block MCUs regardless of declared
+    # sampling factors (T.81 A.2.3) — normalize so the geometry below holds
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0 or any(
+        c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        return None
+    for _, _, _, tq in comps:
+        if tq not in qt:
+            return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total_mcus = mcux * mcuy
+    planes = [
+        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1])) for c in comps
+    ]
+
+    # split entropy-coded bytes into restart chunks, unstuffing 0xFF00
+    chunks: list[bytearray] = []
+    cur = bytearray()
+    i = entropy_start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                chunks.append(cur)
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(b)
+        i += 1
+    chunks.append(cur)
+
+    try:
+        mcu = 0
+        for chunk in chunks:
+            bitpos = 0
+            nbits = len(chunk) * 8
+
+            def getbit() -> int:
+                nonlocal bitpos
+                if bitpos >= nbits:
+                    raise _JpegErr
+                b = (chunk[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                bitpos += 1
+                return b
+
+            def huffdec(tbl: dict[tuple[int, int], int]) -> int:
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | getbit()
+                    sym = tbl.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise _JpegErr
+
+            def receive_extend(s: int) -> int:
+                if s == 0:
+                    return 0
+                v = 0
+                for _ in range(s):
+                    v = (v << 1) | getbit()
+                return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+            preds = [0] * len(comps)
+            limit = mcu + restart if restart else total_mcus
+            while mcu < min(limit, total_mcus):
+                my, mx = divmod(mcu, mcux)
+                for ci, dc_id, ac_id in scomps:
+                    dct = huff.get((0, dc_id))
+                    act = huff.get((1, ac_id))
+                    if dct is None or act is None:
+                        raise _JpegErr
+                    q = qt[comps[ci][3]]
+                    for by in range(comps[ci][2]):
+                        for bx in range(comps[ci][1]):
+                            coef = np.zeros(64)
+                            s = huffdec(dct)
+                            if s > 11:
+                                raise _JpegErr
+                            preds[ci] += receive_extend(s)
+                            coef[0] = preds[ci] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = huffdec(act)
+                                r, ss = rs >> 4, rs & 15
+                                if ss == 0:
+                                    if r != 15:
+                                        break  # EOB
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise _JpegErr
+                                nz = _JPEG_ZIGZAG[k]
+                                coef[nz] = receive_extend(ss) * q[nz]
+                                k += 1
+                            spatial = _JPEG_A.T @ coef.reshape(8, 8) @ _JPEG_A
+                            y0 = (my * comps[ci][2] + by) * 8
+                            x0 = (mx * comps[ci][1] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                mcu += 1
+            if mcu >= total_mcus:
+                break
+        if mcu < total_mcus:
+            raise _JpegErr
+    except _JpegErr:
+        return None
+
+    # integer component samples first (libjpeg order), then upsample + color
+    samples = []
+    for ci, c in enumerate(comps):
+        p = np.clip(np.floor(planes[ci] + 128.0 + 0.5), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // c[2], axis=0), hmax // c[1], axis=1)
+        samples.append(p[:h, :w])
+    if len(samples) == 1:
+        gray = samples[0].astype(np.uint8)[:, :, None]
+        return w, h, 3, np.ascontiguousarray(np.repeat(gray, 3, axis=2))
+    y, cb, cr = samples
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255)
+    return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+
+
 def decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """(width, height, channels, HxWx3 uint8 RGB array) for the
     dependency-free families (BMP/netpbm/TGA uncompressed, PNG via
-    stdlib zlib, GIF via pure-Python LZW), None otherwise. A blob whose
+    stdlib zlib, GIF via pure-Python LZW, baseline JPEG via canonical
+    Huffman + numpy IDCT), None otherwise. A blob whose
     magic matches but whose structure is corrupt (truncated header, bad
     palette size, malformed LZW/DEFLATE stream) returns None rather than
     raising — at corpus scale corrupt payloads are a certainty and must
     not kill the Spark task they ride in."""
-    for dec in (_decode_png, _decode_gif, _decode_bmp, _decode_netpbm, _decode_tga):
+    for dec in (_decode_png, _decode_gif, _decode_jpeg, _decode_bmp, _decode_netpbm, _decode_tga):
         try:
             out = dec(data)
         except Exception:
@@ -453,14 +734,16 @@ def _pixel_features(w: int, h: int, img: np.ndarray) -> list[float]:
 def decode_image(data: bytes, real: bool = False) -> list[float]:
     """Feature vector for one image blob. real=False (the default every
     existing oracle pins): deterministic fake. real=True: ACTUAL pixels
-    for PNG/GIF/BMP/netpbm/TGA; the remaining compressed codecs raise
-    NotImplementedError (the PIL/ffmpeg seam, honestly stubbed)."""
+    for baseline JPEG/PNG/GIF/BMP/netpbm/TGA; the remaining compressed
+    codecs raise NotImplementedError (the PIL/ffmpeg seam, honestly
+    stubbed)."""
     if real:
         px = decode_pixels(data)
         if px is None:
             raise NotImplementedError(
-                "JPEG/WebP decode requires PIL/torchvision — not in this "
-                "container; PNG/GIF/BMP/netpbm/TGA decode natively"
+                "progressive-JPEG/WebP decode requires PIL/torchvision — not "
+                "in this container; baseline JPEG/PNG/GIF/BMP/netpbm/TGA "
+                "decode natively"
             )
         w, h, _, img = px
         return _pixel_features(w, h, img)
