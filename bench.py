@@ -208,6 +208,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
+    "lm_perplexity",
     "lang_id_markers",
     "fingerprint_winnow",
     "embedding_cosine_pairs",

@@ -77,3 +77,18 @@ def test_ivf_module_matches_twin(spark):
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
     assert _rows(mod, float_cols={"sim"}) == _rows(twin, float_cols={"sim"})
+
+
+def test_lm_module_matches_twin(spark):
+    """operators/lm.py (train + broadcast-model score) produces exactly the
+    dual-dialect lm_perplexity statement's rows — the CCNet-style gate's
+    composable form is pinned by the same oracle green."""
+    from warc_metadata_sidecar_spark.operators.lm import lm_perplexity
+
+    dq.register_views(spark, SF_DIR)
+    twin = spark.sql(dq.spark_sql_for("lm_perplexity"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mod = lm_perplexity(docs)
+    assert _rows(mod, float_cols={"bits_per_char"}) == _rows(
+        twin, float_cols={"bits_per_char"}
+    )

@@ -588,6 +588,50 @@ SELECT @LEN(@SPLIT(text, ' ')) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY @LEN(@SPLIT(text, ' ')) ORDER BY n_tokens
 """
 
+# character-bigram LM perplexity (the CCNet-style fluency gate): train
+# add-one-smoothed bigram counts over the normalized corpus, score every
+# document's bits-per-char under the model. The composable module twin is
+# operators/lm.py (train_char_lm/score_char_lm — broadcast model join,
+# map-side-combined explodes); tests/test_module_oracle_parity.py pins the
+# module to this statement's rows.
+_Q["lm_perplexity"] = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' '),
+                             ' +', ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT * FROM norm WHERE length(t) >= 2),
+bg AS (
+  SELECT doc_id, substr(t, i, 2) AS b
+  FROM nz @LATB
+),
+counts AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY b),
+ctx AS (SELECT substr(b, 1, 1) AS c1, SUM(c) AS tot FROM counts GROUP BY c1),
+vocab AS (
+  SELECT CAST(count(DISTINCT ch) AS DOUBLE) AS v
+  FROM (SELECT substr(b, 1, 1) AS ch FROM counts
+        UNION ALL SELECT substr(b, 2, 1) FROM counts) u
+),
+docbg AS (
+  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS n FROM bg GROUP BY doc_id, b
+),
+scored AS (
+  SELECT d.doc_id,
+         SUM(d.n) AS n_bigrams,
+         SUM(d.n * log2((c.c + 1) / (x.tot + v.v))) AS logsum
+  FROM docbg d
+  JOIN counts c ON c.b = d.b
+  JOIN ctx x ON x.c1 = substr(d.b, 1, 1)
+  CROSS JOIN vocab v
+  GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
+FROM scored ORDER BY doc_id
+"""
+
 # end-to-end training-data CURATION pipeline (the composition users run):
 # exact dedup (content fingerprint, first-id keeper) -> language gate ->
 # quality gate (length + lexical diversity) -> token accounting, over the
@@ -837,6 +881,8 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@LAT16", dialect["LAT"]("16"))
     if "@LATG" in sql:
         sql = sql.replace("@LATG", dialect["LAT"]("length(text) - 7"))
+    if "@LATB" in sql:
+        sql = sql.replace("@LATB", dialect["LAT"]("length(t) - 1"))
     if "@SHIFTR" in sql:
         sql = sql.replace("@SHIFTR", dialect["SHIFTRIGHT"].format(v="hv", b="CAST((i - 1) % 4 AS INT)"))
     if "@SHIFTL" in sql:

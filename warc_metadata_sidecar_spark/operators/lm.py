@@ -1,0 +1,135 @@
+"""Character n-gram language-model quality scoring (the CCNet-style
+perplexity gate a training-data pipeline runs between dedup and curation:
+low-perplexity-under-a-corpus-LM text is fluent, high-perplexity text is
+boilerplate/gibberish — cf. Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", LREC 2020).
+
+Spark-first shape, fully native (no UDFs anywhere):
+
+- **train**: one pass over the corpus — explode character bigrams
+  (`transform(sequence(...))` + `explode`, whole-stage codegen) and
+  groupBy-count. Map-side partial aggregation collapses each partition to
+  its distinct-bigram counts before the shuffle, so shuffle volume is
+  O(partitions x V^2), not O(corpus chars); the trained model is <= V^2
+  rows (V = normalized charset, 27 here) regardless of corpus size.
+- **score**: per-document distinct-bigram counts (again collapsed
+  map-side, so the (doc_id, bigram) shuffle carries <= V^2 rows per doc,
+  not one row per character) joined against the *broadcast* model — the
+  model is a trained artifact of bounded size, the canonical broadcast-
+  small-dim case — then one groupBy(doc_id) weighted log-sum.
+
+Add-one (Laplace) smoothing over the observed vocabulary:
+P(c2|c1) = (count(c1c2) + 1) / (count(c1.) + V). Documents whose
+normalized text has < 2 characters have no bigrams and drop out of the
+scored output (documented; the SQL twin drops them identically).
+
+The dual-dialect SQL twin is driver_queries._Q["lm_perplexity"];
+tests/test_module_oracle_parity.py pins this module to the twin's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# bigram positions of the normalized text column `t` (callers guarantee
+# length(t) >= 2 — sequence() would run DESCENDING on len-1 < 1)
+_BIGRAMS = "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+
+
+def normalize_for_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + `t`: lowercased, non-[a-z ] squashed to spaces, runs of
+    spaces collapsed, trimmed — a 27-char alphabet keeps the bigram model
+    <= 729 rows at any corpus size. Rows with < 2 normalized chars (no
+    bigrams) are dropped here so downstream sequence() bounds are valid."""
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", " "), " +", " "
+        )
+    )
+    return df.select("doc_id", t.alias("t")).where(F.length("t") >= 2)
+
+
+def train_char_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram counts: one row per distinct bigram `b` with its count
+    `c`, the context total `tot` (count of bigrams starting with b[0]) and
+    the observed vocabulary size `v` — everything score_char_lm needs, in
+    one <= V^2-row DataFrame. The corpus is scanned exactly ONCE (the
+    explode + groupBy); ctx totals and vocab size are windows over the
+    already-tiny counts table rather than self-joins, so no branch of the
+    plan re-derives the corpus explode."""
+    from pyspark.sql import Window
+
+    bg = (
+        normalize_for_lm(docs, text_col)
+        .select(F.explode(F.expr(_BIGRAMS)).alias("b"))
+    )
+    counts = bg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wctx = Window.partitionBy("c1")
+    # <= V^2 rows total: the single-partition window is a deliberate
+    # all-rows-in-one-task step over the MODEL, never over the corpus
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("c1", F.substring("b", 1, 1))
+        .withColumn("c2", F.substring("b", 2, 1))
+        .select(
+            "b",
+            "c",
+            F.sum("c").over(wctx).alias("tot"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.array("c1", "c2")).over(wall))
+                )
+            )
+            .cast("double")
+            .alias("v"),
+        )
+    )
+
+
+def score_char_lm(
+    docs: DataFrame, lm: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document bits-per-char under the trained model: doc_id,
+    n_bigrams, bits_per_char (= -avg log2 P, rounded to 4 decimals; the
+    perplexity is 2^bits_per_char). Unseen bigrams/contexts smooth to
+    (0+1)/(0+V). The lm side is explicitly broadcast — it is a bounded
+    trained artifact (<= V^2 rows), never corpus-sized."""
+    doc_bg = (
+        normalize_for_lm(docs, text_col)
+        .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    logp = F.log2(
+        (F.coalesce(F.col("c"), F.lit(0.0)) + 1)
+        / (F.coalesce(F.col("tot"), F.lit(0.0)) + F.col("v"))
+    )
+    joined = doc_bg.join(F.broadcast(lm), "b", "left")
+    # a fully-unseen bigram has NULL v from the left join: recover it from
+    # any model row via a 1-row broadcast of the constant
+    vconst = lm.agg(F.first("v", ignorenulls=True).alias("v_const"))
+    return (
+        joined.crossJoin(F.broadcast(vconst))
+        .withColumn("v", F.coalesce(F.col("v"), F.col("v_const")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.round(-F.sum(F.col("n") * logp) / F.sum("n"), 4).alias(
+                "bits_per_char"
+            ),
+        )
+    )
+
+
+def lm_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train on the corpus, score the corpus (the CCNet self-scoring
+    arrangement): doc_id, n_bigrams, bits_per_char ordered by doc_id.
+    The trained model (<= V^2 rows of bounded state, like IVF centroids)
+    is cached so its two score-side references (the broadcast join and the
+    v-constant) cost one materialization, and the corpus text is scanned
+    exactly twice: once to train, once to score."""
+    lm = train_char_lm(docs, text_col).cache()
+    return score_char_lm(docs, lm, text_col).orderBy("doc_id")
