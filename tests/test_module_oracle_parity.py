@@ -92,3 +92,27 @@ def test_lm_module_matches_twin(spark):
     assert _rows(mod, float_cols={"bits_per_char"}) == _rows(
         twin, float_cols={"bits_per_char"}
     )
+
+
+def test_gopher_module_matches_twin(spark):
+    """operators/quality.py repetition_signals produces exactly the
+    dual-dialect gopher_repetition statement's rows on the same planted
+    corpus (both drop rules fire: tripled docs trip dup5, boilerplate docs
+    trip top2)."""
+    from warc_metadata_sidecar_spark.operators.quality import repetition_signals
+
+    dq.register_views(spark, SF_DIR)
+    twin = spark.sql(dq.spark_sql_for("gopher_repetition"))
+    gdocs = spark.sql(
+        dq._render(
+            "WITH " + dq.GOPHER_CTE
+            + " SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM gdocs",
+            dq.SPARK,
+        )
+    )
+    mod = repetition_signals(gdocs)
+    fc = {"top2_frac", "dup5_frac"}
+    assert _rows(mod, float_cols=fc) == _rows(twin, float_cols=fc)
+    # both rules discriminate on this corpus
+    kept = {r["keep"] for r in mod.collect()}
+    assert kept == {True, False}

@@ -632,6 +632,64 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM scored ORDER BY doc_id
 """
 
+# Gopher repetition filters (Rae et al. 2021 App. A1.1, word-fraction
+# adaptation): most-frequent-2gram share + duplicate-5gram fraction per
+# document, with the paper's drop thresholds. Composable module twin:
+# operators/quality.py (map-side-combined gram aggregation); pinned by
+# tests/test_module_oracle_parity.py.
+# planted repetition (the pii_scrub planting pattern): doc_id % 9 docs are
+# tripled (duplicate-5gram trigger, top2 stays under threshold), % 13 docs
+# get 40x " click here" boilerplate (top-2gram trigger) — so both drop
+# rules fire on deterministic rows while most docs keep=True.
+GOPHER_BOILER = " click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here"
+GOPHER_CTE = """
+gdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', text, ' ', text)
+              WHEN doc_id % 13 = 0 THEN concat(text, ' click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here click here')
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+_Q["gopher_repetition"] = (
+    "WITH "
+    + GOPHER_CTE
+    + """,
+w AS (
+  SELECT doc_id, @SPLIT(text, ' ') AS ws FROM gdocs
+),
+w5 AS (SELECT * FROM w WHERE @LEN(ws) >= 5),
+g2 AS (
+  SELECT doc_id, @SLICE2 AS g FROM w5 @LAT2W
+),
+a2 AS (
+  SELECT doc_id, SUM(cnt) AS n2, MAX(cnt) AS m2
+  FROM (SELECT doc_id, g, CAST(count(*) AS DOUBLE) AS cnt
+        FROM g2 GROUP BY doc_id, g) t
+  GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, @SLICE5 AS g FROM w5 @LAT5W
+),
+a5 AS (
+  SELECT doc_id, SUM(cnt) AS n5, CAST(count(*) AS DOUBLE) AS d5
+  FROM (SELECT doc_id, g, CAST(count(*) AS DOUBLE) AS cnt
+        FROM g5 GROUP BY doc_id, g) t
+  GROUP BY doc_id
+)
+SELECT CAST(w5.doc_id AS BIGINT) AS doc_id,
+       CAST(@LEN(ws) AS BIGINT) AS n_words,
+       CAST(round(m2 / n2, 4) AS DOUBLE) AS top2_frac,
+       CAST(round(1 - d5 / n5, 4) AS DOUBLE) AS dup5_frac,
+       (round(m2 / n2, 4) <= 0.20 AND round(1 - d5 / n5, 4) <= 0.15) AS keep
+FROM w5
+JOIN a2 ON a2.doc_id = w5.doc_id
+JOIN a5 ON a5.doc_id = w5.doc_id
+ORDER BY 1
+"""
+)
+
 # end-to-end training-data CURATION pipeline (the composition users run):
 # exact dedup (content fingerprint, first-id keeper) -> language gate ->
 # quality gate (length + lexical diversity) -> token accounting, over the
@@ -883,6 +941,16 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@LATG", dialect["LAT"]("length(text) - 7"))
     if "@LATB" in sql:
         sql = sql.replace("@LATB", dialect["LAT"]("length(t) - 1"))
+    if "@LAT2W" in sql:
+        arrlen = "size(ws)" if dialect is SPARK else "len(ws)"
+        sql = sql.replace("@LAT2W", dialect["LAT"](f"{arrlen} - 1"))
+        sql = sql.replace("@LAT5W", dialect["LAT"](f"{arrlen} - 4"))
+        if dialect is SPARK:
+            sql = sql.replace("@SLICE2", "concat_ws(' ', slice(ws, i, 2))")
+            sql = sql.replace("@SLICE5", "concat_ws(' ', slice(ws, i, 5))")
+        else:
+            sql = sql.replace("@SLICE2", "array_to_string(ws[i:i+1], ' ')")
+            sql = sql.replace("@SLICE5", "array_to_string(ws[i:i+4], ' ')")
     if "@SHIFTR" in sql:
         sql = sql.replace("@SHIFTR", dialect["SHIFTRIGHT"].format(v="hv", b="CAST((i - 1) % 4 AS INT)"))
     if "@SHIFTL" in sql:
