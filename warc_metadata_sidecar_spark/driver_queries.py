@@ -588,6 +588,30 @@ SELECT @LEN(@SPLIT(text, ' ')) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY @LEN(@SPLIT(text, ' ')) ORDER BY n_tokens
 """
 
+# deterministic stratified sampling (per-source budgets, CCNet-style):
+# keep iff the first-3-nibble md5 bucket of the key falls under the
+# stratum's rate — a pure function of the row, so the selection is
+# independent of partitioning/file splits (DataFrame.sample is not).
+# Rates are dyadic (exact doubles) so the < comparison is bit-identical
+# across engines. Composable module twin: operators/sampling.py
+# (stratified_sample); tests/test_sampling.py pins module == this
+# statement's rows. Strata absent from the rates table drop (rate 0.0
+# default == inner join).
+_Q["stratified_sample"] = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+       CAST(@HEXBUCKET AS INT) AS bucket
+FROM documents d
+JOIN (VALUES ('src0', CAST(1.0 AS DOUBLE)),
+             ('src1', CAST(0.5 AS DOUBLE)),
+             ('src2', CAST(0.25 AS DOUBLE)),
+             ('src3', CAST(0.125 AS DOUBLE)),
+             ('src4', CAST(0.0625 AS DOUBLE)),
+             ('src5', CAST(0.0 AS DOUBLE))) AS rates(source, rate)
+  ON d.source = rates.source
+WHERE @HEXBUCKET < rate * 4096
+ORDER BY doc_id
+"""
+
 # character-bigram LM perplexity (the CCNet-style fluency gate): train
 # add-one-smoothed bigram counts over the normalized corpus, score every
 # document's bits-per-char under the model. The composable module twin is
@@ -984,6 +1008,16 @@ def _render_query(name: str, dialect: dict) -> str:
         )
     if "@ARGMAX8" in sql:
         sql = sql.replace("@ARGMAX8", _ARGMAX8_SPARK if dialect is SPARK else _ARGMAX8_DUCK)
+    if "@HEXBUCKET" in sql:
+        # first 3 md5 hex nibbles as int 0..4095 — operators/sampling.py's
+        # hash_bucket. Spark has conv(); DuckDB rebuilds the value from
+        # per-nibble strpos arithmetic (no hex->int cast on strings).
+        if dialect is SPARK:
+            hb = "CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), 1, 3), 16, 10) AS INT)"
+        else:
+            nib = "(strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS STRING)), {i}, 1)) - 1)"
+            hb = f"({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16 + {nib.format(i=3)})"
+        sql = sql.replace("@HEXBUCKET", hb)
     return _render(sql, dialect)
 
 
