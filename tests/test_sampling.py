@@ -14,7 +14,9 @@ from warc_metadata_sidecar_spark import driver_queries as dq
 from warc_metadata_sidecar_spark.operators.sampling import (
     N_BUCKETS,
     hash_bucket,
+    mixture_rates,
     stratified_sample,
+    temperature_sample,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -99,6 +101,61 @@ def test_rate_accuracy_large(spark):
         F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
     ).first()
     assert stats["lo"] == 0 and stats["hi"] == N_BUCKETS - 1
+
+
+def test_mixture_rates_matches_twin(spark, docs):
+    dq.register_views(spark, SF_DIR)
+    twin = sorted(tuple(r) for r in spark.sql(dq.spark_sql_for("mixture_weights")).collect())
+    mod = sorted(
+        tuple(r) for r in mixture_rates(docs, "lang", alpha=0.5, budget=250).collect()
+    )
+    assert mod == twin
+
+
+def test_temperature_sample_matches_twin(spark, docs):
+    dq.register_views(spark, SF_DIR)
+    twin = sorted(
+        tuple(r)
+        for r in spark.sql(dq.spark_sql_for("temperature_sample"))
+        .select("doc_id", "lang")
+        .collect()
+    )
+    mod = sorted(
+        tuple(r)
+        for r in temperature_sample(docs, "lang", "doc_id", alpha=0.5, budget=250)
+        .select(F.col("doc_id").cast("long"), "lang")
+        .collect()
+    )
+    assert mod == twin
+    assert len(mod) > 0
+
+
+def test_mixture_flattens_toward_uniform(spark, docs):
+    """alpha<1 must shrink the majority stratum's share and grow every
+    minority's: q_en < p_en and q_s > p_s for all other langs."""
+    rows = {
+        r["lang"]: r for r in mixture_rates(docs, "lang", alpha=0.5).collect()
+    }
+    n_tot = sum(r["n_docs"] for r in rows.values())
+    majority = max(rows, key=lambda k: rows[k]["n_docs"])
+    assert majority == "en"
+    for lang, r in rows.items():
+        p = r["n_docs"] / n_tot
+        if lang == majority:
+            assert r["q"] < p
+        else:
+            assert r["q"] > p
+    # alpha=0 would be uniform; alpha=1 is the raw distribution
+    raw = {r["lang"]: r["q"] for r in mixture_rates(docs, "lang", alpha=1.0).collect()}
+    assert abs(raw[majority] - rows[majority]["n_docs"] / n_tot) < 1e-6
+
+
+def test_temperature_sample_hits_budget(spark, docs):
+    """Kept total lands near the requested budget (each stratum is a
+    binomial at its rate; 5-sigma bound on the sum)."""
+    budget = 250
+    kept = temperature_sample(docs, "lang", budget=budget).count()
+    assert abs(kept - budget) < 5 * (budget**0.5)
 
 
 def test_plan_broadcasts_rates(spark, docs):

@@ -612,6 +612,53 @@ WHERE @HEXBUCKET < rate * 4096
 ORDER BY doc_id
 """
 
+# temperature-based mixture weighting (XLM-R / mC4): q_s ∝ p_s^0.5 flattens
+# the skewed lang distribution; rate_s = min(1, budget·q_s/n_s) converts the
+# mixture to per-stratum keep rates (budget 250 of 500 docs). alpha=0.5 is
+# sqrt — IEEE-correctly-rounded, so both engines produce bit-identical q
+# before the 6-digit rounding that guards the 5-term sum-order ulps.
+# Composable module twin: operators/sampling.mixture_rates.
+MIXTURE_CTES = """
+counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+scored AS (
+  SELECT lang, n_docs,
+         sqrt(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()) AS sp
+  FROM counts
+)"""
+
+_Q["mixture_weights"] = (
+    "WITH "
+    + MIXTURE_CTES
+    + """
+SELECT lang, n_docs,
+       CAST(round(sp / sum(sp) OVER (), 6) AS DOUBLE) AS q,
+       CAST(least(1.0, round(sp / sum(sp) OVER () * 250 / n_docs, 6)) AS DOUBLE) AS rate
+FROM scored ORDER BY lang
+"""
+)
+
+# ...and the composed selection: mixture rates applied through the same
+# hash-threshold rule (floor quantizes the rounded rate to 1/4096 so the
+# comparison never sits on a cross-engine ulp). Module twin:
+# operators/sampling.temperature_sample.
+_Q["temperature_sample"] = (
+    "WITH "
+    + MIXTURE_CTES
+    + """,
+rates AS (
+  SELECT lang,
+         least(1.0, round(sp / sum(sp) OVER () * 250 / n_docs, 6)) AS rate
+  FROM scored
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE @HEXBUCKET < floor(r.rate * 4096)
+ORDER BY doc_id
+"""
+)
+
 # character-bigram LM perplexity (the CCNet-style fluency gate): train
 # add-one-smoothed bigram counts over the normalized corpus, score every
 # document's bits-per-char under the model. The composable module twin is
