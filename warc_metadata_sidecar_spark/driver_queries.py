@@ -659,6 +659,41 @@ ORDER BY doc_id
 """
 )
 
+# GPT-style sequence packing ("concatenate then cut"): per group, docs are
+# laid end-to-end in doc_id order and the token stream is cut every 128
+# tokens; a doc may straddle cuts. Pure prefix-sum arithmetic — one window
+# cumsum + a bounded explode over the chunk range each doc spans. Module
+# twin: operators/packing.pack_chunked (tests/test_packing.py pins rows).
+_Q["pack_chunked"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 4 AS BIGINT) AS grp,
+         CAST(@LEN(@SPLIT(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, grp, n_toks,
+         coalesce(sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks WHERE n_toks > 0
+),
+bounds AS (
+  SELECT doc_id, grp, n_toks, before,
+         CAST(floor(before / 128.0) AS BIGINT) AS k0,
+         CAST(floor((before + n_toks - 1) / 128.0) AS BIGINT) AS k1
+  FROM laid
+),
+spans AS (
+  SELECT grp, k0 + i - 1 AS chunk_id, doc_id, before, n_toks
+  FROM bounds @LATPACK
+)
+SELECT grp, chunk_id, doc_id,
+       CAST(greatest(chunk_id * 128, before) - before AS BIGINT) AS off,
+       CAST(least((chunk_id + 1) * 128, before + n_toks)
+            - greatest(chunk_id * 128, before) AS BIGINT) AS span_len
+FROM spans ORDER BY grp, chunk_id, doc_id
+"""
+
 # character-bigram LM perplexity (the CCNet-style fluency gate): train
 # add-one-smoothed bigram counts over the normalized corpus, score every
 # document's bits-per-char under the model. The composable module twin is
@@ -1055,6 +1090,8 @@ def _render_query(name: str, dialect: dict) -> str:
         )
     if "@ARGMAX8" in sql:
         sql = sql.replace("@ARGMAX8", _ARGMAX8_SPARK if dialect is SPARK else _ARGMAX8_DUCK)
+    if "@LATPACK" in sql:
+        sql = sql.replace("@LATPACK", dialect["LAT"]("k1 - k0 + 1"))
     if "@HEXBUCKET" in sql:
         # first 3 md5 hex nibbles as int 0..4095 — operators/sampling.py's
         # hash_bucket. Spark has conv(); DuckDB rebuilds the value from
@@ -2245,6 +2282,49 @@ _CHARSET_FIXTURES: list[tuple[str, str, float, str]] = [
 ]
 
 
+def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-sequential packing (no doc splitting) over `documents` —
+    the applyInPandas path; oracled against a sequential Python twin."""
+    from warc_metadata_sidecar_spark.operators.packing import pack_greedy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_greedy(docs, seq_len=128, n_groups=4).orderBy("grp", "doc_id")
+
+
+def _pack_greedy_oracle_sql(sf_dir: str | None = None) -> str:
+    """Sequential first-fit twin rendered as VALUES: same key order, same
+    overflow rule, computed by a plain Python loop over the parquet rows."""
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows_in = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in rows_in:
+        n = len(text.split(" "))
+        if n > 0:
+            groups.setdefault(int(doc_id) % 4, []).append((int(doc_id), n))
+    out = []
+    for g in sorted(groups):
+        seq, acc = 0, 0
+        for doc_id, n in groups[g]:  # doc_id-sorted by the ORDER BY
+            if acc > 0 and acc + n > 128:
+                seq, acc = seq + 1, 0
+            out.append((g, doc_id, seq, n))
+            acc += n
+    values = ",\n    ".join(f"({g}, {d}, {s}, {n})" for g, d, s, n in out)
+    return (
+        "SELECT CAST(grp AS BIGINT) AS grp, CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       CAST(seq_id AS BIGINT) AS seq_id, CAST(n_toks AS BIGINT) AS n_toks\n"
+        f"FROM (VALUES\n    {values}) AS t(grp, doc_id, seq_id, n_toks)\n"
+        "ORDER BY grp, doc_id"
+    )
+
+
 def charset_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-bytes charset detection (the chardet seam, VERDICT r5 #2)
     oracled against GROUND TRUTH: each row's bytes are prose encoded with
@@ -2343,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["href_resolution"] = href_resolution
     out["href_edge_kinds"] = href_edge_kinds
     out["charset_bytes"] = charset_bytes
+    out["pack_greedy"] = pack_greedy_docs
     return out
 
 
@@ -2379,4 +2460,6 @@ def oracle_sql() -> dict[str, str]:
     # raw-bytes charset ladder vs ground-truth labels (the codec each
     # fixture was ENCODED with — no detection logic on the oracle side)
     oracles["charset_bytes"] = _charset_bytes_oracle_sql()
+    # first-fit packing (applyInPandas) vs the sequential Python twin
+    oracles["pack_greedy"] = _pack_greedy_oracle_sql()
     return oracles
