@@ -116,3 +116,33 @@ def test_gopher_module_matches_twin(spark):
     # both rules discriminate on this corpus
     kept = {r["keep"] for r in mod.collect()}
     assert kept == {True, False}
+
+
+def test_gopher_document_module_matches_twin(spark):
+    """operators/quality.document_signals == the dual-dialect
+    gopher_quality statement on the planted corpus, and each planted slot
+    trips exactly its intended rule."""
+    from warc_metadata_sidecar_spark.operators.quality import document_signals
+
+    dq.register_views(spark, SF_DIR)
+    twin = spark.sql(dq.spark_sql_for("gopher_quality"))
+    gq = spark.sql(
+        dq._render(
+            "WITH " + dq.GQUAL_CTE
+            + " SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM gq",
+            dq.SPARK,
+        )
+    )
+    mod = document_signals(gq)
+    fc = {"mean_word_len", "symbol_ratio", "bullet_frac", "ellipsis_frac", "alpha_frac"}
+    assert _rows(mod, float_cols=fc) == _rows(twin, float_cols=fc)
+    by_slot = {r["doc_id"] % 17: r for r in sorted(mod.collect(), key=lambda r: -r["doc_id"])}
+    assert by_slot[1]["bullet_frac"] > 0.9
+    assert by_slot[2]["ellipsis_frac"] > 0.3
+    assert by_slot[3]["symbol_ratio"] > 0.1
+    assert by_slot[4]["alpha_frac"] < 0.8 and by_slot[4]["n_stop"] == 0
+    assert by_slot[5]["n_stop"] < 2 and by_slot[5]["alpha_frac"] == 1.0
+    assert by_slot[6]["mean_word_len"] > 10
+    assert by_slot[7]["keep"] is True
+    kept = {r["keep"] for r in mod.collect()}
+    assert kept == {True, False}

@@ -89,6 +89,7 @@ def _render(template: str, d: dict) -> str:
     out = out.replace("@LEN", d["LEN"])
     out = out.replace("@STRPOS", d["STRPOS"])
     out = out.replace("@ANTI", d["ANTI"])
+    out = out.replace("@CHR10", "char(10)" if d is SPARK else "chr(10)")
     return out
 
 
@@ -796,6 +797,93 @@ ORDER BY 1
 """
 )
 
+# Gopher DOCUMENT-level quality rules (Rae et al. 2021 App. A1, the
+# non-repetition half): word-count bounds, mean word length 3..10,
+# symbol-to-word ratio (# or ...) <= 0.1, <=90% bullet-started lines,
+# <=30% ellipsis-ended lines, >=80% words with an alphabetic char, >=2 of
+# the 8 stop words. Every ratio is a quotient of integers — single IEEE
+# division, bit-identical across engines, so thresholds never sit on an
+# ulp. Planted rows (doc_id % 17): 1=bullet lines, 2=ellipsis lines,
+# 3=hash symbols, 4=digits-only (trips alpha+stopword+short-word
+# together — a numbers page genuinely fails all three), 5=no stop words,
+# 6=overlong words, 7=fully compliant (keep=True fires deterministically);
+# base docs under 50 words trip the word-count rule naturally, and the
+# synthetic vocab carries only 'the' of the 8 stop words, so unplanted
+# docs drop on the stop-word rule — the gate is calibrated for English
+# prose, which this corpus deliberately is not.
+# Composable module twin: operators/quality.document_signals.
+GQUAL_CTE = """
+gq AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 17 = 1 THEN concat_ws(@CHR10,
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        '- the quick brown fox jumps to safety',
+        'closing line keeps the usual words to finish cleanly')
+      WHEN doc_id % 17 = 2 THEN concat_ws(@CHR10,
+        'the quick brown fox jumps to safety...',
+        'the quick brown fox jumps to safety...',
+        'the quick brown fox jumps to safety...',
+        'the quick brown fox jumps to safety...',
+        'the quick brown fox jumps to safety',
+        'the quick brown fox jumps to safety',
+        'the quick brown fox jumps to safety',
+        'the quick brown fox jumps to safety',
+        'the quick brown fox jumps to safety',
+        'the quick brown fox jumps to safety')
+      WHEN doc_id % 17 = 3 THEN concat(
+        trim(repeat('the quick brown fox jumps to safety now ', 7)),
+        ' a# a# a# a# a# a# a# a# a# a# a# a#')
+      WHEN doc_id % 17 = 4 THEN trim(repeat('12 345 6789 01 234 567 89 0123 ', 8))
+      WHEN doc_id % 17 = 5 THEN trim(repeat('lorem ipsum dolor sit amet consectetur adipiscing elit ', 7))
+      WHEN doc_id % 17 = 6 THEN trim(repeat('incomprehensibilities extraordinarily the of ', 15))
+      WHEN doc_id % 17 = 7 THEN trim(repeat('the quick brown fox jumps over and over to the safe side with care ', 5))
+      ELSE text END AS text
+  FROM documents
+)
+"""
+
+_Q["gopher_quality"] = (
+    "WITH "
+    + GQUAL_CTE
+    + """,
+feat AS (
+  SELECT doc_id, text, @SPLITWS AS ws, @LINES AS lines FROM gq
+),
+m AS (
+  SELECT doc_id,
+         CAST(@LEN(ws) AS BIGINT) AS n_words,
+         CAST(length(@NOWS) AS DOUBLE) / @LEN(ws) AS mwl,
+         CAST(length(text) - length(replace(text, '#', '')) + @N_ELLIPSIS AS DOUBLE)
+           / @LEN(ws) AS symr,
+         CAST(@NBULLET AS DOUBLE) / @LEN(lines) AS bulletf,
+         CAST(@NELL AS DOUBLE) / @LEN(lines) AS ellf,
+         CAST(@NALPHA AS DOUBLE) / @LEN(ws) AS alphaf,
+         CAST(@NSTOP AS INT) AS n_stop
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words,
+       CAST(round(mwl, 4) AS DOUBLE) AS mean_word_len,
+       CAST(round(symr, 4) AS DOUBLE) AS symbol_ratio,
+       CAST(round(bulletf, 4) AS DOUBLE) AS bullet_frac,
+       CAST(round(ellf, 4) AS DOUBLE) AS ellipsis_frac,
+       CAST(round(alphaf, 4) AS DOUBLE) AS alpha_frac,
+       n_stop,
+       (n_words >= 50 AND n_words <= 100000 AND mwl >= 3 AND mwl <= 10
+        AND symr <= 0.1 AND bulletf <= 0.9 AND ellf <= 0.3
+        AND alphaf >= 0.8 AND n_stop >= 2) AS keep
+FROM m ORDER BY doc_id
+"""
+)
+
 # end-to-end training-data CURATION pipeline (the composition users run):
 # exact dedup (content fingerprint, first-id keeper) -> language gate ->
 # quality gate (length + lexical diversity) -> token accounting, over the
@@ -1092,6 +1180,45 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@ARGMAX8", _ARGMAX8_SPARK if dialect is SPARK else _ARGMAX8_DUCK)
     if "@LATPACK" in sql:
         sql = sql.replace("@LATPACK", dialect["LAT"]("k1 - k0 + 1"))
+    if "@SPLITWS" in sql:
+        # gopher_quality: whitespace-regex words, newline lines, lambda
+        # filters over both, and the 8-stop-word membership sum
+        stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+        if dialect is SPARK:
+            contains = "array_contains(ws, '{w}')"
+            sql = sql.replace("@SPLITWS", "split(text, '\\\\s+')")
+            sql = sql.replace("@LINES", "split(text, '\\\\n')")
+            sql = sql.replace("@NOWS", "regexp_replace(text, '\\\\s', '')")
+            sql = sql.replace(
+                "@NBULLET", "size(filter(lines, l -> l like '- %' or l like '* %'))"
+            )
+            sql = sql.replace("@NELL", "size(filter(lines, l -> l like '%...'))")
+            sql = sql.replace(
+                "@NALPHA", "size(filter(ws, w -> w rlike '[a-zA-Z]'))"
+            )
+            sql = sql.replace(
+                "@N_ELLIPSIS", "size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0))"
+            )
+        else:
+            contains = "list_contains(ws, '{w}')"
+            sql = sql.replace("@SPLITWS", "string_split_regex(text, '\\s+')")
+            sql = sql.replace("@LINES", "string_split(text, chr(10))")
+            sql = sql.replace("@NOWS", "regexp_replace(text, '\\s', '', 'g')")
+            sql = sql.replace(
+                "@NBULLET",
+                "len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))",
+            )
+            sql = sql.replace("@NELL", "len(list_filter(lines, l -> l LIKE '%...'))")
+            sql = sql.replace(
+                "@NALPHA", "len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))"
+            )
+            sql = sql.replace(
+                "@N_ELLIPSIS", "len(regexp_extract_all(text, '\\.\\.\\.'))"
+            )
+        nstop = " + ".join(
+            f"(CASE WHEN {contains.format(w=w)} THEN 1 ELSE 0 END)" for w in stop
+        )
+        sql = sql.replace("@NSTOP", nstop)
     if "@HEXBUCKET" in sql:
         # first 3 md5 hex nibbles as int 0..4095 — operators/sampling.py's
         # hash_bucket. Spark has conv(); DuckDB rebuilds the value from

@@ -83,3 +83,79 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Gopher document-level rules (Rae et al. 2021 App. A1, the
+# non-repetition half) ---------------------------------------------------
+
+WC_MIN, WC_MAX = 50, 100_000
+MWL_MIN, MWL_MAX = 3.0, 10.0
+SYMBOL_MAX = 0.10
+BULLET_MAX = 0.90
+ELLIPSIS_MAX = 0.30
+ALPHA_MIN = 0.80
+STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+STOP_MIN = 2
+
+
+def document_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop, keep — the Gopher document-quality
+    gate. Every signal is a native expression over one scan (no shuffle at
+    all: the whole thing is a projection), and every ratio is a quotient
+    of two integers — one IEEE division, so thresholds are engine-stable.
+
+    Staged as named columns (ws/lines first, then counts, then ratios) so
+    Catalyst CSE shares the split arrays across the dependent expressions
+    instead of re-deriving them inside each conditional.
+    """
+    nstop = None
+    for w in STOPWORDS:
+        c = F.when(F.array_contains(F.col("ws"), w), 1).otherwise(0)
+        nstop = c if nstop is None else nstop + c
+    arrs = docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        F.split(F.col(text_col), r"\s+").alias("ws"),
+        F.split(F.col(text_col), r"\n").alias("lines"),
+    )
+    counts = arrs.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("sum_wl"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "#", ""))
+            + F.size(F.expr(r"regexp_extract_all(text, '\\.\\.\\.', 0)"))
+        ).alias("n_sym"),
+        F.size("lines").alias("n_lines"),
+        F.size(F.expr("filter(lines, l -> l like '- %' or l like '* %')")).alias("n_bullet"),
+        F.size(F.expr("filter(lines, l -> l like '%...')")).alias("n_ell"),
+        F.size(F.expr("filter(ws, w -> w rlike '[a-zA-Z]')")).alias("n_alpha"),
+        nstop.cast("int").alias("n_stop"),
+    )
+    mwl = F.col("sum_wl") / F.col("n_words")
+    symr = F.col("n_sym") / F.col("n_words")
+    bulletf = F.col("n_bullet") / F.col("n_lines")
+    ellf = F.col("n_ell") / F.col("n_lines")
+    alphaf = F.col("n_alpha") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(WC_MIN, WC_MAX)
+        & (mwl >= MWL_MIN) & (mwl <= MWL_MAX)
+        & (symr <= SYMBOL_MAX)
+        & (bulletf <= BULLET_MAX)
+        & (ellf <= ELLIPSIS_MAX)
+        & (alphaf >= ALPHA_MIN)
+        & (F.col("n_stop") >= STOP_MIN)
+    )
+    return counts.select(
+        "doc_id",
+        "n_words",
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(symr, 4).alias("symbol_ratio"),
+        F.round(bulletf, 4).alias("bullet_frac"),
+        F.round(ellf, 4).alias("ellipsis_frac"),
+        F.round(alphaf, 4).alias("alpha_frac"),
+        "n_stop",
+        keep.alias("keep"),
+    )
