@@ -146,3 +146,37 @@ def test_gopher_document_module_matches_twin(spark):
     assert by_slot[7]["keep"] is True
     kept = {r["keep"] for r in mod.collect()}
     assert kept == {True, False}
+
+
+def test_c4_module_matches_twin(spark):
+    """operators/quality.c4_signals == the dual-dialect c4_filters
+    statement on the planted corpus; c4_clean keeps exactly the keep=True
+    pages with line-filtered text."""
+    from warc_metadata_sidecar_spark.operators.quality import c4_clean, c4_signals
+
+    dq.register_views(spark, SF_DIR)
+    twin = spark.sql(dq.spark_sql_for("c4_filters"))
+    gc4 = spark.sql(
+        dq._render(
+            "WITH " + dq.GC4_CTE
+            + " SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM gc4",
+            dq.SPARK,
+        )
+    )
+    mod = c4_signals(gc4)
+    assert _rows(mod) == _rows(twin)
+    by_slot = {r["doc_id"] % 19: r for r in sorted(mod.collect(), key=lambda r: -r["doc_id"])}
+    assert by_slot[2]["has_lorem"] and not by_slot[2]["keep"]
+    assert by_slot[3]["has_brace"] and not by_slot[3]["keep"]
+    assert by_slot[4]["n_kept_lines"] == 5 and by_slot[4]["keep"]  # js line cut
+    assert by_slot[7]["n_sentences"] == 3 and not by_slot[7]["keep"]
+    assert by_slot[8]["has_blockword"] and not by_slot[8]["keep"]
+    cleaned = c4_clean(gc4)
+    keep_ids = {r["doc_id"] for r in mod.where("keep").collect()}
+    assert {r["doc_id"] for r in cleaned.collect()} == keep_ids
+    # a cleaned page's lines all end in terminal punctuation
+    sample = cleaned.where(F.col("doc_id") % 19 == 4).first()
+    assert all(
+        ln.endswith((".", "!", "?", '"')) and "javascript" not in ln
+        for ln in sample["text"].split("\n")
+    )

@@ -884,6 +884,75 @@ FROM m ORDER BY doc_id
 """
 )
 
+# C4 heuristics (Raffel et al. 2020 §2.2): retain lines ending in terminal
+# punctuation with >=3 words and no 'javascript'; drop pages with <5
+# sentences, 'lorem ipsum', a curly brace, or a blocklisted word (two
+# planted placeholder tokens stand in for the public blocklist — embedding
+# the real list verbatim would mean shipping slurs, deliberately not
+# done). Planted rows (doc_id % 19): 1=compliant, 2=lorem, 3=brace,
+# 4=javascript line removed but page survives, 5=unpunctuated lines
+# removed, 6=short lines removed, 7=only 3 sentences, 8=blocklist word;
+# base docs have no terminal punctuation, so every line drops and the
+# page fails the 5-sentence rule — the filter is calibrated for prose.
+# Composable module twin: operators/quality.c4_signals.
+C4_GOOD = "'the quick brown fox jumps here.'"
+GC4_CTE = (
+    """
+gc4 AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 19 = 1 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G, @G)
+      WHEN doc_id % 19 = 2 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G,
+        'this page uses lorem ipsum filler.')
+      WHEN doc_id % 19 = 3 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G,
+        'broken template { tag here.')
+      WHEN doc_id % 19 = 4 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G,
+        'enable javascript to view this site.')
+      WHEN doc_id % 19 = 5 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G,
+        'no punctuation here at all', 'another bare line')
+      WHEN doc_id % 19 = 6 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G,
+        'too short.', 'way short.')
+      WHEN doc_id % 19 = 7 THEN concat_ws(@CHR10, @G, @G, @G)
+      WHEN doc_id % 19 = 8 THEN concat_ws(@CHR10, @G, @G, @G, @G, @G,
+        'badword1 appears here sadly.')
+      ELSE text END AS text
+  FROM documents
+)
+""".replace("@G", C4_GOOD)
+)
+
+_Q["c4_filters"] = (
+    "WITH "
+    + GC4_CTE
+    + """,
+feat AS (
+  SELECT doc_id, text, @LINES AS lines, @KEPTLINES AS kept FROM gc4
+),
+joined AS (
+  -- DuckDB's array_to_string of an EMPTY list is NULL -> coalesce
+  SELECT doc_id, text, lines, kept, coalesce(@JOINKEPT, '') AS kt FROM feat
+),
+m AS (
+  SELECT doc_id,
+         CAST(@LEN(lines) AS BIGINT) AS n_lines,
+         CAST(@LEN(kept) AS BIGINT) AS n_kept_lines,
+         CAST(length(kt) - length(replace(kt, '.', ''))
+              + length(kt) - length(replace(kt, '!', ''))
+              + length(kt) - length(replace(kt, '?', ''))
+              AS BIGINT) AS n_sentences,
+         (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+         (text LIKE '%{%') AS has_brace,
+         (lower(text) LIKE '%badword1%' OR lower(text) LIKE '%badword2%') AS has_blockword
+  FROM joined
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines, n_kept_lines, n_sentences,
+       has_lorem, has_brace, has_blockword,
+       (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        AND NOT has_blockword) AS keep
+FROM m ORDER BY doc_id
+"""
+)
+
 # end-to-end training-data CURATION pipeline (the composition users run):
 # exact dedup (content fingerprint, first-id keeper) -> language gate ->
 # quality gate (length + lexical diversity) -> token accounting, over the
@@ -1180,6 +1249,30 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@ARGMAX8", _ARGMAX8_SPARK if dialect is SPARK else _ARGMAX8_DUCK)
     if "@LATPACK" in sql:
         sql = sql.replace("@LATPACK", dialect["LAT"]("k1 - k0 + 1"))
+    if "@LINES" in sql:
+        sql = sql.replace(
+            "@LINES",
+            "split(text, '\\\\n')" if dialect is SPARK else "string_split(text, chr(10))",
+        )
+    if "@KEPTLINES" in sql:
+        # c4_filters: the line-retention lambda (terminal punctuation,
+        # >=3 words, no 'javascript') and the kept-lines join
+        if dialect is SPARK:
+            sql = sql.replace(
+                "@KEPTLINES",
+                "filter(lines, l -> (l like '%.' or l like '%!' or l like '%?' "
+                "or l like '%\"') and size(split(l, ' ')) >= 3 "
+                "and not lower(l) like '%javascript%')",
+            )
+            sql = sql.replace("@JOINKEPT", "array_join(kept, ' ')")
+        else:
+            sql = sql.replace(
+                "@KEPTLINES",
+                "list_filter(lines, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' "
+                "OR l LIKE '%\"') AND len(string_split(l, ' ')) >= 3 "
+                "AND NOT lower(l) LIKE '%javascript%')",
+            )
+            sql = sql.replace("@JOINKEPT", "array_to_string(kept, ' ')")
     if "@SPLITWS" in sql:
         # gopher_quality: whitespace-regex words, newline lines, lambda
         # filters over both, and the 8-stop-word membership sum
@@ -1187,7 +1280,6 @@ def _render_query(name: str, dialect: dict) -> str:
         if dialect is SPARK:
             contains = "array_contains(ws, '{w}')"
             sql = sql.replace("@SPLITWS", "split(text, '\\\\s+')")
-            sql = sql.replace("@LINES", "split(text, '\\\\n')")
             sql = sql.replace("@NOWS", "regexp_replace(text, '\\\\s', '')")
             sql = sql.replace(
                 "@NBULLET", "size(filter(lines, l -> l like '- %' or l like '* %'))"
@@ -1202,7 +1294,6 @@ def _render_query(name: str, dialect: dict) -> str:
         else:
             contains = "list_contains(ws, '{w}')"
             sql = sql.replace("@SPLITWS", "string_split_regex(text, '\\s+')")
-            sql = sql.replace("@LINES", "string_split(text, chr(10))")
             sql = sql.replace("@NOWS", "regexp_replace(text, '\\s', '', 'g')")
             sql = sql.replace(
                 "@NBULLET",

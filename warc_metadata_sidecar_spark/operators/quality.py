@@ -159,3 +159,70 @@ def document_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_stop",
         keep.alias("keep"),
     )
+
+
+# --- C4 heuristics (Raffel et al. 2020 §2.2) ----------------------------
+
+C4_MIN_SENTENCES = 5
+# placeholder tokens for the public "bad words" blocklist — shipping the
+# real list verbatim would mean embedding slurs; the mechanism (word-level
+# page drop) is what's under test, swap the tuple in production
+C4_BLOCKLIST = ("badword1", "badword2")
+
+_C4_LINE_KEEP = (
+    "filter(lines, l -> (l like '%.' or l like '%!' or l like '%?' "
+    "or l like '%\"') and size(split(l, ' ')) >= 3 "
+    "and not lower(l) like '%javascript%')"
+)
+
+
+def c4_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    has_blockword, keep — the C4 page gate. Line retention (terminal
+    punctuation, >=3 words, no 'javascript') and every page rule are
+    native expressions over one scan; zero shuffle."""
+    arrs = docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        F.split(F.col(text_col), r"\n").alias("lines"),
+    ).withColumn("kept", F.expr(_C4_LINE_KEEP))
+    kt = F.coalesce(F.array_join("kept", " "), F.lit(""))
+    low = F.lower(F.col("text"))
+    block = None
+    for w in C4_BLOCKLIST:
+        c = low.like(f"%{w}%")
+        block = c if block is None else block | c
+    staged = arrs.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        (
+            (F.length(kt) - F.length(F.expr("replace(coalesce(array_join(kept, ' '), ''), '.', '')")))
+            + (F.length(kt) - F.length(F.expr("replace(coalesce(array_join(kept, ' '), ''), '!', '')")))
+            + (F.length(kt) - F.length(F.expr("replace(coalesce(array_join(kept, ' '), ''), '?', '')")))
+        ).cast("long").alias("n_sentences"),
+        low.like("%lorem ipsum%").alias("has_lorem"),
+        F.col("text").like("%{%").alias("has_brace"),
+        block.alias("has_blockword"),
+    )
+    keep = (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_blockword")
+    )
+    return staged.withColumn("keep", keep)
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The transformation form: docs with text rewritten to the retained
+    lines (newline-joined), restricted to pages c4_signals keeps."""
+    sig = c4_signals(docs, text_col).where("keep").select("doc_id")
+    kept = docs.select(
+        "doc_id",
+        F.split(F.col(text_col), r"\n").alias("lines"),
+    ).withColumn("kept", F.expr(_C4_LINE_KEEP))
+    return (
+        kept.join(sig, "doc_id")
+        .select("doc_id", F.array_join("kept", "\n").alias(text_col))
+    )
