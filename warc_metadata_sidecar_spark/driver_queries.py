@@ -2500,6 +2500,148 @@ _CHARSET_FIXTURES: list[tuple[str, str, float, str]] = [
 ]
 
 
+def ann_pq_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ADC) top-1 over `embeddings`: per-subspace bit-stable Lloyd
+    codebooks (m=4, ksub=16), literal-table encoding, coarse-bucket
+    candidates, asymmetric table-lookup scoring. Oracled against the
+    sequential Python twin (_pq_top1_twin) rendered as VALUES."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.pq import pq_top1, pq_train_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train_codebooks(emb, m=4, ksub=16, dims=64)
+    return (
+        pq_top1(emb, books, mode="adc")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "neighbor_id",
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pq_train_py(
+    vecs: dict[int, list[float]], m: int = 4, ksub: int = 16, iters: int = 2
+) -> list[list[list[float]]]:
+    """Pure-Python twin of pq_train_codebooks: same md5-seeded init, same
+    position-order L2 folds, same sorted-fold means — bit-identical
+    doubles (the _ivf_centroid_twin discipline). Cluster ids survive
+    iterations (groupBy(bucket) keeps numbering); empty clusters drop and
+    the dense codebook is the surviving centroids in id order."""
+    import hashlib
+
+    ids = sorted(vecs)
+    dims = len(vecs[ids[0]])
+    d_sub = dims // m
+    books = []
+    for j in range(m):
+        sub = {i: vecs[i][j * d_sub : (j + 1) * d_sub] for i in ids}
+        seeds = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:ksub]
+        cents = {c: list(sub[i]) for c, i in enumerate(seeds)}
+        for _ in range(iters):
+            assign: dict[int, list[int]] = {}
+            for i in ids:
+                v = sub[i]
+                best = None
+                for c in sorted(cents):
+                    acc = 0.0
+                    for x, y in zip(v, cents[c]):
+                        acc += (x - y) * (x - y)
+                    s = -acc  # the engine maximizes -l2, ties to LOWEST id
+                    if best is None or s > best[0]:
+                        best = (s, c)
+                assign.setdefault(best[1], []).append(i)
+            new: dict[int, list[float]] = {}
+            for c, members in assign.items():
+                cent = []
+                for p in range(d_sub):
+                    vals = sorted(sub[i][p] for i in members)
+                    acc = 0.0
+                    for v in vals:
+                        acc += v
+                    cent.append(acc / len(vals))
+                new[c] = cent
+            cents = new
+        books.append([cents[c] for c in sorted(cents)])
+    return books
+
+
+def _pq_top1_twin(sf_dir: str | None = None) -> list[tuple[int, int, float]]:
+    """Sequential twin of ann_pq_top1: trains the codebooks independently
+    in Python and replays encode (argmin, first-match ties), the coarse
+    argmax bucket, ADC table scoring, and the (sim, lowest-id) argmax."""
+    import math
+
+    rows = _load_embeddings(sf_dir)
+    vecs = dict(rows)
+    m, ksub, coarse = 4, 16, 8
+    books = _pq_train_py(vecs, m=m, ksub=ksub)
+    d_sub = len(books[0][0])
+    norm2 = [[sum(x * x for x in c) for c in book] for book in books]
+    enc = {}
+    for i, v in rows:
+        codes, lut = [], []
+        for j, book in enumerate(books):
+            sub = v[j * d_sub : (j + 1) * d_sub]
+            dists = []
+            for c in book:
+                acc = 0.0
+                for x, y in zip(c, sub):
+                    acc += (x - y) * (x - y)
+                dists.append(acc)
+            codes.append(dists.index(min(dists)))  # first minimal = engine
+            lrow = []
+            for c in book:
+                acc = 0.0
+                for x, y in zip(c, sub):
+                    acc += x * y
+                lrow.append(acc)
+            lut.append(lrow)
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        qnorm = math.sqrt(acc)
+        rnorm = math.sqrt(sum(norm2[j][codes[j]] for j in range(m)))
+        lead = v[:coarse]
+        bucket = lead.index(max(lead)) + 1  # array_position is 1-based
+        enc[i] = (bucket, codes, lut, qnorm, rnorm)
+    out = []
+    ids = sorted(enc)
+    for a in ids:
+        ba, ca, lua, qa, _ = enc[a]
+        best = None
+        for b in ids:
+            if b == a or enc[b][0] != ba:
+                continue
+            cb, rb = enc[b][1], enc[b][4]
+            dot = 0.0
+            for j in range(m):
+                dot += lua[j][cb[j]]
+            s = dot / (qa * rb)
+            if best is None or s > best[0] or (s == best[0] and -b > -best[1]):
+                best = (s, b)
+        if best is not None:
+            out.append((a, best[1], _spark_round6(best[0])))
+    return out
+
+
+def _ann_pq_top1_oracle_sql(sf_dir: str | None = None) -> str:
+    values = ",\n    ".join(
+        f"({v}, {n}, {s!r})" for v, n, s in _pq_top1_twin(sf_dir)
+    )
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id,\n"
+        "       CAST(neighbor_id AS BIGINT) AS neighbor_id,\n"
+        "       CAST(sim AS DOUBLE) AS sim\n"
+        f"FROM (VALUES\n    {values}) AS t(vec_id, neighbor_id, sim)\n"
+        "ORDER BY vec_id"
+    )
+
+
 def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-sequential packing (no doc splitting) over `documents` —
     the applyInPandas path; oracled against a sequential Python twin."""
@@ -2642,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["href_edge_kinds"] = href_edge_kinds
     out["charset_bytes"] = charset_bytes
     out["pack_greedy"] = pack_greedy_docs
+    out["ann_pq_top1"] = ann_pq_top1
     return out
 
 
@@ -2680,4 +2823,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["charset_bytes"] = _charset_bytes_oracle_sql()
     # first-fit packing (applyInPandas) vs the sequential Python twin
     oracles["pack_greedy"] = _pack_greedy_oracle_sql()
+    # IVF-PQ ADC top-1 vs the independent Python twin (re-trains the
+    # codebooks with the same bit-stable rules, replays encode + scoring)
+    oracles["ann_pq_top1"] = _ann_pq_top1_oracle_sql()
     return oracles

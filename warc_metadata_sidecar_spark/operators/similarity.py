@@ -97,6 +97,7 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     iters: int = 2,
     sample_mod: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Lloyd-iterated centroids: (centroid_id, centroid:array<double>).
 
@@ -141,7 +142,7 @@ def ivf_train_centroids(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assigned = _assign_buckets(e, centroids, "_id", "_v", nprobe=1)
+        assigned = _assign_buckets(e, centroids, "_id", "_v", nprobe=1, metric=metric)
         centroids = (
             assigned.select("bucket", F.posexplode("_v").alias("pos", "x"))
             .groupBy("bucket", "pos")
@@ -177,7 +178,12 @@ def ivf_train_centroids(
 
 
 def _assign_buckets(
-    e: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int = 1
+    e: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Nearest-centroid assignment via a broadcast of the k centroid rows:
     input columns + (bucket, probe_rank, csim), one row per (vector, probed
@@ -189,13 +195,26 @@ def _assign_buckets(
     the n x k window-sort input. Multi-probe keeps the window. Norms fold
     once per vector row / centroid row, never per (vector, centroid)
     pair."""
-    e_n = e.withColumn("_vn", _norm(F.col(vec_col)))
-    cents_n = centroids.withColumn("_cn", _norm(F.col("centroid")))
-    joined = (
-        e_n.crossJoin(F.broadcast(cents_n))
-        .withColumn("_csim", _dot(vec_col, "centroid") / (F.col("_vn") * F.col("_cn")))
-        .drop("_vn", "_cn")
-    )
+    if metric == "l2":
+        # PQ sub-quantizer metric: "similarity" = negative squared L2
+        # (position-order fold — the sequential twin mirrors it exactly);
+        # same argmax/tie-to-lowest-id machinery downstream
+        joined = e.crossJoin(F.broadcast(centroids)).withColumn(
+            "_csim",
+            -F.aggregate(
+                F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    else:
+        e_n = e.withColumn("_vn", _norm(F.col(vec_col)))
+        cents_n = centroids.withColumn("_cn", _norm(F.col("centroid")))
+        joined = (
+            e_n.crossJoin(F.broadcast(cents_n))
+            .withColumn("_csim", _dot(vec_col, "centroid") / (F.col("_vn") * F.col("_cn")))
+            .drop("_vn", "_cn")
+        )
     if nprobe == 1:
         # deterministic argmax: ties on sim break to the LOWEST centroid_id
         # (negated id inside the max struct), matching the window ordering
