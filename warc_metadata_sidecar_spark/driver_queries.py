@@ -797,6 +797,35 @@ ORDER BY 1
 """
 )
 
+# fastText-shaped hashed-BoW linear classifier scoring (the DCLM /
+# RedPajama quality-classifier stage): score = sigmoid(bias + mean
+# hashed-bucket weight). The oracle uses a deterministic inline weight
+# formula w(b) = ((b*37) % 101 - 50)/25.0 over the md5 two-nibble bucket;
+# the module twin (operators/classifier.score_documents) takes the same
+# weights as a broadcast dict — tests pin module == this statement.
+_Q["classifier_score"] = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+words AS (
+  SELECT doc_id, @EXPLODE_W FROM corpus
+),
+b AS (
+  SELECT doc_id, @WORDBUCKET AS bucket FROM words
+),
+pb AS (
+  SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt
+  FROM b GROUP BY doc_id, bucket
+),
+sc AS (
+  SELECT doc_id, SUM(cnt) AS n_words,
+         SUM(cnt * ((CAST(bucket * 37 AS INT) % 101 - 50) / 25.0)) AS acc
+  FROM pb GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(round(1.0 / (1.0 + exp(-(0.25 + acc / n_words))), 6) AS DOUBLE) AS score
+FROM sc ORDER BY doc_id
+"""
+
 # Gopher DOCUMENT-level quality rules (Rae et al. 2021 App. A1, the
 # non-repetition half): word-count bounds, mean word length 3..10,
 # symbol-to-word ratio (# or ...) <= 0.1, <=90% bullet-started lines,
@@ -1310,6 +1339,14 @@ def _render_query(name: str, dialect: dict) -> str:
             f"(CASE WHEN {contains.format(w=w)} THEN 1 ELSE 0 END)" for w in stop
         )
         sql = sql.replace("@NSTOP", nstop)
+    if "@WORDBUCKET" in sql:
+        # classifier_score: token -> 0..255 md5 two-nibble feature bucket
+        if dialect is SPARK:
+            wb = "CAST(conv(substring(md5(w), 1, 2), 16, 10) AS INT)"
+        else:
+            nib = "(strpos('0123456789abcdef', substring(md5(w), {i}, 1)) - 1)"
+            wb = f"({nib.format(i=1)} * 16 + {nib.format(i=2)})"
+        sql = sql.replace("@WORDBUCKET", wb)
     if "@HEXBUCKET" in sql:
         # first 3 md5 hex nibbles as int 0..4095 — operators/sampling.py's
         # hash_bucket. Spark has conv(); DuckDB rebuilds the value from
