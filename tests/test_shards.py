@@ -1,0 +1,82 @@
+"""Training-shard writer + manifest (operators/shards.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_metadata_sidecar_spark import driver_queries as dq
+from warc_metadata_sidecar_spark.operators.shards import (
+    shard_manifest,
+    with_shard,
+    write_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_manifest_matches_twin(spark, docs):
+    dq.register_views(spark, SF_DIR)
+    twin = _rows(spark.sql(dq.spark_sql_for("shard_manifest")))
+    mod = _rows(shard_manifest(docs, n_shards=8))
+    assert mod == twin and len(mod) == 8
+
+
+def test_checksum_order_independent(spark, docs):
+    base = _rows(shard_manifest(docs.coalesce(1), n_shards=8))
+    assert _rows(shard_manifest(docs.repartition(7).orderBy(F.desc("doc_id")), 8)) == base
+
+
+def test_checksum_detects_any_change(spark, docs):
+    base = {r["shard"]: r["checksum"] for r in shard_manifest(docs, 8).collect()}
+    # flip one document's text: exactly that doc's shard checksum changes
+    victim = docs.orderBy("doc_id").first()
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim["doc_id"], F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text")),
+    )
+    after = {r["shard"]: r["checksum"] for r in shard_manifest(mutated, 8).collect()}
+    vshard = (
+        with_shard(docs, 8).where(F.col("doc_id") == victim["doc_id"]).first()["shard"]
+    )
+    changed = [s for s in base if base[s] != after.get(s)]
+    assert changed == [vshard]
+
+
+def test_write_reread_and_consistency(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shards") / "out")
+    manifest = {r["shard"]: r for r in write_shards(docs, path, n_shards=8).collect()}
+    # one directory per shard on disk
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(dirs) == 8
+    back = spark.read.parquet(path)
+    # reread rows == input rows (shard column rides along)
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # per-shard file contents agree with the manifest counts + checksum
+    re_manifest = {r["shard"]: r for r in shard_manifest(back.drop("shard"), 8).collect()}
+    for s, m in manifest.items():
+        assert re_manifest[s]["n_docs"] == m["n_docs"]
+        assert re_manifest[s]["checksum"] == m["checksum"]
+
+
+def test_single_shard_rebuild(spark, docs):
+    """Determinism contract: re-running the job filtered to one shard
+    reproduces exactly that shard's membership."""
+    full = with_shard(docs, 8)
+    target = _rows(full.where(F.col("shard") == 3).select("doc_id"))
+    rebuilt = _rows(
+        with_shard(docs.repartition(5), 8).where(F.col("shard") == 3).select("doc_id")
+    )
+    assert rebuilt == target and len(target) > 0

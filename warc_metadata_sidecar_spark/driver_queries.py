@@ -797,6 +797,24 @@ ORDER BY 1
 """
 )
 
+# training-shard manifest: deterministic shard = md5_bucket(doc_id) % 8,
+# per-shard row/token counts + ORDER-INDEPENDENT bit_xor of 32-bit doc
+# content hashes (xor commutes, so the checksum survives Spark's row
+# order while any changed doc flips it). Composable module twin:
+# operators/shards.shard_manifest (+ write_shards for the files).
+_Q["shard_manifest"] = """
+WITH sharded AS (
+  SELECT CAST(@SHARDBUCKET % 8 AS INT) AS shard,
+         @LEN(@SPLIT(text, ' ')) AS n_toks,
+         @DOCHASH AS h
+  FROM documents d
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
 # fastText-shaped hashed-BoW linear classifier scoring (the DCLM /
 # RedPajama quality-classifier stage): score = sigmoid(bias + mean
 # hashed-bucket weight). The oracle uses a deterministic inline weight
@@ -1194,6 +1212,20 @@ def _re_replace_all(dialect: dict, expr: str, pat: str, repl: str) -> str:
     return f"regexp_replace({expr}, '{lit}', '{repl}', 'g')"
 
 
+def _md5_int(dialect: dict, hexpr: str, nibbles: int) -> str:
+    """First `nibbles` hex chars of `hexpr` as a BIGINT — Spark via conv(),
+    DuckDB rebuilt from per-nibble strpos arithmetic (no hex->int cast on
+    strings there)."""
+    if dialect is SPARK:
+        return f"CAST(conv(substring({hexpr}, 1, {nibbles}), 16, 10) AS BIGINT)"
+    terms = [
+        f"(strpos('0123456789abcdef', substring({hexpr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _render_query(name: str, dialect: dict) -> str:
     sql = _Q[name]
     if "@SHINGLES" in sql:
@@ -1341,22 +1373,21 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@NSTOP", nstop)
     if "@WORDBUCKET" in sql:
         # classifier_score: token -> 0..255 md5 two-nibble feature bucket
-        if dialect is SPARK:
-            wb = "CAST(conv(substring(md5(w), 1, 2), 16, 10) AS INT)"
-        else:
-            nib = "(strpos('0123456789abcdef', substring(md5(w), {i}, 1)) - 1)"
-            wb = f"({nib.format(i=1)} * 16 + {nib.format(i=2)})"
-        sql = sql.replace("@WORDBUCKET", wb)
+        sql = sql.replace("@WORDBUCKET", _md5_int(dialect, "md5(w)", 2))
+    if "@DOCHASH" in sql:
+        # shard_manifest: 8-nibble (32-bit) content hash for the
+        # order-independent bit_xor shard checksum
+        sql = sql.replace("@DOCHASH", _md5_int(dialect, "md5(text)", 8))
+    if "@SHARDBUCKET" in sql:
+        sql = sql.replace(
+            "@SHARDBUCKET", _md5_int(dialect, "md5(CAST(d.doc_id AS STRING))", 3)
+        )
     if "@HEXBUCKET" in sql:
         # first 3 md5 hex nibbles as int 0..4095 — operators/sampling.py's
-        # hash_bucket. Spark has conv(); DuckDB rebuilds the value from
-        # per-nibble strpos arithmetic (no hex->int cast on strings).
-        if dialect is SPARK:
-            hb = "CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), 1, 3), 16, 10) AS INT)"
-        else:
-            nib = "(strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS STRING)), {i}, 1)) - 1)"
-            hb = f"({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16 + {nib.format(i=3)})"
-        sql = sql.replace("@HEXBUCKET", hb)
+        # hash_bucket
+        sql = sql.replace(
+            "@HEXBUCKET", _md5_int(dialect, "md5(CAST(d.doc_id AS STRING))", 3)
+        )
     return _render(sql, dialect)
 
 
