@@ -71,16 +71,25 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = 8, band_size: int = 4, max_bucket: int = 1000
+def band_hashes(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 4
 ) -> DataFrame:
-    """(id_a, id_b) candidate pairs sharing at least one LSH band bucket."""
+    """(doc_id, band): one md5 band hash per signature band — the LSH
+    bucketing key shared by batch dedup and the incremental ledger."""
     assert num_hashes % band_size == 0
     bands = None
     for b in range(num_hashes // band_size):
         cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
         part = sigs.select("doc_id", F.md5(F.concat(*cols)).alias("band"))
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing at least one LSH band bucket."""
+    bands = band_hashes(sigs, num_hashes, band_size)
     sized = bands.withColumn("bucket_n", F.count("*").over(Window.partitionBy("band")))
     bounded = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     left = bounded.select(F.col("doc_id").alias("id_a"), "band")
