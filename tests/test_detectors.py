@@ -673,3 +673,41 @@ def test_language_r6b_token_profiles():
           "gramatika je složitá a jsou pro cizince podle všeho však těžké "
           "příklady které již znáte")
     assert detect_language(cz)["languages"][0]["code"] == "cs"
+
+
+def test_language_r6c_script_tranche():
+    """r6c: fourteen script-keyed languages — nine Brahmic blocks,
+    Georgian/Armenian/Amharic, and the space-less Khmer/Lao/Myanmar
+    (whole phrases tokenize as one run; first-char script classifies,
+    same as Thai). Each script maps 1:1 to its cld2 language name."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    cases = [
+        ("bn", "BENGALI", "আমি বাংলায় গান গাই আমি বাংলার গান গাই"),
+        ("pa", "PUNJABI", "ਮੈਂ ਪੰਜਾਬੀ ਵਿੱਚ ਲਿਖਦਾ ਹਾਂ ਇਹ ਇੱਕ ਟੈਸਟ ਹੈ"),
+        ("gu", "GUJARATI", "હું ગુજરાતીમાં લખું છું આ એક પરીક્ષણ છે"),
+        ("ta", "TAMIL", "நான் தமிழில் எழுதுகிறேன் இது ஒரு சோதனை"),
+        ("te", "TELUGU", "నేను తెలుగులో రాస్తున్నాను ఇది ఒక పరీక్ష"),
+        ("kn", "KANNADA", "ನಾನು ಕನ್ನಡದಲ್ಲಿ ಬರೆಯುತ್ತೇನೆ ಇದು ಒಂದು ಪರೀಕ್ಷೆ"),
+        ("ml", "MALAYALAM", "ഞാൻ മലയാളത്തിൽ എഴുതുന്നു ഇതൊരു പരീക്ഷണമാണ്"),
+        ("si", "SINHALESE", "මම සිංහලෙන් ලියමි මෙය පරීක්ෂණයකි"),
+        ("ka", "GEORGIAN", "მე ვწერ ქართულად ეს არის ტესტი"),
+        ("hy", "ARMENIAN", "Ես գրում եմ հայերեն սա թեստ է"),
+        ("am", "AMHARIC", "እኔ በአማርኛ እጽፋለሁ ይህ ሙከራ ነው"),
+        ("km", "KHMER", "ខ្ញុំសរសេរជាភាសាខ្មែរ នេះជាការធ្វើតេស្ត"),
+        ("lo", "LAOTHIAN", "ຂ້ອຍຂຽນເປັນພາສາລາວ ນີ້ແມ່ນການທົດສອບ"),
+        ("my", "BURMESE", "ကျွန်ုပ်သည် မြန်မာဘာသာဖြင့် ရေးသည် ဤသည်မှာ စမ်းသပ်မှုဖြစ်သည်"),
+    ]
+    for code, name, text in cases:
+        got = detect_language(text)
+        assert got is not None, code
+        top = got["languages"][0]
+        assert (top["code"], top["name"]) == (code, name), (code, got["languages"][:2])
+    # alpha-3 conversion covers every new code (merge stage, S10)
+    import re as _re
+
+    src = open(
+        "/root/repo/warc_metadata_sidecar_spark/operators/cdxj.py", encoding="utf-8"
+    ).read()
+    for code, _n, _t in cases:
+        assert _re.search(rf'"{code}": "\w+"', src), code

@@ -657,6 +657,25 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     "el": ("GREEK", frozenset()),
     "hi": ("HINDI", frozenset()),
     "th": ("THAI", frozenset()),
+    # r6c: fourteen more script-keyed languages — each script maps 1:1 to
+    # its cld2 language (the unambiguous half of cld2's script scoring):
+    # nine Brahmic-family blocks, Georgian, Armenian, Ethiopic->Amharic,
+    # and the space-less Khmer/Lao/Myanmar (whole phrases tokenize as one
+    # \w run; first-char script classifies the token, same as Thai).
+    "bn": ("BENGALI", frozenset()),
+    "pa": ("PUNJABI", frozenset()),
+    "gu": ("GUJARATI", frozenset()),
+    "ta": ("TAMIL", frozenset()),
+    "te": ("TELUGU", frozenset()),
+    "kn": ("KANNADA", frozenset()),
+    "ml": ("MALAYALAM", frozenset()),
+    "si": ("SINHALESE", frozenset()),
+    "ka": ("GEORGIAN", frozenset()),
+    "hy": ("ARMENIAN", frozenset()),
+    "am": ("AMHARIC", frozenset()),
+    "km": ("KHMER", frozenset()),
+    "lo": ("LAOTHIAN", frozenset()),
+    "my": ("BURMESE", frozenset()),
 }
 
 _BAD_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\ud800-\udfff]")  # cf. BAD_CHARS :31
@@ -675,6 +694,20 @@ _R5_SCRIPT_RE = re.compile(
     "Ͱ-Ͽἀ-῿"  # Greek (+ polytonic)
     "ऀ-ॿ"  # Devanagari
     "฀-๿"  # Thai
+    "ঀ-৿"  # Bengali
+    "਀-੿"  # Gurmukhi (Punjabi)
+    "઀-૿"  # Gujarati
+    "஀-௿"  # Tamil
+    "ఀ-౿"  # Telugu
+    "ಀ-೿"  # Kannada
+    "ഀ-ൿ"  # Malayalam
+    "඀-෿"  # Sinhala
+    "Ⴀ-ჿ"  # Georgian
+    "԰-֏"  # Armenian
+    "ሀ-፿"  # Ethiopic (Amharic)
+    "ក-៿"  # Khmer
+    "຀-໿"  # Lao
+    "က-႟"  # Myanmar
     "]"
 )
 
@@ -701,6 +734,35 @@ def _char_lang(ch: str) -> str | None:
         return "hi"
     if 0x0E00 <= o <= 0x0E7F:
         return "th"
+    # r6c script blocks — each maps 1:1 to its cld2 language
+    if 0x0980 <= o <= 0x09FF:
+        return "bn"
+    if 0x0A00 <= o <= 0x0A7F:
+        return "pa"
+    if 0x0A80 <= o <= 0x0AFF:
+        return "gu"
+    if 0x0B80 <= o <= 0x0BFF:
+        return "ta"
+    if 0x0C00 <= o <= 0x0C7F:
+        return "te"
+    if 0x0C80 <= o <= 0x0CFF:
+        return "kn"
+    if 0x0D00 <= o <= 0x0D7F:
+        return "ml"
+    if 0x0D80 <= o <= 0x0DFF:
+        return "si"
+    if 0x10A0 <= o <= 0x10FF:
+        return "ka"
+    if 0x0530 <= o <= 0x058F:
+        return "hy"
+    if 0x1200 <= o <= 0x137F:
+        return "am"
+    if 0x1780 <= o <= 0x17FF:
+        return "km"
+    if 0x0E80 <= o <= 0x0EFF:
+        return "lo"
+    if 0x1000 <= o <= 0x109F:
+        return "my"
     return None
 # cld2 parses HTML by default (pycld2 isPlainText=0): markup, scripts and
 # styles never count as text. The stand-in mirrors that with a cheap strip —
