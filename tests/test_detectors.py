@@ -711,3 +711,17 @@ def test_language_r6c_script_tranche():
     ).read()
     for code, _n, _t in cases:
         assert _re.search(rf'"{code}": "\w+"', src), code
+
+
+def test_signature_tranche_r6c():
+    """r6c tail signatures: UNIX compress, HTML Help (ITSF), Windows
+    cursor (ICO's image-type-2 sibling — must NOT read as ICO)."""
+    cases = [
+        (b"\x1f\x9d\x90abc", "application/x-compress", None),
+        (b"ITSF\x03\x00\x00\x00", "application/vnd.ms-htmlhelp", None),
+        (b"\x00\x00\x02\x00\x01\x00", "image/x-cursor", None),
+        (b"\x00\x00\x01\x00\x01\x00", "image/vnd.microsoft.icon", "x-fmt/418"),
+    ]
+    for head, mime, puid in cases:
+        got = sniff_mime(None, head)
+        assert got == (mime, mime, puid), (head[:8], got)

@@ -100,6 +100,11 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"MSCF", "application/vnd.ms-cab-compressed", "application/vnd.ms-cab-compressed", None),
     (b"hsqs", "application/x-squashfs", "application/x-squashfs", None),
     (b"AT&TFORM", "image/vnd.djvu", "image/vnd.djvu", None),
+    # r6c tail: UNIX compress (.Z), HTML Help, Windows cursor (the ICO
+    # sibling with image type 2) — PUID None per the r6 convention
+    (b"\x1f\x9d", "application/x-compress", "application/x-compress", None),
+    (b"ITSF\x03", "application/vnd.ms-htmlhelp", "application/vnd.ms-htmlhelp", None),
+    (b"\x00\x00\x02\x00", "image/x-cursor", "image/x-cursor", None),
 ]
 
 # ar archives: '!<arch>\n' is both Unix ar and Debian packages — the first
