@@ -2710,6 +2710,109 @@ def _ann_pq_top1_oracle_sql(sf_dir: str | None = None) -> str:
     )
 
 
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token accounting over `documents`: train 60 merges on the
+    corpus (distributed word counting, driver merge loop over the
+    vocabulary-sized table), then count tokens per doc through the
+    Arrow-batched memoizing encoder. Oracled against _bpe_tokens_twin."""
+    from warc_metadata_sidecar_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=60)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
+def _bpe_tokens_twin(sf_dir: str | None = None) -> list[tuple[int, int, int]]:
+    """Sequential Python twin: re-trains the 60 merges and re-encodes
+    every doc with a standalone implementation of the classic BPE
+    algorithm (same whitespace split, same (-count, pair) tie-break,
+    same greedy lowest-rank encode)."""
+    import re as _re
+
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    END = "</w>"
+    wc: dict[str, int] = {}
+    for _i, text in rows:
+        for w in _re.split(r"\s+", text):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    vocab = {tuple(w) + (END,): c for w, c in wc.items()}
+    merges = []
+    for _ in range(60):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and (syms[j], syms[j + 1]) == best:
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            t = tuple(out)
+            nv[t] = nv.get(t, 0) + c
+        vocab = nv
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc_len(w: str) -> int:
+        syms = list(tuple(w) + (END,))
+        while len(syms) > 1:
+            br, bi = None, None
+            for j in range(len(syms) - 1):
+                r = ranks.get((syms[j], syms[j + 1]))
+                if r is not None and (br is None or r < br):
+                    br, bi = r, j
+            if bi is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return len(syms)
+
+    memo: dict[str, int] = {}
+    out = []
+    for i, text in rows:
+        nw, nt = 0, 0
+        for w in _re.split(r"\s+", text):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = enc_len(w)
+            nw += 1
+            nt += memo[w]
+        if nw:
+            out.append((int(i), nw, nt))
+    return out
+
+
+def _bpe_token_counts_oracle_sql(sf_dir: str | None = None) -> str:
+    values = ",\n    ".join(
+        f"({d}, {w}, {t})" for d, w, t in _bpe_tokens_twin(sf_dir)
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       CAST(n_words AS BIGINT) AS n_words,\n"
+        "       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens\n"
+        f"FROM (VALUES\n    {values}) AS t(doc_id, n_words, n_bpe_tokens)\n"
+        "ORDER BY doc_id"
+    )
+
+
 def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-sequential packing (no doc splitting) over `documents` —
     the applyInPandas path; oracled against a sequential Python twin."""
@@ -2853,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["charset_bytes"] = charset_bytes
     out["pack_greedy"] = pack_greedy_docs
     out["ann_pq_top1"] = ann_pq_top1
+    out["bpe_token_counts"] = bpe_token_counts_docs
     return out
 
 
@@ -2894,4 +2998,6 @@ def oracle_sql() -> dict[str, str]:
     # IVF-PQ ADC top-1 vs the independent Python twin (re-trains the
     # codebooks with the same bit-stable rules, replays encode + scoring)
     oracles["ann_pq_top1"] = _ann_pq_top1_oracle_sql()
+    # exact-BPE token accounting vs the standalone Python re-train twin
+    oracles["bpe_token_counts"] = _bpe_token_counts_oracle_sql()
     return oracles

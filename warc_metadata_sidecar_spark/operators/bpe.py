@@ -1,0 +1,143 @@
+"""Real byte-pair-encoding tokenization — exact token counts under an
+actual BPE merge table, the number a training pipeline budgets by (the
+regex `bpe_ish_tokens_col` approximation stays as the JVM-native fast
+path; this is the exact path).
+
+Design for scale:
+  * the MERGE TABLE is the model — a few thousand (pair → rank) entries
+    trained once, shipped to executors inside the UDF closure (fastText-
+    weight-table discipline; swap in a broadcast variable for very large
+    vocabs);
+  * encoding is inherently per-word sequential (greedy lowest-rank merge
+    until no pair ranks), so it runs as an Arrow-batched pandas UDF over
+    a PER-DOC WORD-COUNT table — crucially the UDF tokenizes each
+    DISTINCT word once per batch via a local memo, so cost tracks unique
+    words, not corpus positions;
+  * training (`train_bpe`) is the classic count-top-pair loop run
+    DISTRIBUTEDLY per iteration: one groupBy over exploded symbol pairs
+    per merge, driver holds only the (pair, count) argmax — fine for the
+    few-hundred-merge vocabs used here; production would train on a
+    hash-sample like the IVF quantizer.
+
+Determinism: ties in pair counts break lexicographically (documented;
+both the distributed trainer and the sequential twin sort by
+(-count, pair)); encoding is a pure function of (word, merges).
+Sequential twin: driver_queries._bpe_tokens_twin (re-trains + re-encodes
+in pure Python) rendered as the `bpe_token_counts` VALUES oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word) + (END,)
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 60, text_col: str = "text") -> list[tuple[str, str]]:
+    """The classic BPE trainer, Spark-side counting: per merge iteration,
+    explode every distinct word's current symbol pairs weighted by word
+    frequency, take the global argmax (ties lexicographic). Returns the
+    ordered merge list."""
+    wc_rows = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    # distinct-word frequency table is vocabulary-sized (not corpus-sized);
+    # the merge loop below is driver-side over it — the documented
+    # training-cost bound, like the IVF sample cap
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wc_rows:
+        vocab[_word_symbols(r["w"])] = vocab.get(_word_symbols(r["w"]), 0) + int(r["c"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE: repeatedly merge the lowest-rank adjacent pair."""
+    syms = list(_word_symbols(word))
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): exact BPE token count per doc.
+    The corpus path is native (explode → per-doc DISTINCT word counts);
+    only the distinct (doc, word) rows reach the pandas UDF, which memos
+    per-word encodings across its Arrow batch."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("int")
+    def tok_len(words: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def n(w: str) -> int:
+            if w not in memo:
+                memo[w] = len(encode_word(w, ranks))
+            return memo[w]
+
+        return words.map(n).astype("int32")
+
+    per_word = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_word.withColumn("toks", tok_len(F.col("w")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("toks")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
