@@ -94,6 +94,30 @@ def test_lm_module_matches_twin(spark):
     )
 
 
+def test_ccnet_buckets_module_matches_twin(spark):
+    """operators/lm.perplexity_buckets (exact ntile path) == the
+    dual-dialect ccnet_buckets statement; the approxQuantile scale path
+    agrees on >=99% of docs (cut-point ties only)."""
+    from warc_metadata_sidecar_spark.operators.lm import perplexity_buckets
+
+    dq.register_views(spark, SF_DIR)
+    twin = {
+        r["doc_id"]: (r["bits_per_char"], r["bucket"])
+        for r in spark.sql(dq.spark_sql_for("ccnet_buckets")).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mod = {
+        r["doc_id"]: (r["bits_per_char"], r["bucket"])
+        for r in perplexity_buckets(docs).collect()
+    }
+    assert mod == twin
+    buckets = {b for _, b in mod.values()}
+    assert buckets == {"head", "middle", "tail"}
+    ap = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs, approx=True).collect()}
+    agree = sum(1 for d in twin if ap[d] == twin[d][1]) / len(twin)
+    assert agree >= 0.99
+
+
 def test_gopher_module_matches_twin(spark):
     """operators/quality.py repetition_signals produces exactly the
     dual-dialect gopher_repetition statement's rows on the same planted

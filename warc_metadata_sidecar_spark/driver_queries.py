@@ -701,8 +701,8 @@ FROM spans ORDER BY grp, chunk_id, doc_id
 # operators/lm.py (train_char_lm/score_char_lm — broadcast model join,
 # map-side-combined explodes); tests/test_module_oracle_parity.py pins the
 # module to this statement's rows.
-_Q["lm_perplexity"] = """
-WITH norm AS (
+LM_CTES = """
+norm AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' '),
                              ' +', ' ')) AS t
@@ -732,12 +732,40 @@ scored AS (
   JOIN ctx x ON x.c1 = substr(d.b, 1, 1)
   CROSS JOIN vocab v
   GROUP BY d.doc_id
-)
+)"""
+
+_Q["lm_perplexity"] = (
+    "WITH "
+    + LM_CTES
+    + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
        CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
 FROM scored ORDER BY doc_id
 """
+)
+
+# CCNet head/middle/tail perplexity buckets: docs ranked by the bigram-LM
+# bits_per_char and cut into terciles (ntile over the ROUNDED score with
+# doc_id tie-break — deterministic in both engines). The global sort is
+# the op's honest shape at oracle scale; the module's approx=True path
+# (approxQuantile thresholds + native CASE) is the 100 TB form. Module:
+# operators/lm.perplexity_buckets.
+_Q["ccnet_buckets"] = (
+    "WITH "
+    + LM_CTES
+    + """,
+final AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
+  FROM scored
+)
+SELECT doc_id, bits_per_char,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (SELECT *, ntile(3) OVER (ORDER BY bits_per_char, doc_id) AS nt FROM final) t
+ORDER BY doc_id
+"""
+)
 
 # Gopher repetition filters (Rae et al. 2021 App. A1.1, word-fraction
 # adaptation): most-frequent-2gram share + duplicate-5gram fraction per

@@ -133,3 +133,37 @@ def lm_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exactly twice: once to train, once to score."""
     lm = train_char_lm(docs, text_col).cache()
     return score_char_lm(docs, lm, text_col).orderBy("doc_id")
+
+
+def perplexity_buckets(
+    docs: DataFrame, text_col: str = "text", approx: bool = False
+) -> DataFrame:
+    """CCNet head/middle/tail buckets: docs ranked by bits_per_char and
+    cut into terciles. approx=False (the oracle twin) uses an exact
+    global ntile over (rounded score, doc_id) — the honest shape at test
+    scale. approx=True is the 100 TB form: TWO threshold scalars from
+    approxQuantile, then a native CASE per row — no global sort, no
+    single-partition window; bucket labels match the exact path except
+    for docs tied at the cut points."""
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(docs, text_col).select("doc_id", "bits_per_char")
+    if approx:
+        t1, t2 = scored.approxQuantile("bits_per_char", [1 / 3, 2 / 3], 0.001)
+        return scored.withColumn(
+            "bucket",
+            F.when(F.col("bits_per_char") <= t1, "head")
+            .when(F.col("bits_per_char") <= t2, "middle")
+            .otherwise("tail"),
+        )
+    w = Window.orderBy("bits_per_char", "doc_id")
+    return (
+        scored.withColumn("nt", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .drop("nt")
+    )
