@@ -222,6 +222,23 @@ HEADLINE = [
 ]
 
 
+# r6-continuation operators, timed in a SEPARATE section so the HEADLINE
+# set (and total_sec) stays comparable across rounds
+EXTENDED = [
+    "stratified_sample",
+    "temperature_sample",
+    "pack_chunked",
+    "pack_greedy",
+    "gopher_quality",
+    "c4_filters",
+    "classifier_score",
+    "shard_manifest",
+    "ccnet_buckets",
+    "bpe_token_counts",
+    "ann_pq_top1",
+]
+
+
 def main() -> None:
     # gate BEFORE the JVM exists: this probe sees only external load
     probe_start = round(wait_idle(), 2)
@@ -237,6 +254,12 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         _ = n
+    times_ext: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = qs[name]
+        t0 = time.time()
+        _ = fn(spark, SF_DIR).count()
+        times_ext[name] = round(time.time() - t0, 3)
     probe_queries_end = round(busy_cores(), 2)
 
     # north-star throughput: URLs scheduled + annotated per second, measured
@@ -369,6 +392,7 @@ def main() -> None:
                 "value": urls_per_sec,
                 "unit": "urls/sec",
                 "queries": times,
+                "queries_extended": times_ext,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "n_docs": n_docs,
