@@ -94,6 +94,29 @@ def test_lm_module_matches_twin(spark):
     )
 
 
+def test_substring_spans_module_matches_twin(spark):
+    """operators/dedup.exact_substring_spans == the dual-dialect
+    substring_spans statement on the planted corpus; the planted exact
+    copy (+1M) and its original are fully covered by one span."""
+    from warc_metadata_sidecar_spark.operators.dedup import exact_substring_spans
+
+    dq.register_views(spark, SF_DIR)
+    twin = _rows(spark.sql(dq.spark_sql_for("substring_spans")))
+    corpus = spark.sql(
+        dq._render(
+            "WITH " + dq.CORPUS_CTE
+            + " SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM corpus",
+            dq.SPARK,
+        )
+    )
+    mod = _rows(exact_substring_spans(corpus, k=10))
+    assert mod == twin and len(mod) > 0
+    spans = {r["doc_id"]: r for r in exact_substring_spans(corpus, k=10).collect()}
+    orig0 = {r["doc_id"]: len(r["text"].split(" ")) for r in corpus.where("doc_id IN (0, 1000000)").collect()}
+    for d, nw in orig0.items():
+        assert (spans[d]["tok_start"], spans[d]["tok_end"]) == (1, nw), d
+
+
 def test_ccnet_buckets_module_matches_twin(spark):
     """operators/lm.perplexity_buckets (exact ntile path) == the
     dual-dialect ccnet_buckets statement; the approxQuantile scale path

@@ -565,6 +565,45 @@ FROM sim GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
 """
 )
 
+# exact-substring span removal (Lee et al. 2022 ExactSubstr, word-window
+# adaptation): any 10-gram occurring more than once in the corpus marks
+# its token span; overlapping marks merge into removal intervals per doc
+# (gaps-and-islands: break when a hit starts past the running max end,
+# cumsum the breaks). Differs from dup5/contamination — those DETECT,
+# this emits the spans a curation pass would REMOVE. Planted structure
+# rides CORPUS_CTE: +1M exact copies share every 10-gram, +2M first-word-
+# dropped copies share all but the head window. Token positions 1-based.
+# Composable module twin: operators/dedup.exact_substring_spans.
+_Q["substring_spans"] = (
+    "WITH "
+    + CORPUS_CTE
+    + """,
+w AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM corpus),
+wk AS (SELECT * FROM w WHERE @LEN(ws) >= 10),
+g AS (SELECT doc_id, i, md5(@SLICE10) AS gh FROM wk @LAT10W),
+dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+hits AS (SELECT doc_id, i, i + 9 AS e FROM g JOIN dupg USING (gh)),
+isl AS (
+  SELECT doc_id, i, e,
+         CASE WHEN i > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, i, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(gid AS BIGINT) AS span_id,
+       CAST(min(i) AS BIGINT) AS tok_start,
+       CAST(max(e) AS BIGINT) AS tok_end,
+       CAST(max(e) - min(i) + 1 AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, gid ORDER BY doc_id, tok_start
+"""
+)
+
 # --- text analysis family -----------------------------------------------------
 
 _Q["text_quality"] = """
@@ -1293,6 +1332,13 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@LATG", dialect["LAT"]("length(text) - 7"))
     if "@LATB" in sql:
         sql = sql.replace("@LATB", dialect["LAT"]("length(t) - 1"))
+    if "@LAT10W" in sql:
+        arrlen = "size(ws)" if dialect is SPARK else "len(ws)"
+        sql = sql.replace("@LAT10W", dialect["LAT"](f"{arrlen} - 9"))
+        if dialect is SPARK:
+            sql = sql.replace("@SLICE10", "concat_ws(' ', slice(ws, i, 10))")
+        else:
+            sql = sql.replace("@SLICE10", "array_to_string(ws[i:i+9], ' ')")
     if "@LAT2W" in sql:
         arrlen = "size(ws)" if dialect is SPARK else "len(ws)"
         sql = sql.replace("@LAT2W", dialect["LAT"](f"{arrlen} - 1"))

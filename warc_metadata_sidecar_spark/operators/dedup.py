@@ -297,3 +297,61 @@ def minhash_dedup_clusters(
     at least one verified near-duplicate."""
     pairs = minhash_dedup(docs, id_col, text_col, k, num_hashes, band_size, threshold)
     return dup_clusters(pairs.select("id_a", "id_b"))
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style span removal (Lee et al. 2022, word-window
+    adaptation): (doc_id, span_id, tok_start, tok_end, n_tokens) — the
+    merged 1-based token intervals covered by any word k-gram that occurs
+    more than once in the corpus. Unlike the detection family (dup5,
+    contamination) this emits what a curation pass REMOVES.
+
+    Shape: position explode -> md5 gram hash -> one groupBy to find
+    repeated hashes (map-side combinable) -> hits join -> per-doc
+    gaps-and-islands interval merge (two windows partitioned BY DOC, so
+    state per task is one doc's hit list, never the corpus). Dual-dialect
+    twin: driver_queries._Q["substring_spans"]."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.size("ws") >= k)
+    g = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, k))),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
+    dupg = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter("n > 1").select("gh")
+    hits = g.join(dupg, "gh").select("doc_id", "i", (F.col("i") + k - 1).alias("e"))
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("i") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1).otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(w_run))
+    return (
+        isl.groupBy("doc_id", F.col("gid").alias("span_id"))
+        .agg(
+            F.min("i").cast("long").alias("tok_start"),
+            F.max("e").cast("long").alias("tok_end"),
+            (F.max("e") - F.min("i") + 1).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("span_id").cast("long"),
+            "tok_start",
+            "tok_end",
+            "n_tokens",
+        )
+    )
