@@ -227,3 +227,24 @@ def test_c4_module_matches_twin(spark):
         ln.endswith((".", "!", "?", '"')) and "javascript" not in ln
         for ln in sample["text"].split("\n")
     )
+
+
+def test_quality_gates_zero_shuffle(spark):
+    """document_signals / c4_signals are pure projections: no Exchange,
+    no Join anywhere in their plans (the BENCH/NEWOPS.md claim)."""
+    from warc_metadata_sidecar_spark.operators.quality import c4_signals, document_signals
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for fn in (document_signals, c4_signals):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan, fn.__name__
+
+
+def test_shard_manifest_single_agg_exchange(spark):
+    """shard_manifest costs one aggregation exchange and nothing else."""
+    from warc_metadata_sidecar_spark.operators.shards import shard_manifest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = shard_manifest(docs, 8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
