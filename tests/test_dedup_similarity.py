@@ -332,3 +332,32 @@ def test_minhash_dedup_clusters_end_to_end(spark):
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
     assert got[10] == (10, 2) and got[11] == (10, 2)
     assert 20 not in got
+
+
+def test_semantic_dedup_removes_planted_copies(spark):
+    """SemDeDup on base + planted exact duplicates: every planted copy ties
+    with its source on centroid similarity, loses the id tie-break, and is
+    removed; every base row survives. Cluster assignment of a copy equals
+    its source's (identical vectors, identical argmax)."""
+    from warc_metadata_sidecar_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    out = semantic_dedup(emb.unionByName(planted), k=8, threshold=0.9, iters=1)
+    rows = {r.vec_id: r for r in out.collect()}
+    n_base = emb.count()
+    assert len(rows) == n_base + (n_base + 9) // 10
+    for i, r in rows.items():
+        if i >= 1000000:
+            assert not r.keep, i
+            src = rows[i - 1000000]
+            assert r.cluster_id == src.cluster_id and r.csim == src.csim
+        else:
+            assert r.keep, i
+    # pair scoring never goes cartesian: the only nested-loop join is the
+    # broadcast centroid assignment; cluster pairing is a hash join on
+    # cluster_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

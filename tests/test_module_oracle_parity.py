@@ -248,3 +248,40 @@ def test_shard_manifest_single_agg_exchange(spark):
     plan = shard_manifest(docs, 8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_paragraph_dedup_module_matches_twin(spark):
+    """operators/dedup.paragraph_dedup == the dual-dialect SQL twin on the
+    planted-paragraph fixture (shared boilerplate line + colliding 8-word
+    slices), and the module plan costs exactly 2 exchanges (window on the
+    paragraph md5 + the single reassembly groupBy — no self-join)."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark.operators.dedup import paragraph_dedup
+
+    dq.register_views(spark, SF_DIR)
+    fix = spark.sql(
+        "WITH " + dq._render(dq._pded_cte(dq.SPARK), dq.SPARK)
+        + " SELECT doc_id, text FROM pd"
+    )
+    out = paragraph_dedup(fix)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2 and "Join" not in plan
+    got = sorted(
+        (int(r.doc_id), int(r.n_paras), int(r.n_kept), r.text) for r in out.collect()
+    )
+    con = duckdb.connect()
+    for t in dq.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    exp = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.execute(dq.duck_sql_for("paragraph_dedup")).fetchall()
+    )
+    assert got == exp
+    # the fixture genuinely exercises dedup: some docs lose paragraphs,
+    # the shared boilerplate survives exactly once corpus-wide
+    assert any(k < p for _, p, k, _ in exp)
+    boiler = "subscribe to our newsletter for updates"
+    assert sum(t.count(boiler) for _, _, _, t in exp) == 1

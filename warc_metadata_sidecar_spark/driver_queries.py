@@ -1232,6 +1232,60 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor_id AS BIGINT) AS neighbor
 FROM ranked WHERE rnk = 1 ORDER BY vec_id
 """
 
+# Corpus-wide exact paragraph dedup (Dolma/RefinedWeb pass). The synthetic
+# corpus carries no newlines, so the fixture PLANTS paragraphs: three
+# 8-word slices of each document's text (tiny shared vocab -> heavy natural
+# cross-document paragraph collisions), with every doc_id % 3 == 0 third
+# paragraph replaced by a shared boilerplate line (the classic "subscribe"
+# footer every real crawl dedups away). Module twin:
+# operators/dedup.paragraph_dedup (module==SQL parity pinned in
+# tests/test_module_oracle_parity.py).
+_PDED_CTE = """
+pd AS (
+  SELECT doc_id, concat_ws(@CHR10, @PA, @PB,
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter for updates'
+         ELSE @PC END) AS text
+  FROM (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM documents) t0
+)
+"""
+
+
+def _pded_cte(d: dict) -> str:
+    t = _PDED_CTE
+    for tok, start in (("@PA", 1), ("@PB", 9), ("@PC", 17)):
+        rep = (
+            f"concat_ws(' ', slice(ws, {start}, 8))"
+            if d is SPARK
+            # coalesce: duck's array_to_string([]) is NULL (concat_ws would
+            # then SKIP the paragraph; spark emits '' and keeps it)
+            else f"coalesce(array_to_string(ws[{start}:{start + 7}], ' '), '')"
+        )
+        t = t.replace(tok, rep)
+    return t
+
+
+_Q["paragraph_dedup"] = """
+WITH @PDED,
+lined AS (SELECT doc_id, @LINES AS lines FROM pd),
+paras AS (
+  SELECT doc_id, i - 1 AS idx, @LINEI AS para FROM lined @LATL
+),
+marked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+kept AS (SELECT doc_id, idx, para FROM marked WHERE rn = 1),
+agg AS (SELECT doc_id, count(*) AS n_kept, @AGGLINES AS text FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text, '') AS text
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY doc_id
+"""
+
 _COSINE_SPARK = (
     "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
     " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1384,6 +1438,24 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@ARGMAX8", _ARGMAX8_SPARK if dialect is SPARK else _ARGMAX8_DUCK)
     if "@LATPACK" in sql:
         sql = sql.replace("@LATPACK", dialect["LAT"]("k1 - k0 + 1"))
+    if "@PDED" in sql:
+        sql = sql.replace("@PDED", _pded_cte(dialect))
+    if "@LINEI" in sql:
+        # 1-based element access into the split-lines array
+        sql = sql.replace(
+            "@LINEI", "element_at(lines, i)" if dialect is SPARK else "lines[i]"
+        )
+    if "@LATL" in sql:
+        sql = sql.replace("@LATL", dialect["LAT"]("@LEN(lines)"))
+    if "@AGGLINES" in sql:
+        # order-preserving reassembly of kept paragraphs
+        sql = sql.replace(
+            "@AGGLINES",
+            "array_join(transform(array_sort(collect_list(struct(idx, para))),"
+            " s -> s.para), char(10))"
+            if dialect is SPARK
+            else "string_agg(para, chr(10) ORDER BY idx)",
+        )
     if "@LINES" in sql:
         sql = sql.replace(
             "@LINES",
@@ -2064,6 +2136,112 @@ FROM (VALUES
     {values}
 ) AS t(id_a, id_b, sim)
 ORDER BY id_a, id_b
+"""
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus + the standard planted
+    duplicates (every vec_id % 10 == 0 row re-enters as vec_id + 1000000).
+    ORACLED: training is bit-stable (sorted-fold Lloyd, r5), assignment and
+    pair cosine are position-order folds, so the sequential Python twin
+    (_semantic_dedup_twin) replays the whole path — seeded init, one Lloyd
+    iteration, keep-lowest-centroid-sim removal rule — and renders the
+    expected (vec_id, cluster_id, csim, keep) rows as DuckDB VALUES.
+    The planted duplicates tie on csim with their source rows, so the
+    id tie-break keeps every base row and removes every planted copy —
+    asserted in tests/test_dedup_similarity.py."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.similarity import semantic_dedup
+
+    register_views(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(corpus, k=16, threshold=0.9, iters=1).orderBy("vec_id")
+
+
+def _semantic_dedup_twin(
+    sf_dir: str | None = None,
+) -> list[tuple[int, int, float, bool]]:
+    """Sequential twin of semantic_dedup(k=16, threshold=0.9, iters=1) on
+    base + planted-duplicate corpus: same md5-seeded init, sorted-fold
+    Lloyd means, argmax assignment with ties-to-lowest-centroid, then the
+    SemDeDup reduction — a member is removed iff some cluster-mate with a
+    strictly lower (csim, id) key has cosine >= threshold with it. Every
+    arithmetic step folds in the engine's order, so values are
+    bit-faithful."""
+    import hashlib
+
+    base = _load_embeddings(sf_dir)
+    corpus = base + [(i + 1000000, v) for i, v in base if i % 10 == 0]
+    k, iters, threshold = 16, 1, 0.9
+    assert len(corpus) <= 512 * k, "oracle corpus left the unsampled regime"
+    seeds = sorted(
+        corpus, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )[:k]
+    centroids: dict[int, list[float]] = {c: list(v) for c, (_, v) in enumerate(seeds)}
+    for _ in range(iters):
+        cnorm = {c: _norm_py(cv) for c, cv in centroids.items()}
+        buckets: dict[int, list[list[float]]] = {}
+        for i, v in corpus:
+            vn = _norm_py(v)
+            best = max(
+                centroids,
+                key=lambda c: (_dot_py(v, centroids[c]) / (vn * cnorm[c]), -c),
+            )
+            buckets.setdefault(best, []).append(v)
+        dims = len(corpus[0][1])
+        centroids = {
+            b: [_sorted_mean([v[d] for v in ms]) for d in range(dims)]
+            for b, ms in buckets.items()
+        }
+    cnorm = {c: _norm_py(cv) for c, cv in centroids.items()}
+    assign: dict[int, tuple[int, float]] = {}
+    by_bucket: dict[int, list[int]] = {}
+    for i, v in corpus:
+        vn = _norm_py(v)
+        best = max(
+            centroids, key=lambda c: (_dot_py(v, centroids[c]) / (vn * cnorm[c]), -c)
+        )
+        assign[i] = (best, _dot_py(v, centroids[best]) / (vn * cnorm[best]))
+        by_bucket.setdefault(best, []).append(i)
+    assert max(len(m) for m in by_bucket.values()) <= 1000, "max_cluster guard hit"
+    vec_by = dict(corpus)
+    norm_by = {i: _norm_py(v) for i, v in corpus}
+    rows: list[tuple[int, int, float, bool]] = []
+    for i, _v in corpus:
+        b, cs = assign[i]
+        removed = False
+        for m in by_bucket[b]:
+            if m == i:
+                continue
+            if (assign[m][1], m) < (cs, i):
+                s = _spark_round6(
+                    _dot_py(vec_by[i], vec_by[m]) / (norm_by[i] * norm_by[m])
+                )
+                if s >= threshold:
+                    removed = True
+                    break
+        rows.append((i, b, _spark_round6(cs), not removed))
+    return sorted(rows)
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    rows = _semantic_dedup_twin()
+    values = ",\n    ".join(
+        "({}, {}, {!r}, {})".format(i, b, cs, "TRUE" if kp else "FALSE")
+        for i, b, cs, kp in rows
+    )
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS INT) AS cluster_id,
+       CAST(csim AS DOUBLE) AS csim, CAST(keep AS BOOLEAN) AS keep
+FROM (VALUES
+    {values}
+) AS t(vec_id, cluster_id, csim, keep)
+ORDER BY vec_id
 """
 
 
@@ -3022,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf_centroid_top1"] = ann_ivf_centroid_top1
     out["dedup_cosine_srp"] = dedup_cosine_srp
     out["dedup_clusters"] = dedup_clusters
+    out["semantic_dedup"] = semantic_dedup_q
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
     out["multimodal_probe_meta"] = multimodal_probe_meta
@@ -3057,6 +3236,8 @@ def oracle_sql() -> dict[str, str]:
     # rendered as VALUES (VERDICT r4 #1 — no_oracle down to 0)
     oracles["ann_ivf_centroid_top1"] = _ann_ivf_centroid_oracle_sql()
     oracles["dedup_cosine_srp"] = _dedup_cosine_srp_oracle_sql()
+    # SemDeDup (cluster + keep-lowest-centroid-sim) vs its sequential twin
+    oracles["semantic_dedup"] = _semantic_dedup_oracle_sql()
     # LSH pairs closed into components: engine star-rounds vs DuckDB
     # recursive-CTE transitive closure over the shared pair CTEs
     oracles["dedup_clusters"] = _dedup_clusters_oracle_sql()

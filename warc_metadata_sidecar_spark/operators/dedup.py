@@ -355,3 +355,65 @@ def exact_substring_spans(
             "n_tokens",
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph deduplication (the Dolma / RefinedWeb
+    pass): split each document on `sep` (a regex for split, emitted
+    literally on reassembly), keep every distinct paragraph ONLY at its
+    first occurrence — lowest (doc_id, position) under the id column's
+    natural ordering — and reassemble the survivors in document order.
+    Returns (doc_id, n_paras, n_kept, text); documents whose every
+    paragraph was seen earlier survive with text='' and n_kept=0, so the
+    output row count always equals the input's.
+
+    Spark shape / 100 TB notes:
+      * first-occurrence selection is a row_number window PARTITIONED BY
+        the paragraph's md5 — ONE exchange on a uniform content hash (no
+        skew by construction; a boilerplate paragraph repeated 10^9 times
+        lands in one partition but sorts on (doc_id, idx) only to emit
+        rank 1, and AQE skew handling splits the sort spill). The
+        groupBy+min-struct+self-join alternative costs a second shuffle of
+        the full paragraph set — the window form halves shuffle volume;
+      * reassembly is one exchange on doc_id; both keys are high-card and
+        uniform, so the plan is two well-behaved shuffles end-to-end;
+      * dedup is EXACT and corpus-global: no per-batch state, safe to run
+        per-snapshot; the incremental form is streaming/neardup_stream's
+        ledger pattern with md5(paragraph) as the band key.
+
+    Reference parity note: the reference has no corpus-level operators
+    (per-record loop, warc_metadata_sidecar.py:205) — this is part of the
+    training-data family (SURVEY §2c, dedup). Oracle: the dual-dialect
+    `paragraph_dedup` SQL twin over the planted-paragraph fixture
+    (driver_queries._pded_cte); module==twin parity pinned in
+    tests/test_module_oracle_parity.py.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "idx")
+    marked = paras.withColumn("keep", F.row_number().over(w) == 1)
+    # single-scan reassembly: paragraph totals, kept counts, and the kept
+    # text all come out of ONE groupBy over the marked rows (idx is unique
+    # per doc, so the struct sort restores document order before the
+    # keep-filter + join) — 2 exchanges end-to-end, no self-join
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("idx", "keep", "para"))),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+    )

@@ -538,3 +538,93 @@ def embedding_cosine_dedup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    max_cluster: int = 1000,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    inside each cluster drop every member that has a near-duplicate
+    (cosine >= threshold) which sits FURTHER from the cluster centroid —
+    i.e. per duplicate group, the survivor is the member with the lowest
+    centroid similarity (the paper's keep-low-csim rule; ties break to the
+    lowest id). Returns one row per input vector:
+    (vec_id, cluster_id, csim, keep).
+
+    Spark shape / 100 TB notes:
+      * training: `ivf_train_centroids` — bit-stable sorted-fold Lloyd on a
+        hash-sample bounded to ~512*k rows, cost independent of corpus size;
+      * assignment: broadcast of the k centroid rows, map-side argmax — the
+        corpus is scanned once and never shuffled for assignment;
+      * pair scoring: ONE shuffle on cluster_id; pairwise cost is
+        sum(|c|^2) ~= n * avg_cluster, kept linear by choosing
+        k ~= n / target_cluster (SemDeDup runs at ~few-thousand-member
+        clusters) plus the `max_cluster` guard that skips degenerate
+        clusters (pathological mass at one centroid is boilerplate signal,
+        same rationale as the LSH `max_bucket` guard — skipped clusters
+        keep all members, reported keep=true);
+      * norms fold once per row and ride the join, never per pair.
+
+    csim is rounded half-even to 6 (the cross-engine contract used by every
+    cosine oracle); the keep decision compares UNROUNDED csims — both sides
+    are computed by the same position-order folds, so the comparison is
+    deterministic within and across runs (bit-stable training, r5).
+
+    Reference parity note: the reference engine has no embedding operators
+    (warc_metadata_sidecar.py is per-record metadata extraction); this is
+    part of the training-data operator family layered on top (SURVEY §2c).
+    """
+    e = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    cents = ivf_train_centroids(
+        e, k, id_col="_id", vec_col="_v", iters=iters, sample_mod=sample_mod
+    )
+    assigned = _assign_buckets(e, cents, "_id", "_v", nprobe=1)
+    sized = assigned.withColumn(
+        "_cn", F.count("*").over(Window.partitionBy("bucket"))
+    )
+    bounded = sized.filter(F.col("_cn") <= max_cluster)
+    a = bounded.select(
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        _norm(F.col("_v")).alias("_na"),
+        F.col("csim").alias("_csa"),
+        F.col("bucket"),
+    )
+    b = bounded.select(
+        F.col("_id").alias("_idb"),
+        _norm(F.col("_v")).alias("_nb"),
+        F.col("_v").alias("_vb"),
+        F.col("csim").alias("_csb"),
+        F.col("bucket"),
+    )
+    # a is the candidate for REMOVAL: it needs a duplicate mate b that is
+    # closer to (or tied with, lower id) the centroid than a is
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(
+            (F.col("_csb") < F.col("_csa"))
+            | ((F.col("_csb") == F.col("_csa")) & (F.col("_idb") < F.col("_ida")))
+        )
+        .withColumn("_sim", F.round(_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("_sim") >= threshold)
+    )
+    removed = pairs.select(F.col("_ida").alias("_id")).distinct()
+    return (
+        assigned.join(removed.withColumn("_rm", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias("vec_id"),
+            F.col("bucket").alias("cluster_id"),
+            F.round(F.col("csim"), 6).alias("csim"),
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
+        )
+    )
