@@ -285,3 +285,32 @@ def test_paragraph_dedup_module_matches_twin(spark):
     assert any(k < p for _, p, k, _ in exp)
     boiler = "subscribe to our newsletter for updates"
     assert sum(t.count(boiler) for _, _, _, t in exp) == 1
+
+
+def test_dsir_module_matches_twin(spark):
+    """operators/sampling.dsir_select == the dual-dialect SQL twin
+    (target = lang='en', k=100), and the plan keeps the scale shape:
+    top-k is TakeOrderedAndProject (never a global sort) and the
+    log-ratio/membership joins are broadcasts."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_select(docs, docs.filter(F.col("lang") == "en"), k=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    got = sorted(
+        (int(r.doc_id), round(float(r.lw), 4), bool(r.selected)) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = sorted(
+        (int(a), round(float(b), 4), bool(c))
+        for a, b, c in con.execute(dq.duck_sql_for("dsir_select")).fetchall()
+    )
+    assert got == exp
+    assert sum(1 for _, _, s in exp if s) == 100

@@ -911,6 +911,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM sc ORDER BY doc_id
 """
 
+# DSIR importance-resampling selection (Xie et al. 2023): add-one-smoothed
+# hashed unigram+bigram bag models on target (lang='en') vs raw, per-doc
+# log importance weight (round 4, the lm_perplexity float-sum contract),
+# deterministic top-100 selection on (lw desc, doc_id). Module twin:
+# operators/sampling.dsir_weights / dsir_select.
+_Q["dsir_select"] = """
+WITH corpus AS (SELECT doc_id, lang, text FROM documents),
+wsd AS (SELECT doc_id, lang, @SPLIT(text, ' ') AS ws FROM corpus),
+uni AS (SELECT doc_id, lang, @WORDI AS g FROM wsd @LATW),
+wsd2 AS (SELECT doc_id, lang, ws FROM wsd WHERE @LEN(ws) >= 2),
+bi AS (SELECT doc_id, lang, @SLICE2 AS g FROM wsd2 @LAT2W),
+grams AS (SELECT doc_id, lang, g FROM uni UNION ALL SELECT doc_id, lang, g FROM bi),
+gb AS (SELECT doc_id, lang, @GRAMBUCKET AS b FROM grams),
+rawm AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM gb GROUP BY b),
+tgtm AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(cr) FROM rawm) AS r_tot,
+         (SELECT coalesce(sum(ct), 0) FROM tgtm) AS t_tot
+),
+lam AS (
+  SELECT r.b,
+         ln((coalesce(t.ct, 0) + 1) / (tot.t_tot + 256.0))
+       - ln((r.cr + 1) / (tot.r_tot + 256.0)) AS lam
+  FROM rawm r LEFT JOIN tgtm t ON r.b = t.b CROSS JOIN tot
+),
+pd_counts AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS n FROM gb GROUP BY doc_id, b),
+lw AS (
+  SELECT p.doc_id, round(sum(p.n * l.lam), 4) AS lw
+  FROM pd_counts p JOIN lam l ON p.b = l.b GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, lw, row_number() OVER (ORDER BY lw DESC, doc_id) AS rn FROM lw
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(lw AS DOUBLE) AS lw,
+       CAST(rn <= 100 AS BOOLEAN) AS selected
+FROM ranked ORDER BY doc_id
+"""
+
 # Gopher DOCUMENT-level quality rules (Rae et al. 2021 App. A1, the
 # non-repetition half): word-count bounds, mean word length 3..10,
 # symbol-to-word ratio (# or ...) <= 0.1, <=90% bullet-started lines,
@@ -1393,6 +1431,15 @@ def _render_query(name: str, dialect: dict) -> str:
             sql = sql.replace("@SLICE10", "concat_ws(' ', slice(ws, i, 10))")
         else:
             sql = sql.replace("@SLICE10", "array_to_string(ws[i:i+9], ' ')")
+    if "@LATW" in sql:
+        # dsir_select: unigram lateral over the full word array
+        arrlen = "size(ws)" if dialect is SPARK else "len(ws)"
+        sql = sql.replace("@LATW", dialect["LAT"](arrlen))
+        sql = sql.replace(
+            "@WORDI", "element_at(ws, i)" if dialect is SPARK else "ws[i]"
+        )
+    if "@GRAMBUCKET" in sql:
+        sql = sql.replace("@GRAMBUCKET", _md5_int(dialect, "md5(g)", 2))
     if "@LAT2W" in sql:
         arrlen = "size(ws)" if dialect is SPARK else "len(ws)"
         sql = sql.replace("@LAT2W", dialect["LAT"](f"{arrlen} - 1"))

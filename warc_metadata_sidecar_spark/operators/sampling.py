@@ -125,3 +125,120 @@ def temperature_sample(
         .where(hash_bucket(F.col(key_col)) < F.floor(F.col("rate") * N_BUCKETS))
         .drop("rate")
     )
+
+
+def _gram_counts(df: DataFrame, id_col: str, text_col: str, per_doc: bool) -> DataFrame:
+    """Hashed unigram+word-bigram feature counts (DSIR's bag-of-hashed-
+    ngrams): per (doc_id, bucket) when per_doc else per bucket. Buckets are
+    the first two md5 hex nibbles of the gram (0..255) — engine-portable
+    (the classifier_score precedent). Staged columns, not one nested
+    expression: conditionals inside HOF chains defeat Catalyst CSE."""
+    ws = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("ws"),
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 2)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    )
+    b = grams.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    if per_doc:
+        return b.groupBy("doc_id", "b").agg(F.count("*").cast("double").alias("n"))
+    return b.groupBy("b").agg(F.count("*").cast("double").alias("c"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit add-one-smoothed
+    bag-of-hashed-ngrams models on the `target` (the distribution you want
+    more of) and on `raw`, then score every raw document with
+    lw = sum_b n_doc[b] * (ln p_target[b] - ln p_raw[b]), rounded to 4
+    (the lm_perplexity cross-engine contract for per-doc float sums).
+    Returns (doc_id, lw).
+
+    Spark shape / 100 TB notes:
+      * both models are ONE groupBy each over the gram stream with map-side
+        combine — the shuffled state is <= n_buckets rows per partition,
+        and the fitted model is a <= 256-row frame regardless of corpus
+        size;
+      * the log-ratio table joins to per-doc counts as a BROADCAST (the
+        canonical tiny-dim join); the only corpus-sized shuffle is the
+        per-doc bucket groupBy, keyed on (doc_id, bucket) — uniform;
+      * totals over the model frames are windows over <= 256 rows, never
+        corpus windows.
+
+    Reference parity note: no counterpart in the reference (per-record
+    loop); training-data family, SURVEY §2c sampling. Oracle: dual-dialect
+    `dsir_select` twin; module==twin pinned in
+    tests/test_module_oracle_parity.py."""
+    rawm = _gram_counts(raw, id_col, text_col, per_doc=False)
+    tgtm = _gram_counts(target, id_col, text_col, per_doc=False).withColumnRenamed(
+        "c", "ct"
+    )
+    wall = Window.partitionBy()  # model frames only: <= n_buckets rows
+    joined = (
+        rawm.join(tgtm, "b", "left")
+        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0.0)))
+        .withColumn("t_tot", F.sum("ct").over(wall))
+        .withColumn("r_tot", F.sum("c").over(wall))
+    )
+    lam = joined.select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("t_tot") + float(n_buckets)))
+            - F.log((F.col("c") + 1) / (F.col("r_tot") + float(n_buckets)))
+        ).alias("lam"),
+    )
+    pd_counts = _gram_counts(raw, id_col, text_col, per_doc=True)
+    return pd_counts.join(F.broadcast(lam), "b").groupBy("doc_id").agg(
+        F.round(F.sum(F.col("n") * F.col("lam")), 4).alias("lw")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection: the deterministic top-k variant — rank by
+    (lw desc, doc_id) and keep the first k (the paper adds Gumbel noise
+    for sampled-without-replacement selection; with a fixed seed that is a
+    per-row noise column added to lw — the machinery is identical).
+    Returns (doc_id, lw, selected) for EVERY raw document.
+
+    Scale shape: top-k is orderBy().limit(k) — planned as
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge), never
+    a global sort; membership comes back as a BROADCAST left join of the
+    k-row id set, so no corpus shuffle is added beyond dsir_weights'."""
+    w = dsir_weights(raw, target, id_col, text_col)
+    top = (
+        w.orderBy(F.desc("lw"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
+    return w.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "lw",
+        F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
+    )
