@@ -169,3 +169,37 @@ def test_cli_sidecar_emit_warc_zero_records(spark, tmp_path, capsys, monkeypatch
     assert len(rows) == 1 and rows[0]["rec_type"] == "warcinfo"
     text = "".join(s["text"] or "" for s in rows[0]["spans"])
     assert "; 0 metadata sidecar records" in text
+
+
+def test_cli_curate(spark, tmp_path, capsys, monkeypatch):
+    """curate e2e: dedup -> budgeted temperature sample -> shard write +
+    manifest; the written parquet agrees with the printed manifest, and a
+    planted exact duplicate is removed by the dedup stage."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+    # plant one exact duplicate: the lowest doc's text re-enters under an id
+    # that sorts AFTER every real id, so the original survives dedup
+    dup = docs.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(999999))
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(dup).write.mode("overwrite").parquet(docs_path)
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "4",
+         "--budget", "200"],
+    )
+    assert "read=301 after_dedup=300" in out
+    written = spark.read.parquet(f"{out_dir}/curated")
+    manifest = {r.shard: r for r in spark.read.parquet(f"{out_dir}/manifest").collect()}
+    assert len(manifest) == 4
+    per_shard = {
+        r.shard: r for r in written.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    for s, m in manifest.items():
+        assert per_shard[s].n == m.n_docs and per_shard[s].t == m.n_tokens
+    # the planted duplicate never survives (min doc_id wins)
+    assert written.filter(F.col("doc_id") == 999999).count() == 0

@@ -7,6 +7,9 @@ sidecar2cdxj.py:64-77, merge_cdxj.py:141-165), spark-submit-friendly.
   python -m warc_metadata_sidecar_spark.cli merge    -m META -w WARC -d DIR
   python -m warc_metadata_sidecar_spark.cli crawl    <documents_path> <out_dir>
       [--rounds N] [--budget N] [--cpus N]
+  python -m warc_metadata_sidecar_spark.cli curate   <documents_path> <out_dir>
+      [--shards N] [--paragraph-dedup] [--gopher] [--c4] [--budget N]
+      (documents_path = flat (doc_id, text[, lang, source]) parquet)
 
 Same flag names as the reference where they exist; --cpus/--sf-dir style
 knobs added for the distributed runtime.
@@ -188,6 +191,89 @@ def cmd_crawl(args) -> None:
         )
 
 
+def cmd_curate(args) -> None:
+    """Training-data curation pipeline over a documents parquet dir:
+    exact dedup -> optional paragraph dedup -> opt-in quality gates
+    (Gopher / C4) -> optional temperature sampling -> shard-partitioned
+    parquet + manifest. Every stage is a SURVEY §2c module — the CLI is
+    composition only. Gates are opt-in because they are calibrated for
+    English prose (COVERAGE.md): on non-prose corpora they drop nearly
+    everything, which is correct behavior but rarely what a smoke run
+    wants."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.functions.text import fingerprint_col
+    from warc_metadata_sidecar_spark.operators.dedup import paragraph_dedup
+    from warc_metadata_sidecar_spark.operators.quality import (
+        c4_signals,
+        document_signals,
+    )
+    from warc_metadata_sidecar_spark.operators.sampling import temperature_sample
+    from warc_metadata_sidecar_spark.operators.shards import write_shards
+
+    log = _run_log(args.out_dir, "curate")
+    t0 = time.time()
+    spark = build_session("curate-cli", cpus=args.cpus)
+    docs = spark.read.parquet(args.documents_path)
+    n_read = docs.count()
+    log.info("Curating %s (%d documents)", args.documents_path, n_read)
+
+    # exact dedup: first occurrence per normalized fingerprint (window on
+    # the content hash — uniform key, one exchange; same discipline as
+    # operators/dedup.paragraph_dedup)
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    cur = (
+        docs.withColumn("_fp", fingerprint_col(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    n_dedup = cur.count()
+
+    if args.paragraph_dedup:
+        pd = paragraph_dedup(cur).select("doc_id", "text")
+        cur = cur.drop("text").join(pd, "doc_id")
+
+    if args.gopher:
+        cur = cur.join(
+            document_signals(cur).where("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+    if args.c4:
+        cur = cur.join(
+            c4_signals(cur).where("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+    n_quality = cur.count() if (args.gopher or args.c4) else n_dedup
+
+    if args.budget:
+        cur = temperature_sample(
+            cur, stratum_col=args.stratum, alpha=args.alpha, budget=args.budget
+        )
+
+    out_path = os.path.join(args.out_dir, "curated")
+    manifest = write_shards(cur, out_path, n_shards=args.shards)
+    rows = sorted(manifest.collect(), key=lambda r: r.shard)
+    n_out = sum(r.n_docs for r in rows)
+    n_tokens = sum(r.n_tokens for r in rows)
+    manifest.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "manifest")
+    )
+    for r in rows:
+        print(
+            f"shard={r.shard} docs={r.n_docs} tokens={r.n_tokens} "
+            f"checksum={r.checksum}"
+        )
+    print(
+        f"read={n_read} after_dedup={n_dedup} after_quality={n_quality} "
+        f"written={n_out} tokens={n_tokens}"
+    )
+    log.info(
+        "Wrote %d docs (%d tokens) in %d shards to %s", n_out, n_tokens,
+        args.shards, out_path,
+    )
+    log.info("Processed in %f seconds.", time.time() - t0)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="warc_metadata_sidecar_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -254,6 +340,25 @@ def main() -> None:
         "href,src,srcset,meta_refresh (default href)",
     )
     cr.set_defaults(fn=cmd_crawl)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("documents_path")
+    cu.add_argument("out_dir")
+    cu.add_argument("--shards", type=int, default=8)
+    cu.add_argument(
+        "--paragraph-dedup",
+        action="store_true",
+        help="also run corpus-wide paragraph-level exact dedup (rewrites text)",
+    )
+    cu.add_argument("--gopher", action="store_true", help="Gopher document gate")
+    cu.add_argument("--c4", action="store_true", help="C4 page gate")
+    cu.add_argument(
+        "--budget", type=int, default=None,
+        help="temperature-sample down to ~N docs (XLM-R mixture rule)",
+    )
+    cu.add_argument("--stratum", default="lang")
+    cu.add_argument("--alpha", type=float, default=0.5)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()
     args.fn(args)
