@@ -236,6 +236,10 @@ EXTENDED = [
     "ccnet_buckets",
     "bpe_token_counts",
     "ann_pq_top1",
+    "paragraph_dedup",
+    "semantic_dedup",
+    "dsir_select",
+    "classifier_train",
 ]
 
 

@@ -70,3 +70,60 @@ def test_plan_broadcast_model(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def _surrogate_loss(docs_py, w, bias):
+    """Mean squared fast-sigmoid error on the training sample (the
+    surrogate the trainer descends)."""
+    tot = 0.0
+    for y, nw, fb in docs_py:
+        z = bias + sum(sorted((cnt / nw) * w.get(b, 0.0) for b, cnt in fb))
+        p = 0.5 + 0.5 * z / (1.0 + abs(z))
+        tot += (p - y) ** 2
+    return tot / len(docs_py)
+
+
+def test_train_matches_sequential_twin_bit_exact(spark, docs):
+    """Distributed training == the sequential re-train, bit-for-bit (no
+    rounding): the fast-sigmoid surrogate keeps every step IEEE-exact and
+    the sorted folds make accumulation order-independent."""
+    from warc_metadata_sidecar_spark.operators.classifier import (
+        train_linear_classifier,
+    )
+
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("double"))
+    w, bias = train_linear_classifier(labeled, "y", iters=3, eta=0.5)
+    exp = dict(dq._classifier_train_twin(SF_DIR))
+    assert bias == exp.pop(-1)
+    assert w == exp
+
+
+def test_train_decreases_surrogate_loss_and_feeds_scoring(spark, docs):
+    """The trained model reduces the surrogate loss vs the zero init on
+    its own training sample, and plugs straight into score_documents
+    (scores in (0,1), biased below 0.5 for the minority-positive label)."""
+    import hashlib
+
+    from warc_metadata_sidecar_spark.operators.classifier import (
+        train_linear_classifier,
+    )
+
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("double"))
+    w, bias = train_linear_classifier(labeled, "y", iters=3, eta=0.5)
+    docs_py = []
+    for r in docs.select("doc_id", "lang", "text").collect():
+        ws = r.text.split(" ")
+        fb: dict[int, int] = {}
+        for wd in ws:
+            b = int(hashlib.md5(wd.encode()).hexdigest()[:2], 16)
+            fb[b] = fb.get(b, 0) + 1
+        docs_py.append(
+            (1.0 if r.lang == "en" else 0.0, float(len(ws)), sorted(fb.items()))
+        )
+    assert _surrogate_loss(docs_py, w, bias) < _surrogate_loss(docs_py, {}, 0.0)
+    scored = score_documents(docs, w, bias)
+    rows = scored.collect()
+    assert all(0.0 < r.score < 1.0 for r in rows)
+    en_frac = docs.where("lang = 'en'").count() / docs.count()
+    assert en_frac < 0.5
+    assert sum(r.score for r in rows) / len(rows) < 0.5

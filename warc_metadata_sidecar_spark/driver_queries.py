@@ -2292,6 +2292,102 @@ ORDER BY vec_id
 """
 
 
+def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hashed-BoW classifier TRAINING (label: lang='en'),
+    3 full-batch iterations with the algebraic fast-sigmoid surrogate.
+    ORACLED: every training step is an IEEE-exact operation over sorted
+    folds, so the sequential Python twin (_classifier_train_twin)
+    re-trains to BIT-IDENTICAL weights — rendered as VALUES with full
+    reprs, no rounding anywhere. Output: (bucket, weight) with the bias
+    as bucket -1, nonzero weights only."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.classifier import (
+        train_linear_classifier,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w, bias = train_linear_classifier(docs, "y", iters=3, eta=0.5, max_train=4096)
+    rows = [(-1, float(bias))] + [(int(b), float(x)) for b, x in sorted(w.items())]
+    return spark.createDataFrame(rows, "bucket int, weight double").orderBy("bucket")
+
+
+def _classifier_train_twin(sf_dir: str | None = None) -> list[tuple[int, float]]:
+    """Sequential twin of train_linear_classifier(iters=3, eta=0.5,
+    max_train=4096) with y = (lang == 'en'): same md5 word buckets, same
+    md5-mod sample, same sorted folds for z and the per-bucket gradients,
+    same fast-sigmoid — bit-faithful to the engine's arithmetic."""
+    import duckdb
+    import hashlib
+
+    sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    raw = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    n, max_train, iters, eta = len(raw), 4096, 3, 0.5
+    sample_mod = max(1, -(-n // max_train))
+    docs = []
+    for doc_id, lang, text in raw:
+        if (
+            sample_mod > 1
+            and int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            % sample_mod
+            != 0
+        ):
+            continue
+        ws = text.split(" ")
+        buckets: dict[int, int] = {}
+        for wd in ws:
+            b = int(hashlib.md5(wd.encode()).hexdigest()[:2], 16)
+            buckets[b] = buckets.get(b, 0) + 1
+        docs.append(
+            (1.0 if lang == "en" else 0.0, float(len(ws)), sorted(buckets.items()))
+        )
+    n_train = float(len(docs))
+    w = [0.0] * 256
+    bias = 0.0
+    for _ in range(iters):
+        per_bucket: dict[int, list[float]] = {}
+        for y, nw, fb in docs:
+            zacc = 0.0
+            for v in sorted((cnt / nw) * w[b] for b, cnt in fb):
+                zacc += v
+            z = bias + zacc
+            p = 0.5 + 0.5 * z / (1.0 + abs(z))
+            err = p - y
+            for b, cnt in fb:
+                per_bucket.setdefault(b, []).append(err * (cnt / nw))
+            per_bucket.setdefault(-1, []).append(err)
+        for b, vals in per_bucket.items():
+            g = 0.0
+            for v in sorted(vals):
+                g += v
+            g /= n_train
+            if b == -1:
+                bias = bias - eta * g
+            else:
+                w[b] = w[b] - eta * g
+    return [(-1, bias)] + [(b, x) for b, x in enumerate(w) if x != 0.0]
+
+
+def _classifier_train_oracle_sql() -> str:
+    rows = _classifier_train_twin()
+    values = ",\n    ".join("({}, {!r})".format(b, x) for b, x in rows)
+    return f"""
+SELECT CAST(bucket AS INT) AS bucket, CAST(weight AS DOUBLE) AS weight
+FROM (VALUES
+    {values}
+) AS t(bucket, weight)
+ORDER BY bucket
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the ENGINE path (mapInPandas feature
     extraction + native frame-sample fan-out), ORACLED (VERDICT r2 #8): the
@@ -3248,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_cosine_srp"] = dedup_cosine_srp
     out["dedup_clusters"] = dedup_clusters
     out["semantic_dedup"] = semantic_dedup_q
+    out["classifier_train"] = classifier_train
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
     out["multimodal_probe_meta"] = multimodal_probe_meta
@@ -3285,6 +3382,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_cosine_srp"] = _dedup_cosine_srp_oracle_sql()
     # SemDeDup (cluster + keep-lowest-centroid-sim) vs its sequential twin
     oracles["semantic_dedup"] = _semantic_dedup_oracle_sql()
+    # distributed classifier training vs the bit-exact sequential re-train
+    oracles["classifier_train"] = _classifier_train_oracle_sql()
     # LSH pairs closed into components: engine star-rounds vs DuckDB
     # recursive-CTE transitive closure over the shared pair CTEs
     oracles["dedup_clusters"] = _dedup_clusters_oracle_sql()
