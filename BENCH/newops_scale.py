@@ -106,7 +106,13 @@ def main() -> None:
 
     rows = []
 
-    for reps in (1, 10):
+    # JVM/codegen warmup so the 1x walls aren't first-call-dominated
+    warm = docs_at(spark, 2).localCheckpoint(eager=True)
+    paragraph_dedup(warm).count()
+    dsir_select(warm, warm.filter(F.col("lang") == "en"), k=100).count()
+    warm.unpersist()
+
+    for reps in (20, 200):
         d = docs_at(spark, reps).localCheckpoint(eager=True)
         n, wall, sh = measure(spark, paragraph_dedup(d))
         rows.append(("paragraph_dedup", reps, n, wall, sh))
@@ -125,7 +131,10 @@ def main() -> None:
         rows.append(("classifier_train", reps, len(w), wall, sh))
         d.unpersist()
 
-    for reps, k in ((1, 32), (10, 320)):
+    we = embeddings_at(spark, 2).localCheckpoint(eager=True)
+    semantic_dedup(we, k=16, threshold=0.9, iters=1).count()
+    we.unpersist()
+    for reps, k in ((5, 50), (50, 500)):
         e = embeddings_at(spark, reps).localCheckpoint(eager=True)
         n, wall, sh = measure(
             spark, semantic_dedup(e, k=k, threshold=0.9, iters=1)
@@ -133,12 +142,16 @@ def main() -> None:
         rows.append((f"semantic_dedup k={k}", reps, n, wall, sh))
         e.unpersist()
 
-    md = ["# BENCH/NEWOPS2 — r6-session-3 operators: 1x vs 10x", ""]
+    md = ["# BENCH/NEWOPS2 — r6-session-3 operators: 1x vs 10x scale growth", ""]
     md.append("Input: documents/embeddings sf0.1 replicated (distinct ids; 3-paragraph")
-    md.append("rewrite for text ops, element-rotation for vectors). local[16], ")
-    md.append("shuffle bytes from the status API. Claim: walls/shuffle grow ~linearly")
-    md.append("(classifier_train iteration cost ~flat past the capped sample; k grows")
-    md.append("with n for semantic_dedup so avg cluster stays fixed).")
+    md.append("rewrite for text ops: 100k vs 1M docs / 300k vs 3M paragraphs;")
+    md.append("element-rotation for vectors: 10k vs 100k, k grown with n so avg")
+    md.append("cluster stays ~200). local[16], warmed JVM, shuffle bytes from the")
+    md.append("status API. Claim: walls/shuffle grow ~linearly; classifier_train")
+    md.append("iteration cost ~flat past the capped sample (only the feature-build")
+    md.append("scan grows); semantic_dedup's broadcast argmax assignment is the")
+    md.append("documented O(n*k) term (at real scale the assignment itself is")
+    md.append("IVF-accelerated; the pair stage stays linear at fixed cluster size).")
     md.append("")
     md.append("| op | reps | out rows | wall s | shuffle bytes |")
     md.append("|---|---|---|---|---|")

@@ -36,9 +36,6 @@ rewrite_data_files in production, same note as sidecar_stream).
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -48,56 +45,23 @@ from warc_metadata_sidecar_spark.operators.dedup import (
     minhash_signatures,
     shingles,
 )
+from warc_metadata_sidecar_spark.streaming import ledger
 from warc_metadata_sidecar_spark.streaming.sidecar_stream import (
     _require_local_ledger,
 )
 
-BAND_BUCKETS = 16
-
-
-def _tbl(ledger_dir: str, kind: str) -> str:
-    return f"neardup_{kind}_" + hashlib.md5(
-        os.path.abspath(ledger_dir).encode()
-    ).hexdigest()[:12]
-
-
-def _dir(ledger_dir: str, kind: str) -> str:
-    return os.path.join(ledger_dir, kind)
-
-
-def _has_files(d: str) -> bool:
-    return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+BAND_BUCKETS = ledger.LEDGER_BUCKETS
 
 
 def _write(df: DataFrame, ledger_dir: str, kind: str, bucket_col: str, mode: str) -> str:
-    tbl = _tbl(ledger_dir, kind)
-    (
-        df.write.mode(mode)
-        .option("path", _dir(ledger_dir, kind))
-        .bucketBy(BAND_BUCKETS, bucket_col)
-        .sortBy(bucket_col)
-        .format("parquet")
-        .saveAsTable(tbl)
-    )
-    return tbl
+    return ledger.write(df, ledger_dir, kind, bucket_col, mode, prefix="neardup")
 
 
 def _ensure(spark: SparkSession, ledger_dir: str, kind: str, bucket_col: str):
-    """The bucketed table handle, or None before the first append; a
-    session restart rebuilds the catalog entry from the files once."""
-    d = _dir(ledger_dir, kind)
-    if not _has_files(d):
-        return None
-    tbl = _tbl(ledger_dir, kind)
-    if spark.catalog.tableExists(tbl):
-        # the cached file listing from a PREVIOUS epoch's read survives
-        # this table's append inside foreachBatch (observed: epoch N+1
-        # resolving the relation cached at epoch N missed epoch N's
-        # appended files) — refresh before every read
-        spark.catalog.refreshTable(tbl)
-        return spark.table(tbl)
-    recovered = spark.read.parquet(d).localCheckpoint(eager=True)
-    return spark.table(_write(recovered, ledger_dir, kind, bucket_col, "overwrite"))
+    """The bucketed table handle, or None before the first append; reads
+    refresh the catalog entry first (streaming/ledger.py — the foreachBatch
+    table-cache pitfall)."""
+    return ledger.ensure(spark, ledger_dir, kind, bucket_col, prefix="neardup")
 
 
 def _est_expr(num_hashes: int) -> F.Column:
@@ -219,3 +183,11 @@ def start_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _tbl(ledger_dir: str, kind: str) -> str:
+    return ledger.table_name("neardup", ledger_dir, kind)
+
+
+def _dir(ledger_dir: str, kind: str) -> str:
+    return ledger.table_dir(ledger_dir, kind)
