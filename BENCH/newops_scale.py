@@ -107,13 +107,17 @@ def main() -> None:
     rows = []
 
     # JVM/codegen warmup so the 1x walls aren't first-call-dominated
-    warm = docs_at(spark, 2).localCheckpoint(eager=True)
+    warm = docs_at(spark, 2).repartition(8).localCheckpoint(eager=True)
     paragraph_dedup(warm).count()
     dsir_select(warm, warm.filter(F.col("lang") == "en"), k=100).count()
+    train_linear_classifier(
+        warm.withColumn("y", (F.col("lang") == "en").cast("double")), "y",
+        iters=3, eta=0.5,
+    )
     warm.unpersist()
 
     for reps in (20, 200):
-        d = docs_at(spark, reps).localCheckpoint(eager=True)
+        d = docs_at(spark, reps).repartition(64).localCheckpoint(eager=True)
         n, wall, sh = measure(spark, paragraph_dedup(d))
         rows.append(("paragraph_dedup", reps, n, wall, sh))
 
@@ -131,11 +135,11 @@ def main() -> None:
         rows.append(("classifier_train", reps, len(w), wall, sh))
         d.unpersist()
 
-    we = embeddings_at(spark, 2).localCheckpoint(eager=True)
+    we = embeddings_at(spark, 2).repartition(8).localCheckpoint(eager=True)
     semantic_dedup(we, k=16, threshold=0.9, iters=1).count()
     we.unpersist()
     for reps, k in ((5, 50), (50, 500)):
-        e = embeddings_at(spark, reps).localCheckpoint(eager=True)
+        e = embeddings_at(spark, reps).repartition(64).localCheckpoint(eager=True)
         n, wall, sh = measure(
             spark, semantic_dedup(e, k=k, threshold=0.9, iters=1)
         )
