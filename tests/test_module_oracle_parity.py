@@ -314,3 +314,24 @@ def test_dsir_module_matches_twin(spark):
     )
     assert got == exp
     assert sum(1 for _, _, s in exp if s) == 100
+
+
+def test_top_ngrams_module_matches_twin(spark):
+    """operators/quality.top_ngrams == the dual-dialect SQL twin, and the
+    plan's top-k is TakeOrderedAndProject over a map-side-combined count
+    (never a global Sort)."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark.operators.quality import top_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = top_ngrams(docs, n=2, k=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [(r.gram, int(r.n_occurrences)) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = [(g, int(c)) for g, c in con.execute(dq.duck_sql_for("top_ngrams")).fetchall()]
+    assert got == exp

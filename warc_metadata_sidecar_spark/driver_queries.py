@@ -911,6 +911,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM sc ORDER BY doc_id
 """
 
+# corpus n-gram heavy hitters (word bigrams, top-20 by (count desc, gram))
+# — the boilerplate-discovery analysis pass. Module twin:
+# operators/quality.top_ngrams.
+_Q["top_ngrams"] = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+wsd AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM corpus),
+wsd2 AS (SELECT doc_id, ws FROM wsd WHERE @LEN(ws) >= 2),
+g AS (SELECT @SLICE2 AS gram FROM wsd2 @LAT2W)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 20
+"""
+
 # DSIR importance-resampling selection (Xie et al. 2023): add-one-smoothed
 # hashed unigram+bigram bag models on target (lang='en') vs raw, per-doc
 # log importance weight (round 4, the lm_perplexity float-sum contract),

@@ -226,3 +226,34 @@ def c4_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
         kept.join(sig, "doc_id")
         .select("doc_id", F.array_join("kept", "\n").alias(text_col))
     )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus n-gram heavy hitters: the k most frequent word n-grams as
+    (gram, n_occurrences), ordered (count desc, gram) so the cut is
+    deterministic under ties. The analysis pass a curation pipeline runs
+    to FIND boilerplate (feeding the C4 blocklist / paragraph-dedup
+    review) and to spot-check contamination candidates.
+
+    Spark shape / 100 TB notes: the gram stream never materializes —
+    explode feeds a map-side-combined groupBy (shuffle carries per-
+    partition distinct grams), and top-k is orderBy().limit(k) =
+    TakeOrderedAndProject (per-partition heaps, k-row merge), never a
+    global sort. Dual-dialect twin: driver_queries._Q["top_ngrams"]."""
+    ws = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    grams = ws.filter(F.size("ws") >= n).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
