@@ -2200,6 +2200,24 @@ ORDER BY id_a, id_b
 """
 
 
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR module path (operators/sampling.dsir_select, target=lang='en',
+    k=100) — same rows as the dual-dialect SQL twin, but planned as
+    TakeOrderedAndProject + broadcast membership instead of the twin's
+    global row_number window."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.sampling import dsir_select
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dsir_select(docs, docs.filter(F.col("lang") == "en"), k=100)
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings corpus + the standard planted
     duplicates (every vec_id % 10 == 0 row re-enters as vec_id + 1000000).
@@ -3359,6 +3377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters"] = dedup_clusters
     out["semantic_dedup"] = semantic_dedup_q
     out["classifier_train"] = classifier_train
+    # engine side = the MODULE (TakeOrdered top-k + broadcast membership),
+    # not the SQL twin's global row_number window — the oracle stays the
+    # dual-dialect SQL, so the comparison is module-vs-independent-SQL
+    out["dsir_select"] = dsir_select_q
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
     out["multimodal_probe_meta"] = multimodal_probe_meta
