@@ -240,6 +240,7 @@ EXTENDED = [
     "semantic_dedup",
     "dsir_select",
     "classifier_train",
+    "top_ngrams",
 ]
 
 
