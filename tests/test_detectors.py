@@ -725,3 +725,47 @@ def test_signature_tranche_r6c():
     for head, mime, puid in cases:
         got = sniff_mime(None, head)
         assert got == (mime, mime, puid), (head[:8], got)
+
+
+def test_charset_bytes_r6_session3_rungs():
+    """ISO-2022 escape family + Hebrew/Thai/Greek single-byte rungs on raw
+    bytes, plus the negative space that shaped their ordering: Russian
+    fails every new strict decode, sparse-accent French is held out by the
+    run-adjacency gate, and CJK-as-tis620 (thai-share ~1.0!) is rejected
+    by the Thai ORTHOGRAPHY gate (mark density + legality)."""
+    from warc_metadata_sidecar_spark.functions.detectors import (
+        detect_charset_bytes,
+    )
+
+    el = "Η Ελλάδα είναι χώρα της νοτιοανατολικής Ευρώπης με πρωτεύουσα την Αθήνα."
+    he = "ישראל היא מדינה במזרח התיכון השוכנת לחוף הים התיכון ובירתה ירושלים"
+    th = "ประเทศไทยตั้งอยู่ในเอเชียตะวันออกเฉียงใต้มีกรุงเทพมหานครเป็นเมืองหลวง"
+    ja = "日本語のテキストです。これはテストです。"
+    assert detect_charset_bytes(ja.encode("iso-2022-jp")) == ("ISO-2022-JP", 0.99)
+    assert detect_charset_bytes("한국어 텍스트".encode("iso2022_kr")) == (
+        "ISO-2022-KR", 0.99)
+    assert detect_charset_bytes(el.encode("iso-8859-7")) == ("ISO-8859-7", 0.73)
+    assert detect_charset_bytes(he.encode("iso-8859-8")) == ("ISO-8859-8", 0.73)
+    assert detect_charset_bytes(th.encode("tis_620")) == ("TIS-620", 0.73)
+    # negatives: the orderings' load-bearing cases
+    ru = "Российская Федерация расположена в Восточной Европе и Северной Азии."
+    assert detect_charset_bytes(ru.encode("windows-1251"))[0] == "windows-1251"
+    assert detect_charset_bytes(ru.encode("koi8-r"))[0] == "KOI8-R"
+    fr = "naïve café crème brûlée déjà vu français"
+    assert detect_charset_bytes(fr.encode("latin-1"))[0] == "ISO-8859-1"
+    # short marker-poor Big5 decodes as thai-share 1.0 under tis-620 but
+    # fails the orthography gate (1 combining mark) — must NOT read Thai
+    short_b5 = "臺灣位於東亞，首都為臺北。夜市文化聞名世界。".encode("big5")
+    assert detect_charset_bytes(short_b5)[0] != "TIS-620"
+
+
+def test_charset_artifact_iso2022_rung():
+    """ISO-2022-JP survives the utf-8 ingest decode verbatim (7-bit), so
+    the ARTIFACT path names it exactly — before the ascii rung claims the
+    ESC-bearing text."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset
+
+    ja = "日本語のテキストです。これはテストです。"
+    mangled = ja.encode("iso-2022-jp").decode("utf-8", "replace")
+    assert detect_charset(mangled) == ("ISO-2022-JP", 0.99)
+    assert detect_charset("plain ascii")[0] == "ascii"

@@ -2992,6 +2992,15 @@ _CHARSET_FIXTURES: list[tuple[str, str, float, str]] = [
     ("cp1252", "Windows-1252", 0.73, "don’t say “never ever” again l’été"),
     ("utf-8", "utf-8", 0.99, "日本語のテキストです。これはテストです。"),
     ("ascii", "ascii", 1.0, "plain ascii text with nothing special at all"),
+    # r6 session-3 rungs: escape-sequence family + single-byte non-Latin
+    ("iso-2022-jp", "ISO-2022-JP", 0.99,
+     "日本語のテキストです。これはテストのための文章です。"),
+    ("iso-8859-7", "ISO-8859-7", 0.73,
+     "Η Ελλάδα είναι χώρα της νοτιοανατολικής Ευρώπης με πρωτεύουσα την Αθήνα."),
+    ("iso-8859-8", "ISO-8859-8", 0.73,
+     "ישראל היא מדינה במזרח התיכון השוכנת לחוף הים התיכון ובירתה ירושלים"),
+    ("tis_620", "TIS-620", 0.73,
+     "ประเทศไทยตั้งอยู่ในเอเชียตะวันออกเฉียงใต้มีกรุงเทพมหานครเป็นเมืองหลวง"),
 ]
 
 
@@ -3286,7 +3295,7 @@ def _pack_greedy_oracle_sql(sf_dir: str | None = None) -> str:
 def charset_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-bytes charset detection (the chardet seam, VERDICT r5 #2)
     oracled against GROUND TRUTH: each row's bytes are prose encoded with
-    a codec chosen by doc_id % 11, and the expected answer IS that codec —
+    a codec chosen by floor(doc_id/5) % 15 (doc_id runs over multiples of 5, so the div keeps all 15 residues covered), and the expected answer IS that codec —
     known by construction, independent of the ladder. Covers the splits
     the decode-artifact path provably cannot make (KOI8-R vs windows-1251,
     Big5 vs GB18030 at the byte level, katakana/kana-free corners)."""
@@ -3297,7 +3306,7 @@ def charset_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     base = spark.sql(
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-        "CAST(doc_id % 11 AS INT) AS ci "
+        "CAST(floor(doc_id / 5) AS INT) % 15 AS ci "
         "FROM documents WHERE doc_id % 5 = 0"
     )
     fixtures = _CHARSET_FIXTURES
@@ -3331,13 +3340,13 @@ def _charset_bytes_oracle_sql() -> str:
     mapping with the KNOWN right answers (the codec each fixture was
     encoded with, in the ladder's reporting names) — no detection code on
     this side at all."""
-    codec_case = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+    codec_case = "CASE CAST(floor(doc_id / 5) AS INT) % 15 " + " ".join(
         f"WHEN {i} THEN '{c}'" for i, (c, _, _, _) in enumerate(_CHARSET_FIXTURES)
     ) + " END"
-    enc_case = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+    enc_case = "CASE CAST(floor(doc_id / 5) AS INT) % 15 " + " ".join(
         f"WHEN {i} THEN '{e}'" for i, (_, e, _, _) in enumerate(_CHARSET_FIXTURES)
     ) + " END"
-    conf_case = "CASE CAST(doc_id % 11 AS INT) " + " ".join(
+    conf_case = "CASE CAST(floor(doc_id / 5) AS INT) % 15 " + " ".join(
         f"WHEN {i} THEN {cf}" for i, (_, _, cf, _) in enumerate(_CHARSET_FIXTURES)
     ) + " END"
     return f"""

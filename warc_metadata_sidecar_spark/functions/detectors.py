@@ -357,6 +357,53 @@ def _script_shares(s: str) -> tuple[float, float, float]:
     return kana / non_ascii, hanzi / non_ascii, hangul / non_ascii
 
 
+_THAI_COMBINING = frozenset(
+    list(range(0x0E34, 0x0E3B)) + list(range(0x0E47, 0x0E4F)) + [0x0E31]
+)
+_THAI_CONSONANTS = frozenset(range(0x0E01, 0x0E2F))
+
+
+def _thai_orthography_ok(s: str) -> bool:
+    """Real Thai prose carries combining vowels/tone marks at high density
+    (~1 per 6 chars) and essentially every mark legally follows a consonant
+    (or stacks on another mark). CJK double-byte text decoded as tis-620
+    reads as Thai LETTERS (thai-share can hit 1.0 — measured 0.97 hanzi
+    the other way too) but its marks are sparse and land after random
+    bases: measured mark-legality 0.25-0.5 and density <= 0.03 on Big5/GB/
+    Hebrew bytes vs 1.0 / 0.17 on real Thai — so the rung keys on the
+    ORTHOGRAPHY, not the repertoire."""
+    marks = legal = thai_chars = 0
+    prev = None
+    for ch in s:
+        o = ord(ch)
+        if 0x0E00 <= o <= 0x0E7F:
+            thai_chars += 1
+        if o in _THAI_COMBINING:
+            marks += 1
+            if prev is not None and (
+                prev in _THAI_CONSONANTS or prev in _THAI_COMBINING
+            ):
+                legal += 1
+        prev = o
+    if not thai_chars or marks < 3:
+        return False
+    return legal / marks >= 0.9 and marks / thai_chars >= 0.08
+
+
+def _block_share(s: str, lo: int, hi: int) -> float:
+    """Share of chars in the [lo, hi] Unicode block among non-ascii chars
+    — the single-script rung statistic (Hebrew/Thai/Greek)."""
+    non_ascii = hit = 0
+    for ch in s:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        non_ascii += 1
+        if lo <= o <= hi:
+            hit += 1
+    return hit / non_ascii if non_ascii else 0.0
+
+
 def _cyrillic_case_score(s: str) -> tuple[float, float]:
     """(cyrillic_share_among_non_ascii, lowercase_share_among_cyrillic) —
     the chardet-style case-band statistic: KOI8-R puts lowercase at
@@ -392,6 +439,17 @@ def detect_charset_bytes(raw: bytes | None) -> tuple[str | None, float]:
     if raw.count(0) * 3 > len(raw):
         # BOM-less NUL-interleaved text (utf-16 without BOM)
         return "UTF-16", 1.0
+    # ISO-2022 escape-sequence family BEFORE the utf-8/ascii rung: these
+    # encodings are 7-bit ASCII-clean (the shift sequences are the only
+    # marker), so the ascii rung would otherwise claim them. Purely
+    # structural: ESC $ B / ESC $ @ = JIS X 0208 shift-in (r6 rung).
+    head2022 = raw[:8192]
+    if b"\x1b$B" in head2022 or b"\x1b$@" in head2022:
+        return "ISO-2022-JP", 0.99
+    if b"\x1b$)C" in head2022:
+        return "ISO-2022-KR", 0.99
+    if b"\x1b$)A" in head2022 or b"\x1b$)G" in head2022:
+        return "ISO-2022-CN", 0.99
     utf8 = _try_decode(raw, "utf-8")
     if utf8 is not None:
         if all(b < 0x80 for b in raw):
@@ -463,6 +521,31 @@ def detect_charset_bytes(raw: bytes | None) -> tuple[str | None, float]:
         if run >= 2:
             in_long_runs += run
     if n_high and in_long_runs / n_high >= 0.65:
+        # single-byte non-Latin scripts, strict-decode-selectivity order
+        # (r6 rungs, measured on encoded prose): Hebrew first — its strict
+        # iso-8859-8 decode FAILS for Russian (holes 0xBF-0xDE), Greek
+        # (accented vowels 0xDC+ unassigned) and Thai, while Hebrew text
+        # DOES decode under tis-620/iso-8859-7, so testing Hebrew later
+        # would lose it. Thai next (Greek and Russian fail tis-620's
+        # 0xDB-0xDE hole), Greek third (Russian fails iso-8859-7's holes),
+        # Cyrillic last. The shared run-adjacency gate above keeps
+        # sparse-accent Latin text (which decodes "validly" under ALL of
+        # these) out of every rung. Documented limit: UNACCENTED
+        # lowercase-only Greek decodes as Hebrew (0xE0-0xFA overlap) —
+        # real Greek prose carries tonos accents, which disambiguate.
+        heb = _try_decode(sample, "iso-8859-8")
+        if heb is not None and _block_share(heb, 0x590, 0x5FF) >= 0.6:
+            return "ISO-8859-8", 0.73
+        thai = _try_decode(sample, "tis_620")
+        if (
+            thai is not None
+            and _block_share(thai, 0xE00, 0xE7F) >= 0.6
+            and _thai_orthography_ok(thai)
+        ):
+            return "TIS-620", 0.73
+        greek = _try_decode(sample, "iso-8859-7")
+        if greek is not None and _block_share(greek, 0x370, 0x3FF) >= 0.6:
+            return "ISO-8859-7", 0.73
         cp1251 = _try_decode(sample, "windows-1251") or ""
         koi8 = _try_decode(sample, "koi8-r") or ""
         cyr_cp, low_cp = _cyrillic_case_score(cp1251)
@@ -488,6 +571,17 @@ def detect_charset(text: str | None) -> tuple[str | None, float]:
         return "UTF-16", 1.0
     if text.startswith("\ufeff"):
         return "UTF-8-SIG", 1.0
+    # ISO-2022 family survives the utf-8 ingest decode VERBATIM (7-bit
+    # ASCII-clean), so the escape markers are still visible post-ingest \u2014
+    # the one legacy family the artifact path can name exactly (r6 rung,
+    # mirrored in detect_charset_bytes)
+    h = text[:8192]
+    if "\x1b$B" in h or "\x1b$@" in h:
+        return "ISO-2022-JP", 0.99
+    if "\x1b$)C" in h:
+        return "ISO-2022-KR", 0.99
+    if "\x1b$)A" in h or "\x1b$)G" in h:
+        return "ISO-2022-CN", 0.99
     try:
         text.encode("ascii")
         return "ascii", 1.0
