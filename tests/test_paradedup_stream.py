@@ -111,3 +111,31 @@ def test_streaming_form(spark, fixture_docs, tmp_path_factory):
         time.sleep(0.2)
     got = _rows(spark.read.parquet(out))
     assert got == _rows(paragraph_dedup(fixture_docs))
+
+
+def test_ledger_compaction_preserves_semantics(spark, fixture_docs, tmp_path_factory):
+    """Many small appends fragment the paras ledger; compact() shrinks the
+    file count per fragmented bucket without changing answers: re-feeding
+    known paragraphs still keeps zero, and the ledger row multiset (as a
+    set of hashes) is unchanged."""
+    led = str(tmp_path_factory.mktemp("pled"))
+    # 6 small appends = 6 files per bucket
+    for i in range(6):
+        b = fixture_docs.filter(F.col("doc_id") % 6 == i)
+        paradedup_batch(spark, b, led)
+    before = ledger.ensure(spark, led, "paras", "ph", prefix="paradedup")
+    hashes_before = {r.ph for r in before.collect()}
+    d = ledger.table_dir(led, "paras")
+    files_before = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert ledger.compact(spark, led, "paras", "ph", prefix="paradedup",
+                          per_bucket_files=2)
+    files_after = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert files_after < files_before
+    after = ledger.ensure(spark, led, "paras", "ph", prefix="paradedup")
+    assert {r.ph for r in after.collect()} == hashes_before
+    replay = fixture_docs.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    assert paradedup_batch(spark, replay, led).agg(
+        F.sum("n_kept")).collect()[0][0] == 0
+    # a second compact on the already-consolidated ledger is a no-op
+    assert not ledger.compact(spark, led, "paras", "ph", prefix="paradedup",
+                              per_bucket_files=2)
