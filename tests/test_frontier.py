@@ -1129,3 +1129,74 @@ def test_extract_hrefs_edge_kinds(spark):
 
     with _pytest.raises(ValueError):
         extract_hrefs(docs, edge_kinds=("href", "imgs"))
+
+
+def test_sitemap_discovery_module_matches_twin(spark):
+    """frontier/robots.extract_sitemaps + extract_sitemap_locs (+ one
+    bounded index-resolution level) == the dual-dialect sitemap_discovery
+    SQL over the same planted robots/sitemap fixture."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import driver_queries as dq
+    from warc_metadata_sidecar_spark.frontier.robots import (
+        extract_sitemap_locs,
+        extract_sitemaps,
+    )
+
+    robots_rows, bodies_rows = [], []
+    for hn in range(50):
+        h = f"host{hn:02d}.example.com"
+        sm1 = (
+            f"sitemap: https://{h}/index.xml"
+            if hn % 5 == 0
+            else f"Sitemap: https://{h}/map1.xml"
+        )
+        sm2 = f"SITEMAP:   https://{h}/map2.xml  " if hn % 3 == 0 else ""
+        robots_rows.append(
+            (h, f"User-agent: *\nDisallow: /private\n{sm1}\n{sm2}")
+        )
+        if hn % 5 == 0:
+            bodies_rows.append(
+                (f"https://{h}/index.xml",
+                 f"<sitemapindex><sitemap><loc> https://{h}/map1.xml </loc>"
+                 "</sitemap></sitemapindex>")
+            )
+        bodies_rows.append(
+            (f"https://{h}/map1.xml",
+             f"<urlset><loc>https://{h}/page1</loc>"
+             f"<loc> https://{h}/page2 </loc></urlset>")
+        )
+        if hn % 3 == 0:
+            bodies_rows.append(
+                (f"https://{h}/map2.xml",
+                 f"<urlset><loc>https://{h}/page3</loc></urlset>")
+            )
+    robots_df = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+    bodies_df = spark.createDataFrame(bodies_rows, "url string, body string")
+
+    sm = extract_sitemaps(robots_df)
+    fetched = sm.join(bodies_df, sm.sitemap_url == bodies_df.url).select(
+        "host", "sitemap_url", "body"
+    )
+    lv1 = extract_sitemap_locs(fetched).join(
+        fetched.select("host", "sitemap_url"), "sitemap_url"
+    )
+    pages1 = lv1.filter(~F.col("is_index")).select("host", "loc")
+    child = lv1.filter(F.col("is_index")).select("host", F.col("loc").alias("url"))
+    fetched2 = child.join(bodies_df, "url").select(
+        "host", F.col("url").alias("sitemap_url"), "body"
+    )
+    lv2 = extract_sitemap_locs(fetched2).join(
+        fetched2.select("host", "sitemap_url"), "sitemap_url"
+    ).select("host", "loc")
+    got = sorted((r.host, r.loc) for r in pages1.unionByName(lv2).collect())
+
+    dq.register_views(spark, "/root/testdata/sf0.001")
+    exp = sorted(
+        (r.host, r.loc)
+        for r in spark.sql(dq.spark_sql_for("sitemap_discovery")).collect()
+    )
+    assert got == exp
+    # every host contributes page1+page2; %3 hosts add page3; index hosts
+    # (%5) resolve THROUGH the index to the same page set
+    assert len(exp) == 50 * 2 + len([h for h in range(50) if h % 3 == 0])

@@ -911,6 +911,67 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM sc ORDER BY doc_id
 """
 
+# sitemap discovery (RFC 9309 §2.3 + sitemaps.org): Sitemap: directives
+# from planted robots.txt bodies (case-insensitive directive, verbatim URL,
+# second directive for hn%3==0), <loc> extraction from planted XML, ONE
+# bounded index-resolution level for hn%5==0 (the spec's nesting bound).
+# Module twins: frontier/robots.extract_sitemaps + extract_sitemap_locs.
+_Q["sitemap_discovery"] = """
+WITH hosts AS (SELECT DISTINCT CAST(doc_id % 50 AS INT) AS hn FROM documents),
+robots AS (
+  SELECT hn, @PRINTF('host%02d.example.com', hn) AS host,
+         concat('User-agent: *', @CHR10, 'Disallow: /private', @CHR10,
+           CASE WHEN hn % 5 = 0
+                THEN @PRINTF('sitemap: https://host%02d.example.com/index.xml', hn)
+                ELSE @PRINTF('Sitemap: https://host%02d.example.com/map1.xml', hn) END,
+           @CHR10,
+           CASE WHEN hn % 3 = 0
+                THEN @PRINTF('SITEMAP:   https://host%02d.example.com/map2.xml  ', hn)
+                ELSE '' END) AS text
+  FROM hosts
+),
+rlines AS (
+  SELECT host, @LINEI AS line
+  FROM (SELECT host, @LINES AS lines FROM robots) t1 @LATL
+),
+sm AS (
+  SELECT DISTINCT host, trim(regexp_extract(line, @SMPAT, 1)) AS sitemap_url
+  FROM rlines WHERE trim(regexp_extract(line, @SMPAT, 1)) <> ''
+),
+bodies AS (
+  SELECT @PRINTF('https://host%02d.example.com/index.xml', hn) AS url,
+         TRUE AS is_index,
+         @PRINTF('<sitemapindex><sitemap><loc> https://host%02d.example.com/map1.xml </loc></sitemap></sitemapindex>', hn) AS body
+  FROM hosts WHERE hn % 5 = 0
+  UNION ALL
+  SELECT @PRINTF('https://host%02d.example.com/map1.xml', hn), FALSE,
+         @PRINTF('<urlset><loc>https://host%02d.example.com/page1</loc><loc> https://host%02d.example.com/page2 </loc></urlset>', hn, hn)
+  FROM hosts
+  UNION ALL
+  SELECT @PRINTF('https://host%02d.example.com/map2.xml', hn), FALSE,
+         @PRINTF('<urlset><loc>https://host%02d.example.com/page3</loc></urlset>', hn)
+  FROM hosts WHERE hn % 3 = 0
+),
+lv1 AS (
+  SELECT host, sitemap_url, is_index, trim(@LINEI) AS loc FROM (
+    SELECT s.host, b.url AS sitemap_url, b.is_index, b.lines
+    FROM sm s JOIN (SELECT url, is_index, @LOCS AS lines FROM bodies) b
+      ON b.url = s.sitemap_url
+  ) j1 @LATL
+),
+lv2 AS (
+  SELECT host, trim(@LINEI) AS loc FROM (
+    SELECT c.host, b.lines
+    FROM (SELECT host, loc AS curl FROM lv1 WHERE is_index) c
+    JOIN (SELECT url, @LOCS AS lines FROM bodies) b ON b.url = c.curl
+  ) j2 @LATL
+)
+SELECT host, loc FROM (
+  SELECT host, loc FROM lv1 WHERE NOT is_index
+  UNION ALL SELECT host, loc FROM lv2
+) u ORDER BY host, loc
+"""
+
 # corpus n-gram heavy hitters (word bigrams, top-20 by (count desc, gram))
 # — the boilerplate-discovery analysis pass. Module twin:
 # operators/quality.top_ngrams.
@@ -1454,6 +1515,15 @@ def _render_query(name: str, dialect: dict) -> str:
         )
     if "@GRAMBUCKET" in sql:
         sql = sql.replace("@GRAMBUCKET", _md5_int(dialect, "md5(g)", 2))
+    if "@SMPAT" in sql:
+        # sitemap_discovery: the Sitemap: directive line pattern
+        sql = sql.replace(
+            "@SMPAT",
+            "'" + _pat_lit(dialect, r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$") + "'",
+        )
+    if "@LOCS" in sql:
+        pat = "'" + _pat_lit(dialect, r"<loc>\s*([^<]+?)\s*</loc>") + "'"
+        sql = sql.replace("@LOCS", f"regexp_extract_all(body, {pat}, 1)")
     if "@LAT2W" in sql:
         arrlen = "size(ws)" if dialect is SPARK else "len(ws)"
         sql = sql.replace("@LAT2W", dialect["LAT"](f"{arrlen} - 1"))

@@ -130,3 +130,53 @@ def parse_robots_txt(
         .distinct()
     )
     return allow_rows.unionByName(deny_rows).unionByName(allow_path_rows)
+
+
+def extract_sitemaps(
+    raw: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """`Sitemap:` directives from robots.txt bodies: (host, sitemap_url).
+
+    RFC 9309 §2.3 / sitemaps.org: Sitemap lines live OUTSIDE user-agent
+    groups and carry absolute URLs, so extraction is line-scoped — no
+    group machinery. The directive name matches case-insensitively but the
+    URL is taken VERBATIM from the raw line (paths are case-sensitive;
+    parse_robots_txt's lowercasing pipeline must not touch it). Distinct
+    per (host, url) — duplicate directives collapse. Native expressions
+    only; at 100 TB this is a projection + one distinct on a tiny output
+    (hosts x few sitemaps)."""
+    lines = raw.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    url = F.trim(F.regexp_extract("line", r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$", 1))
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def extract_sitemap_locs(
+    fetched: DataFrame, url_col: str = "sitemap_url", text_col: str = "body"
+) -> DataFrame:
+    """<loc> entries from fetched sitemap XML: one row per loc —
+    (sitemap_url, loc, is_index). is_index marks a <sitemapindex> document
+    (its locs are MORE SITEMAPS to fetch, not pages — the caller loops:
+    index locs feed the next fetch round, urlset locs feed the frontier;
+    sitemap indexes nest at most one level per the spec, so the loop is
+    bounded). Whitespace inside <loc> is trimmed per the spec; entities
+    are left as-is (sitemaps.org requires entity-escaped URLs — callers
+    unescape at canonicalization). Native: one regexp_extract_all +
+    posexplode, no XML parser in the hot path."""
+    locs = F.expr(
+        f"regexp_extract_all({text_col}, '<loc>\\\\s*([^<]+?)\\\\s*</loc>', 1)"
+    )
+    return (
+        fetched.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.col(text_col).contains("<sitemapindex").alias("is_index"),
+            F.posexplode(locs).alias("pos", "loc"),
+        )
+        .select("sitemap_url", F.trim("loc").alias("loc"), "is_index", "pos")
+    )
