@@ -203,3 +203,20 @@ def test_cli_curate(spark, tmp_path, capsys, monkeypatch):
         assert per_shard[s].n == m.n_docs and per_shard[s].t == m.n_tokens
     # the planted duplicate never survives (min doc_id wins)
     assert written.filter(F.col("doc_id") == 999999).count() == 0
+
+
+def test_cli_curate_dsir(spark, tmp_path, capsys, monkeypatch):
+    """--dsir-k keeps exactly K docs (DSIR top-K toward the target lang)."""
+    docs_path = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "2",
+         "--dsir-k", "50"],
+    )
+    assert "written=50" in out
+    assert spark.read.parquet(f"{out_dir}/curated").count() == 50

@@ -9,6 +9,7 @@ sidecar2cdxj.py:64-77, merge_cdxj.py:141-165), spark-submit-friendly.
       [--rounds N] [--budget N] [--cpus N]
   python -m warc_metadata_sidecar_spark.cli curate   <documents_path> <out_dir>
       [--shards N] [--paragraph-dedup] [--gopher] [--c4] [--budget N]
+      [--dsir-k K --dsir-target-lang L]
       (documents_path = flat (doc_id, text[, lang, source]) parquet)
 
 Same flag names as the reference where they exist; --cpus/--sf-dir style
@@ -245,6 +246,17 @@ def cmd_curate(args) -> None:
         )
     n_quality = cur.count() if (args.gopher or args.c4) else n_dedup
 
+    if args.dsir_k:
+        from warc_metadata_sidecar_spark.operators.sampling import dsir_select
+
+        from pyspark.sql import functions as F2
+
+        target = cur.filter(F2.col("lang") == args.dsir_target_lang)
+        sel = dsir_select(cur, target, k=args.dsir_k)
+        cur = cur.join(
+            sel.where("selected").select("doc_id"), "doc_id", "left_semi"
+        )
+
     if args.budget:
         cur = temperature_sample(
             cur, stratum_col=args.stratum, alpha=args.alpha, budget=args.budget
@@ -358,6 +370,12 @@ def main() -> None:
     )
     cu.add_argument("--stratum", default="lang")
     cu.add_argument("--alpha", type=float, default=0.5)
+    cu.add_argument(
+        "--dsir-k", type=int, default=None,
+        help="keep only the top-K docs by DSIR importance weight toward "
+        "--dsir-target-lang's distribution",
+    )
+    cu.add_argument("--dsir-target-lang", default="en")
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()
