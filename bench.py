@@ -241,6 +241,7 @@ EXTENDED = [
     "dsir_select",
     "classifier_train",
     "top_ngrams",
+    "sitemap_discovery",
 ]
 
 
