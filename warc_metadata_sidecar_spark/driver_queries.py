@@ -2270,6 +2270,31 @@ ORDER BY id_a, id_b
 """
 
 
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-dedup MODULE path over the planted-paragraph fixture —
+    same rows as the dual-dialect SQL twin, but planned as the operator's
+    2-exchange single-scan shape (window on md5(para) + one reassembly
+    groupBy) instead of the twin's join formulation."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.dedup import paragraph_dedup
+
+    register_views(spark, sf_dir)
+    fix = spark.sql(
+        "WITH " + _render(_pded_cte(SPARK), SPARK) + " SELECT doc_id, text FROM pd"
+    )
+    return (
+        paragraph_dedup(fix)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR module path (operators/sampling.dsir_select, target=lang='en',
     k=100) — same rows as the dual-dialect SQL twin, but planned as
@@ -3460,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not the SQL twin's global row_number window — the oracle stays the
     # dual-dialect SQL, so the comparison is module-vs-independent-SQL
     out["dsir_select"] = dsir_select_q
+    out["paragraph_dedup"] = paragraph_dedup_q
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
     out["multimodal_probe_meta"] = multimodal_probe_meta
