@@ -2270,6 +2270,16 @@ ORDER BY id_a, id_b
 """
 
 
+def top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram heavy-hitter MODULE path — the TakeOrderedAndProject plan —
+    vs the dual-dialect SQL twin's ORDER BY/LIMIT formulation."""
+    from warc_metadata_sidecar_spark.operators.quality import top_ngrams
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, n=2, k=20)
+
+
 def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-dedup MODULE path over the planted-paragraph fixture —
     same rows as the dual-dialect SQL twin, but planned as the operator's
@@ -3486,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dual-dialect SQL, so the comparison is module-vs-independent-SQL
     out["dsir_select"] = dsir_select_q
     out["paragraph_dedup"] = paragraph_dedup_q
+    out["top_ngrams"] = top_ngrams_q
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
     out["multimodal_probe_meta"] = multimodal_probe_meta
