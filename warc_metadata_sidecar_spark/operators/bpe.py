@@ -39,21 +39,49 @@ def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (END,)
 
 
-def train_bpe(docs: DataFrame, n_merges: int = 60, text_col: str = "text") -> list[tuple[str, str]]:
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 60,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int = 500_000,
+) -> list[tuple[str, str]]:
     """The classic BPE trainer, Spark-side counting: per merge iteration,
     explode every distinct word's current symbol pairs weighted by word
     frequency, take the global argmax (ties lexicographic). Returns the
-    ordered merge list."""
-    wc_rows = (
+    ordered merge list.
+
+    Driver-state bound (VERDICT r6 task 2): the collected word-frequency
+    table is capped, not merely "vocabulary-sized" — web-scale corpora have
+    O(10^9) distinct tokens. Two guards, both deterministic:
+      * `min_count` prunes the long tail BEFORE counting the vocabulary
+        (hapax tokens contribute ~nothing to merge statistics but dominate
+        distinct counts on web text);
+      * if the pruned vocabulary still exceeds `max_vocab`, a deterministic
+        md5-prefix modulo sample (the classifier `max_train` /
+        `ivf_train_centroids sample_mod` discipline) keeps an expected
+        <= max_vocab subset, so `.collect()` is bounded regardless of corpus
+        size. The surviving-sample merges are reproducible: any twin
+        applying the same filter sees the same words.
+    """
+    wc = (
         docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
-    # distinct-word frequency table is vocabulary-sized (not corpus-sized);
-    # the merge loop below is driver-side over it — the documented
-    # training-cost bound, like the IVF sample cap
+    if min_count > 1:
+        wc = wc.where(F.col("c") >= min_count)
+    n_vocab = wc.count()
+    sample_mod = max(1, -(-n_vocab // max_vocab))
+    if sample_mod > 1:
+        wc = wc.where(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+            % sample_mod == 0
+        )
+    wc_rows = wc.collect()
+    # the collected table is now <= ~max_vocab rows by construction; the
+    # merge loop below is driver-side over that bounded sample
     vocab: dict[tuple[str, ...], int] = {}
     for r in wc_rows:
         vocab[_word_symbols(r["w"])] = vocab.get(_word_symbols(r["w"]), 0) + int(r["c"])
