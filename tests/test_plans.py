@@ -298,3 +298,41 @@ def test_bucketed_seen_antijoin_no_exchange_on_seen_side(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         if tbl:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_coarse_assignment_never_broadcasts_fine_centroids(spark):
+    """VERDICT r6 task 3: the large-k assignment plan must contain NO
+    crossJoin/broadcast of the k-row fine-centroid table — only the two
+    explicit sqrt(k)-coarse broadcasts (rows x coarse, fine x coarse) plus a
+    shuffle EQUI-JOIN on the coarse cell. autoBroadcastJoinThreshold is
+    disabled so the cell join cannot silently become a size-picked
+    broadcast in this assertion."""
+    from warc_metadata_sidecar_spark.operators.similarity import (
+        _assign_buckets_coarse,
+        ivf_train_centroids,
+    )
+    from warc_metadata_sidecar_spark.plans.audit import formatted_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(60)],
+            "vec_id: long, embedding: array<double>",
+        ).select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+        cents = ivf_train_centroids(e, 8, "_id", "_v", iters=1)
+        plan = formatted_plan(
+            _assign_buckets_coarse(e, cents, "_id", "_v", coarse_k=3)
+        )
+        assert "CartesianProduct" not in plan
+        # exactly the two coarse broadcasts — a third would be the k-table
+        # (formatted plans name each node once in the tree and once in the
+        # details section, so count the "(n) Node" detail headers)
+        import re
+
+        bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+        assert len(bnlj) == 2, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "_cell" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
