@@ -220,3 +220,81 @@ def test_cli_curate_dsir(spark, tmp_path, capsys, monkeypatch):
     )
     assert "written=50" in out
     assert spark.read.parquet(f"{out_dir}/curated").count() == 50
+
+
+def test_cli_curate_paragraph_dedup_drops_emptied_docs(spark, tmp_path, capsys, monkeypatch):
+    """--paragraph-dedup: a doc whose every paragraph was seen earlier is
+    dropped entirely (ADVICE r6: no empty-text rows in training shards),
+    while partially-deduplicated docs keep their surviving lines."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha unique line one.\nshared boilerplate line."),
+        (2, "shared boilerplate line."),             # fully deduplicated -> dropped
+        (3, "beta keeps this line.\nshared boilerplate line."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "2",
+         "--paragraph-dedup"],
+    )
+    assert "read=3" in out and "written=2" in out
+    written = spark.read.parquet(f"{out_dir}/curated")
+    got = {r.doc_id: r.text for r in written.collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == "alpha unique line one.\nshared boilerplate line."
+    assert got[3] == "beta keeps this line."
+    assert written.filter(F.length("text") == 0).count() == 0
+
+
+def _quality_docs(spark):
+    good = [
+        (
+            i,
+            "\n".join(
+                f"The brown fox number{i}x{j} jumps over the lazy dog and "
+                "cats with style today."
+                for j in range(6)
+            ),
+        )
+        for i in range(5)
+    ]
+    junk = [(10 + i, f"x{i} y z {{code}}") for i in range(5)]
+    return spark.createDataFrame(good + junk, "doc_id: long, text: string")
+
+
+def test_cli_curate_gopher_gate(spark, tmp_path, capsys, monkeypatch):
+    """--gopher keeps the compliant prose docs (>=50 words, stopwords,
+    alpha-heavy) and drops the short junk ones."""
+    docs_path = str(tmp_path / "docs")
+    _quality_docs(spark).write.mode("overwrite").parquet(docs_path)
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "2", "--gopher"],
+    )
+    assert "read=10" in out and "after_quality=5" in out and "written=5" in out
+    kept = {r.doc_id for r in spark.read.parquet(f"{out_dir}/curated").collect()}
+    assert kept == {0, 1, 2, 3, 4}
+
+
+def test_cli_curate_c4_gate(spark, tmp_path, capsys, monkeypatch):
+    """--c4 keeps pages with >=5 terminal-punctuated sentences and drops
+    the brace-bearing junk."""
+    docs_path = str(tmp_path / "docs")
+    _quality_docs(spark).write.mode("overwrite").parquet(docs_path)
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "2", "--c4"],
+    )
+    assert "read=10" in out and "after_quality=5" in out and "written=5" in out
+    kept = {r.doc_id for r in spark.read.parquet(f"{out_dir}/curated").collect()}
+    assert kept == {0, 1, 2, 3, 4}

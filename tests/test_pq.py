@@ -118,3 +118,26 @@ def test_search_plan_bucket_join(clustered, books):
     plan = pq_top1(clustered, books)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "bucket" in plan
+
+
+def test_zero_vector_never_wins_top1(spark):
+    """An all-zero vector has undefined cosine (denom 0). Unguarded, the
+    NaN would sort ABOVE every real sim and win max(struct); the guard
+    ranks it last (-1.0) on both query and neighbor side."""
+    import math
+
+    rows = [
+        (0, [10.0, 0.1, 0.0, 0.0]),
+        (1, [10.0, 0.2, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector, same coarse bucket region
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    books = pq_train_codebooks(emb, m=2, ksub=2, dims=4, iters=1)
+    got = {r["vec_id"]: r for r in pq_top1(emb, books, coarse_dims=4, mode="adc").collect()}
+    # vectors 0 and 1 must pick each other, never the zero vector
+    assert got[0]["neighbor_id"] == 1 and got[1]["neighbor_id"] == 0
+    for r in got.values():
+        assert not math.isnan(r["sim"])
+    # the zero query's own sims are the -1.0 sentinel, not NaN
+    if 2 in got:
+        assert got[2]["sim"] == -1.0

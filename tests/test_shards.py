@@ -80,3 +80,26 @@ def test_single_shard_rebuild(spark, docs):
         with_shard(docs.repartition(5), 8).where(F.col("shard") == 3).select("doc_id")
     )
     assert rebuilt == target and len(target) > 0
+
+
+def test_manifest_reflects_written_files_under_nondeterministic_input(spark, tmp_path):
+    """ADVICE r6: the manifest must describe the parquet actually written.
+    With a nondeterministic upstream (unseeded rand in the text), the old
+    re-evaluate-the-input manifest diverged from disk with probability ~1;
+    computing from the written output keeps them identical."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.rand().cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "nd_shards")
+    manifest = {r["shard"]: r for r in write_shards(df, path, n_shards=4).collect()}
+    written = spark.read.parquet(path)
+    check = {r["shard"]: r for r in shard_manifest(
+        written.select("doc_id", "text"), n_shards=4
+    ).collect()}
+    assert set(manifest) == set(check)
+    for s in manifest:
+        assert manifest[s]["checksum"] == check[s]["checksum"]
+        assert manifest[s]["n_docs"] == check[s]["n_docs"]

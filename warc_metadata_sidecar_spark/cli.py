@@ -233,8 +233,15 @@ def cmd_curate(args) -> None:
     n_dedup = cur.count()
 
     if args.paragraph_dedup:
+        # a doc whose every paragraph was seen before comes back with
+        # text='' — drop it (an empty doc in a training shard is noise,
+        # and with the quality gates off nothing else would catch it)
         pd = paragraph_dedup(cur).select("doc_id", "text")
-        cur = cur.drop("text").join(pd, "doc_id")
+        cur = (
+            cur.drop("text")
+            .join(pd, "doc_id")
+            .where(F.length("text") > 0)
+        )
 
     if args.gopher:
         cur = cur.join(

@@ -3242,7 +3242,9 @@ def _pq_top1_twin(sf_dir: str | None = None) -> list[tuple[int, int, float]]:
             dot = 0.0
             for j in range(m):
                 dot += lua[j][cb[j]]
-            s = dot / (qa * rb)
+            # zero-norm guard, mirroring pq._safe_cos: undefined cosine
+            # ranks last instead of NaN-winning the argmax
+            s = dot / (qa * rb) if qa * rb > 0.0 else -1.0
             if best is None or s > best[0] or (s == best[0] and -b > -best[1]):
                 best = (s, b)
         if best is not None:

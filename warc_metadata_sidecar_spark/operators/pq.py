@@ -170,6 +170,15 @@ def sdc_tables(books: list[list[list[float]]]) -> list[list[list[float]]]:
     return out
 
 
+def _safe_cos(dot: F.Column, denom: F.Column) -> F.Column:
+    """Guarded cosine: an all-zero vector (or an all-zero reconstruction)
+    yields denom 0 -> dot/denom = NaN, and Spark orders NaN ABOVE every
+    double, so a NaN would silently win the max(struct) top-1. Undefined
+    cosine ranks LAST instead (-1.0), deterministically; the sequential
+    twins apply the identical rule."""
+    return F.when(denom > F.lit(0.0), dot / denom).otherwise(F.lit(-1.0))
+
+
 def pq_top1(
     embeddings: DataFrame,
     books: list[list[list[float]]],
@@ -205,7 +214,7 @@ def pq_top1(
         for j in range(m):
             term = F.element_at(F.col("a.lut")[j], F.col("b.codes")[j] + 1)
             dot = term if dot is None else dot + term
-        sim = dot / (F.col("a.qnorm") * F.col("b.rnorm"))
+        sim = _safe_cos(dot, F.col("a.qnorm") * F.col("b.rnorm"))
     else:
         lit_t = [
             F.array(*[F.array(*[F.lit(v) for v in row]) for row in t])
@@ -216,7 +225,7 @@ def pq_top1(
                 F.element_at(t, F.col("a.codes")[j] + 1), F.col("b.codes")[j] + 1
             )
             dot = term if dot is None else dot + term
-        sim = dot / (F.col("a.rnorm") * F.col("b.rnorm"))
+        sim = _safe_cos(dot, F.col("a.rnorm") * F.col("b.rnorm"))
     best = (
         pairs.select(
             F.col(f"a.{id_col}").alias("vec_id"),
@@ -271,7 +280,7 @@ def pq_rerank_top1(
     for j in range(m):
         term = F.element_at(F.col("a.lut")[j], F.col("b.codes")[j] + 1)
         dot = term if dot is None else dot + term
-    adc = dot / (F.col("a.qnorm") * F.col("b.rnorm"))
+    adc = _safe_cos(dot, F.col("a.qnorm") * F.col("b.rnorm"))
     w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
     short = (
         pairs.select(
@@ -294,12 +303,14 @@ def pq_rerank_top1(
         .join(raw, F.col("nid") == F.col("_rid"))
         .withColumn(
             "sim",
-            F.aggregate(
-                F.zip_with(F.col("_qv"), F.col("_rv"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / (F.col("_qn") * F.col("_rn")),
+            _safe_cos(
+                F.aggregate(
+                    F.zip_with(F.col("_qv"), F.col("_rv"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                F.col("_qn") * F.col("_rn"),
+            ),
         )
     )
     best = scored.groupBy("qid").agg(

@@ -67,12 +67,30 @@ def write_shards(
     path: str,
     n_shards: int = 8,
     key_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Write shard-partitioned parquet and return the manifest of what was
     written. repartition ON shard first: each output directory is written
-    by the tasks owning that shard, not by every task."""
+    by the tasks owning that shard, not by every task.
+
+    The manifest is computed FROM THE WRITTEN FILES (spark.read.parquet of
+    the output), not by re-evaluating the input lineage: a nondeterministic
+    upstream (sampled source, changed table) re-executed for the manifest
+    would silently diverge from the parquet actually on disk, defeating the
+    manifest's integrity purpose. Reading back costs one extra scan of the
+    OUTPUT (already deduped/curated — typically a small fraction of the
+    input) and makes the checksum a statement about the artifact itself."""
     sharded = with_shard(df, n_shards, key_col)
     sharded.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
-    return shard_manifest(df, n_shards, key_col)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    return (
+        written.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+            F.bit_xor(doc_checksum(text_col)).alias("checksum"),
+        )
+    )
