@@ -769,3 +769,94 @@ def test_charset_artifact_iso2022_rung():
     mangled = ja.encode("iso-2022-jp").decode("utf-8", "replace")
     assert detect_charset(mangled) == ("ISO-2022-JP", 0.99)
     assert detect_charset("plain ascii")[0] == "ascii"
+
+
+def test_charset_bytes_r7_utf_16_32_bomless():
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
+
+    """NUL-interleave fingerprint: width + endianness from WHERE the zeros
+    sit; BOM'd forms keep the generic names; UTF-32LE BOM no longer
+    prefix-matches as UTF-16."""
+    t = "plain ascii text rendered wide"
+    assert detect_charset_bytes(t.encode("utf-16-le")) == ("UTF-16LE", 1.0)
+    assert detect_charset_bytes(t.encode("utf-16-be")) == ("UTF-16BE", 1.0)
+    assert detect_charset_bytes(t.encode("utf-32-le")) == ("UTF-32LE", 1.0)
+    assert detect_charset_bytes(t.encode("utf-32-be")) == ("UTF-32BE", 1.0)
+    assert detect_charset_bytes(t.encode("utf-16")) == ("UTF-16", 1.0)
+    assert detect_charset_bytes(t.encode("utf-32")) == ("UTF-32", 1.0)
+    # mixed ascii+Cyrillic still resolves endianness from the ascii NULs
+    mixed = "report 2024 Россия region data and totals".encode("utf-16-le")
+    assert detect_charset_bytes(mixed) == ("UTF-16LE", 1.0)
+
+
+def test_charset_bytes_r7_arabic_rungs():
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
+
+    """Arabic before Greek/Cyrillic: iso-8859-6 via its strict decode,
+    cp1256 via the alef/lam spikes; Russian and Greek never reach either
+    (hole bytes / marker shares), and keep their own rungs."""
+    ar = "تقع المملكة العربية السعودية في غرب آسيا، وعاصمتها الرياض."
+    assert detect_charset_bytes(ar.encode("cp1256")) == ("windows-1256", 0.73)
+    assert detect_charset_bytes(ar.replace("،", " ").encode("iso-8859-6")) == (
+        "ISO-8859-6",
+        0.73,
+    )
+    ru = "Российская Федерация расположена в Восточной Европе и Северной Азии."
+    assert detect_charset_bytes(ru.encode("cp1251")) == ("windows-1251", 0.73)
+    assert detect_charset_bytes(ru.encode("koi8-r")) == ("KOI8-R", 0.73)
+    gr = "Η Ελλάδα είναι χώρα της νοτιοανατολικής Ευρώπης με πρωτεύουσα την Αθήνα."
+    assert detect_charset_bytes(gr.encode("iso-8859-7")) == ("ISO-8859-7", 0.73)
+
+
+def test_charset_bytes_r7_vietnamese_rung():
+    from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
+
+    """cp1258 combining tones + horn vowels fire the Vietnamese rung; the
+    sparse-accent Latin counterexamples stay on the western rungs."""
+    from warc_metadata_sidecar_spark.driver_queries import _CHARSET_FIXTURES
+
+    viet = next(p for c, n, _, p in _CHARSET_FIXTURES if c == "cp1258")
+    assert detect_charset_bytes(viet.encode("cp1258")) == ("windows-1258", 0.73)
+    assert detect_charset_bytes(
+        "naïve café crème brûlée déjà vu français".encode("latin-1")
+    ) == ("ISO-8859-1", 0.73)
+    assert detect_charset_bytes(
+        "don’t say “never ever” again l’été".encode("cp1252")
+    ) == ("Windows-1252", 0.73)
+
+
+def test_signature_tranche_r7():
+    """r7 PUID tranche: new leading signatures, the PDF/A XMP sub-sniff
+    over the version byte, and the OLE2 directory-name fallback."""
+    cases = [
+        (b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 8, "image/jp2", "x-fmt/392"),
+        (b"\xabKTX 11\xbb\r\n\x1a\n" + b"\x00" * 8, "image/ktx", None),
+        (b"qoif" + b"\x00" * 12, "image/qoi", None),
+        (b"\x76\x2f\x31\x01" + b"\x00" * 8, "image/x-exr", None),
+        (b"BPG\xfb" + b"\x00" * 8, "image/bpg", None),
+        (b"farbfeld" + b"\x00" * 8, "image/farbfeld", None),
+        (b"DDS |\x00\x00\x00", "image/vnd.ms-dds", None),
+        (b"Cr24\x03\x00\x00\x00", "application/x-chrome-extension", None),
+        (b"LZIP\x01", "application/x-lzip", None),
+        (b"SZDD\x88\xf0\x27\x33A\x00", "application/x-ms-compress-szdd", None),
+        (b"\xcf\xfa\xed\xfe\x07\x00\x00\x01", "application/x-mach-binary", None),
+        (b"\xc5\xd0\xd3\xc6 binary eps header", "application/postscript", "fmt/124"),
+        (b"\x4c\x00\x00\x00\x01\x14\x02\x00 link", "application/x-ms-shortcut", None),
+    ]
+    for head, mime, puid in cases:
+        f, m, p = sniff_mime(None, head)
+        assert (f, m, p) == (mime, mime, puid), head[:8]
+    # PDF/A: pdfaid packet in the head outranks the version byte
+    pdfa = b"%PDF-1.4 ... <rdf pdfaid:part>1</rdf pdfaid:conformance>B< ..."
+    assert sniff_mime(None, pdfa)[2] == "fmt/354"
+    pdfa2a = b'%PDF-1.7 ... pdfaid:part="2" pdfaid:conformance="A" ...'
+    assert sniff_mime(None, pdfa2a)[2] == "fmt/476"
+    assert sniff_mime(None, b"%PDF-1.4 plain")[2] == "fmt/18"
+    # OLE2: first-sector marker missing, directory name decides; unknown
+    # names stay generic fmt/111
+    ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 504
+    doc = ole + b"\x00\x00\x00\x00" + "WordDocument".encode("utf-16-le")
+    assert sniff_mime(None, doc)[2] == "fmt/40"
+    xls = ole + b"\x00\x00\x00\x00" + "Workbook".encode("utf-16-le")
+    assert sniff_mime(None, xls)[2] == "fmt/61"
+    assert sniff_mime(None, ole + b"\x00" * 64)[2] == "fmt/111"

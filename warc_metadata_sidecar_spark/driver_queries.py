@@ -3106,6 +3106,25 @@ _CHARSET_FIXTURES: list[tuple[str, str, float, str]] = [
      "ישראל היא מדינה במזרח התיכון השוכנת לחוף הים התיכון ובירתה ירושלים"),
     ("tis_620", "TIS-620", 0.73,
      "ประเทศไทยตั้งอยู่ในเอเชียตะวันออกเฉียงใต้มีกรุงเทพมหานครเป็นเมืองหลวง"),
+    # r7 rungs: BOM-less UTF-16/32 (NUL-interleave fingerprint), Arabic
+    # (strict iso-8859-6 / cp1256 alef-lam markers), Vietnamese (cp1258
+    # combining tones — the prose below is stored in cp1258-decomposed
+    # form, base letters + combining tone marks, so .encode('cp1258')
+    # round-trips)
+    ("utf-16-le", "UTF-16LE", 1.0,
+     "plain ascii text rendered sixteen bits wide for the web"),
+    ("utf-16-be", "UTF-16BE", 1.0,
+     "plain ascii text rendered sixteen bits wide for the web"),
+    ("utf-32-le", "UTF-32LE", 1.0,
+     "plain ascii text rendered thirty two bits wide"),
+    ("utf-32-be", "UTF-32BE", 1.0,
+     "plain ascii text rendered thirty two bits wide"),
+    ("cp1256", "windows-1256", 0.73,
+     "\u062a\u0642\u0639 \u0627\u0644\u0645\u0645\u0644\u0643\u0629 \u0627\u0644\u0639\u0631\u0628\u064a\u0629 \u0627\u0644\u0633\u0639\u0648\u062f\u064a\u0629 \u0641\u064a \u063a\u0631\u0628 \u0622\u0633\u064a\u0627\u060c \u0648\u0639\u0627\u0635\u0645\u062a\u0647\u0627 \u0627\u0644\u0631\u064a\u0627\u0636."),
+    ("iso-8859-6", "ISO-8859-6", 0.73,
+     "\u062a\u0642\u0639 \u0627\u0644\u0645\u0645\u0644\u0643\u0629 \u0627\u0644\u0639\u0631\u0628\u064a\u0629 \u0627\u0644\u0633\u0639\u0648\u062f\u064a\u0629 \u0641\u064a \u063a\u0631\u0628 \u0622\u0633\u064a\u0627 \u0648\u0639\u0627\u0635\u0645\u062a\u0647\u0627 \u0627\u0644\u0631\u064a\u0627\u0636."),
+    ("cp1258", "windows-1258", 0.73,
+     "Ti\xea\u0301ng Vi\xea\u0323t l\xe0 ng\xf4n ng\u01b0\u0303 ch\xednh th\u01b0\u0301c ta\u0323i Vi\xea\u0323t Nam v\xe0 cu\u0309a ng\u01b0\u01a1\u0300i Vi\xea\u0323t."),
 ]
 
 
@@ -3414,7 +3433,9 @@ def _pack_greedy_oracle_sql(sf_dir: str | None = None) -> str:
 def charset_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-bytes charset detection (the chardet seam, VERDICT r5 #2)
     oracled against GROUND TRUTH: each row's bytes are prose encoded with
-    a codec chosen by floor(doc_id/5) % 15 (doc_id runs over multiples of 5, so the div keeps all 15 residues covered), and the expected answer IS that codec —
+    a codec chosen by floor(doc_id/5) % len(fixtures) (doc_id runs over
+    multiples of 5, so the div yields consecutive integers and every
+    fixture index is covered), and the expected answer IS that codec —
     known by construction, independent of the ladder. Covers the splits
     the decode-artifact path provably cannot make (KOI8-R vs windows-1251,
     Big5 vs GB18030 at the byte level, katakana/kana-free corners)."""
@@ -3423,12 +3444,12 @@ def charset_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warc_metadata_sidecar_spark.functions.detectors import detect_charset_bytes
 
     register_views(spark, sf_dir)
+    fixtures = _CHARSET_FIXTURES
     base = spark.sql(
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-        "CAST(floor(doc_id / 5) AS INT) % 15 AS ci "
+        f"CAST(floor(doc_id / 5) AS INT) % {len(fixtures)} AS ci "
         "FROM documents WHERE doc_id % 5 = 0"
     )
-    fixtures = _CHARSET_FIXTURES
 
     @F.pandas_udf("struct<encoding:string, confidence:double>")
     def det(ci: pd.Series) -> pd.DataFrame:
@@ -3459,13 +3480,13 @@ def _charset_bytes_oracle_sql() -> str:
     mapping with the KNOWN right answers (the codec each fixture was
     encoded with, in the ladder's reporting names) — no detection code on
     this side at all."""
-    codec_case = "CASE CAST(floor(doc_id / 5) AS INT) % 15 " + " ".join(
+    codec_case = f"CASE CAST(floor(doc_id / 5) AS INT) % {len(_CHARSET_FIXTURES)} " + " ".join(
         f"WHEN {i} THEN '{c}'" for i, (c, _, _, _) in enumerate(_CHARSET_FIXTURES)
     ) + " END"
-    enc_case = "CASE CAST(floor(doc_id / 5) AS INT) % 15 " + " ".join(
+    enc_case = f"CASE CAST(floor(doc_id / 5) AS INT) % {len(_CHARSET_FIXTURES)} " + " ".join(
         f"WHEN {i} THEN '{e}'" for i, (_, e, _, _) in enumerate(_CHARSET_FIXTURES)
     ) + " END"
-    conf_case = "CASE CAST(floor(doc_id / 5) AS INT) % 15 " + " ".join(
+    conf_case = f"CASE CAST(floor(doc_id / 5) AS INT) % {len(_CHARSET_FIXTURES)} " + " ".join(
         f"WHEN {i} THEN {cf}" for i, (_, _, cf, _) in enumerate(_CHARSET_FIXTURES)
     ) + " END"
     return f"""

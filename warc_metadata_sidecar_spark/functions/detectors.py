@@ -105,6 +105,45 @@ _BINARY_SIGNATURES: list[tuple[bytes, str, str, str]] = [
     (b"\x1f\x9d", "application/x-compress", "application/x-compress", None),
     (b"ITSF\x03", "application/vnd.ms-htmlhelp", "application/vnd.ms-htmlhelp", None),
     (b"\x00\x00\x02\x00", "image/x-cursor", "image/x-cursor", None),
+    # r7 tranche (VERDICT r6 task 5): more image/container/executable
+    # signatures. Known PRONOM ids where certain, None otherwise (the r6
+    # convention — never fabricated).
+    (b"\x00\x00\x00\x0cjP  \r\n\x87\n", "image/jp2", "image/jp2", "x-fmt/392"),
+    (b"\xabKTX 11\xbb\r\n\x1a\n", "image/ktx", "image/ktx", None),
+    (b"qoif", "image/qoi", "image/qoi", None),
+    (b"\x76\x2f\x31\x01", "image/x-exr", "image/x-exr", None),
+    (b"BPG\xfb", "image/bpg", "image/bpg", None),
+    (b"farbfeld", "image/farbfeld", "image/farbfeld", None),
+    (b"DDS ", "image/vnd.ms-dds", "image/vnd.ms-dds", None),
+    (b"Cr24", "application/x-chrome-extension", "application/x-chrome-extension", None),
+    (b"LZIP", "application/x-lzip", "application/x-lzip", None),
+    (b"SZDD\x88\xf0\x27\x33", "application/x-ms-compress-szdd", "application/x-ms-compress-szdd", None),
+    (b"\xfe\xed\xfa\xce", "application/x-mach-binary", "application/x-mach-binary", None),
+    (b"\xfe\xed\xfa\xcf", "application/x-mach-binary", "application/x-mach-binary", None),
+    (b"\xcf\xfa\xed\xfe", "application/x-mach-binary", "application/x-mach-binary", None),
+    (b"\xc5\xd0\xd3\xc6", "application/postscript", "application/postscript", "fmt/124"),
+    (b"\x4c\x00\x00\x00\x01\x14\x02\x00", "application/x-ms-shortcut", "application/x-ms-shortcut", None),
+]
+
+# XMP pdfaid part/conformance -> the PRONOM PDF/A family ids; the XMP
+# packet sits inside the sniffing head only for files whose metadata
+# object comes first — when present it outranks the %PDF version byte,
+# the way fido's PDF/A signatures outrank the base PDF match
+_PDFA_PUIDS = {
+    (b"1", b"A"): "fmt/95", (b"1", b"B"): "fmt/354",
+    (b"2", b"A"): "fmt/476", (b"2", b"B"): "fmt/477", (b"2", b"U"): "fmt/478",
+    (b"3", b"A"): "fmt/479", (b"3", b"B"): "fmt/480", (b"3", b"U"): "fmt/481",
+}
+_PDFA_PART_RE = re.compile(rb"pdfaid:part(?:>|=\")(\d)")
+_PDFA_CONF_RE = re.compile(rb"pdfaid:conformance(?:>|=\")([ABU])")
+
+# OLE2 directory-entry stream names (UTF-16LE) — the fallback when the
+# first-sector sub-format marker misses: for small compound files the
+# directory sector lands inside the 1 KiB head
+_OLE_STREAM_NAMES: list[tuple[bytes, str, str]] = [
+    ("WordDocument".encode("utf-16-le"), "application/msword", "fmt/40"),
+    ("Workbook".encode("utf-16-le"), "application/vnd.ms-excel", "fmt/61"),
+    ("PowerPoint Document".encode("utf-16-le"), "application/vnd.ms-powerpoint", "fmt/126"),
 ]
 
 # ar archives: '!<arch>\n' is both Unix ar and Debian packages — the first
@@ -203,6 +242,12 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
             for sig, mime, puid in _OLE_KINDS:
                 if marker.startswith(sig):
                     return mime, mime, puid
+            # fallback: directory-entry stream names (r7) — catches DOC/XLS/
+            # PPT whose content sector isn't first, before conceding fmt/111
+            scan = head[512:]
+            for name, mime, puid in _OLE_STREAM_NAMES:
+                if name in scan:
+                    return mime, mime, puid
             return "application/x-ole-storage", "application/x-ole-storage", "fmt/111"
         if head.startswith(b"PK\x03\x04"):
             # whole-head window: a large local-header extra field (zip
@@ -216,6 +261,15 @@ def sniff_mime(text: str | None, head: bytes | None) -> tuple[str | None, str | 
                     return mime, mime, puid
             return "application/zip", "application/zip", "x-fmt/263"
         if head.startswith(b"%PDF-"):
+            # PDF/A outranks the version byte when the XMP pdfaid packet is
+            # within the head (r7); part alone (no conformance) reports the
+            # B-level id, the archival floor
+            mp = _PDFA_PART_RE.search(head)
+            if mp:
+                mc = _PDFA_CONF_RE.search(head)
+                puid = _PDFA_PUIDS.get((mp.group(1), mc.group(1) if mc else b"B"))
+                if puid:
+                    return "application/pdf", "application/pdf", puid
             puid = _PDF_VERSION_PUIDS.get(head[5:8], "fmt/276")
             return "application/pdf", "application/pdf", puid
         if head.startswith(b"\x1aE\xdf\xa3"):  # EBML: DocType picks the kind
@@ -321,6 +375,10 @@ _CP1252_RE = re.compile(r"[A-Za-z]�(?:s|t|ll|re)\b|(?:^|\s)�\w[\w .,-]{0,40}
 # garbage and vice versa.
 _GB_MARKERS = set("的是在不了有人我他这个为与国来上们时大地中就")
 _BIG5_MARKERS = set("的是在不了有人我他這個為與國來上們時大地中就")
+# cp1258-specific Vietnamese codepoints: the horn/bar/breve vowels plus
+# the five COMBINING tone marks cp1258 uses instead of precomposed forms
+# (grave, acute, tilde, hook-above, dot-below)
+_VIET_MARKERS = set("ưƯơƠđĐăĂ") | {chr(c) for c in (0x300, 0x301, 0x303, 0x309, 0x323)}
 
 
 def _try_decode(raw: bytes, codec: str) -> str | None:
@@ -434,10 +492,32 @@ def detect_charset_bytes(raw: bytes | None) -> tuple[str | None, float]:
         return None, 0.0
     if raw.startswith(b"\xef\xbb\xbf"):
         return "UTF-8-SIG", 1.0
+    # UTF-32 BOMs BEFORE UTF-16: FF FE 00 00 is the UTF-32LE BOM but
+    # prefix-matches the UTF-16LE BOM (a U+0000 first char is the only
+    # UTF-16 reading — not text)
+    if raw.startswith(b"\xff\xfe\x00\x00") or raw.startswith(b"\x00\x00\xfe\xff"):
+        return "UTF-32", 1.0
     if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
         return "UTF-16", 1.0
-    if raw.count(0) * 3 > len(raw):
-        # BOM-less NUL-interleaved text (utf-16 without BOM)
+    if raw.count(0) * 3 > len(raw) and len(raw) >= 8:
+        # BOM-less NUL-interleave fingerprint (r7 rung): WHERE the zeros
+        # sit determines width and endianness for ascii-dominant text —
+        # UTF-32LE frames are x 0 0 0, UTF-32BE 0 0 0 x, UTF-16LE puts
+        # zeros at odd offsets, UTF-16BE at even. Mixed/high-plane text
+        # still reports the generic UTF-16 rung.
+        s = raw[:8192]
+        frames = len(s) // 4
+        q = [sum(1 for i in range(p, frames * 4, 4) if s[i] == 0) for p in range(4)]
+        if frames and min(q[1], q[2], q[3]) > 0.7 * frames and q[0] < 0.3 * frames:
+            return "UTF-32LE", 1.0
+        if frames and min(q[0], q[1], q[2]) > 0.7 * frames and q[3] < 0.3 * frames:
+            return "UTF-32BE", 1.0
+        even = sum(1 for i in range(0, len(s), 2) if s[i] == 0)
+        odd = sum(1 for i in range(1, len(s), 2) if s[i] == 0)
+        if odd > 3 * (even + 1):
+            return "UTF-16LE", 1.0
+        if even > 3 * (odd + 1):
+            return "UTF-16BE", 1.0
         return "UTF-16", 1.0
     # ISO-2022 escape-sequence family BEFORE the utf-8/ascii rung: these
     # encodings are 7-bit ASCII-clean (the shift sequences are the only
@@ -500,6 +580,22 @@ def detect_charset_bytes(raw: bytes | None) -> tuple[str | None, float]:
         _, hanzi, _ = _script_shares(sjis)
         if hanzi >= 0.5:
             return "SHIFT_JIS", 0.99
+    # Vietnamese (r7 rung), BEFORE the run-adjacency gate: cp1258 spells
+    # tones as COMBINING marks and its accents sit isolated inside ascii
+    # words, so Vietnamese text often FAILS the adjacency gate below — and
+    # when it passes, the Cyrillic case-band would claim its 0xE0-0xFF
+    # bytes. The gate is cp1258-SPECIFIC codepoints (horn/bar/breve vowels
+    # + the five combining tone marks) among the non-ascii decode:
+    # Vietnamese prose measures ~0.6, the worst counterexample (Greek)
+    # 0.18 — every other single-byte script spells those positions as
+    # plain Latin accents or fails the strict decode (Shift-JIS leads).
+    viet = _try_decode(sample, "cp1258")
+    if viet is not None:
+        non_ascii = [ch for ch in viet if ord(ch) > 0x7F]
+        if non_ascii:
+            vshare = sum(1 for ch in non_ascii if ch in _VIET_MARKERS) / len(non_ascii)
+            if vshare >= 0.25:
+                return "windows-1258", 0.73
     # Cyrillic single-byte: gated on high-byte RUN ADJACENCY — Cyrillic
     # words are unbroken multi-byte runs, while Latin accents are isolated
     # singles inside ascii words (a sparse-accent French page maps its few
@@ -543,6 +639,30 @@ def detect_charset_bytes(raw: bytes | None) -> tuple[str | None, float]:
             and _thai_orthography_ok(thai)
         ):
             return "TIS-620", 0.73
+        # Arabic (r7 rungs), BEFORE Greek and Cyrillic — iso-8859-7 assigns
+        # 0xC0-0xFE so Arabic letter bytes strict-decode as all-Greek, and
+        # cp1251 reads them as valid Cyrillic; both later rungs would claim
+        # Arabic text. Greek itself fails BOTH Arabic gates (its lowercase
+        # 0xF0+ bytes hit iso-8859-6 holes; alef share 0.016 << 0.08). Two rungs: strict iso-8859-6 (holes at
+        # 0xA1-0xBE/0xDB-0xDF/0xF3-0xFF make the decode itself selective —
+        # Russian, Greek, cp1256-with-Arabic-comma all FAIL it), then
+        # windows-1256 gated on the alef/lam frequency spikes (alef 0xC7 is
+        # ~16% of Arabic letters vs <2% for any Cyrillic reading) plus a
+        # near-empty 0xF0-0xFF band (Russian lowercase r-ja lives there).
+        ar6 = _try_decode(sample, "iso-8859-6")
+        if ar6 is not None and _block_share(ar6, 0x600, 0x6FF) >= 0.6:
+            return "ISO-8859-6", 0.73
+        alef = sum(1 for b in sample if b == 0xC7)
+        lam = sum(1 for b in sample if b == 0xE1)
+        f_hi = sum(1 for b in sample if b >= 0xF0)
+        if (
+            alef >= 0.08 * n_high
+            and lam >= 0.05 * n_high
+            and f_hi <= 0.15 * n_high
+        ):
+            ar56 = _try_decode(sample, "cp1256")
+            if ar56 is not None and _block_share(ar56, 0x600, 0x6FF) >= 0.6:
+                return "windows-1256", 0.73
         greek = _try_decode(sample, "iso-8859-7")
         if greek is not None and _block_share(greek, 0x370, 0x3FF) >= 0.6:
             return "ISO-8859-7", 0.73
