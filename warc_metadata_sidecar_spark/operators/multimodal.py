@@ -6,14 +6,15 @@ third-party dependency — BMP (BI_RGB 24/32-bit), netpbm (P2/P3/P5/P6),
 TGA (type-2 truecolor), PNG (8-bit gray/RGB/palette/alpha via stdlib
 zlib — a genuine DEFLATE-compressed decode), GIF (87a/89a first
 frame via a pure-Python LZW inflater, interlace + local color tables),
-and baseline JPEG (SOF0/SOF1: canonical-Huffman entropy decode,
+and JPEG — baseline (SOF0/SOF1) AND progressive (SOF2, spectral
+selection + successive approximation, r7) — (canonical-Huffman entropy decode,
 restart intervals, dequant + zigzag + numpy IDCT, chroma box
 upsampling, JFIF YCbCr->RGB) — via `decode_pixels`;
 `decode_image(real=True)` derives a deterministic feature vector (dims +
 per-channel means + std) from the actual pixels. `decode_wav` does the
 same for RIFF/WAVE integer PCM (8/16-bit, any channel count) ->
 `decode_audio(real=True)` features (duration/rate/RMS/peak/ZCR). The
-remaining compressed codecs (progressive JPEG/WebP, MP3/OGG/FLAC) raise
+remaining compressed codecs (WebP, arithmetic/12-bit JPEG, MP3/OGG/FLAC) raise
 NotImplementedError behind the same seam (PIL/ffmpeg absent from this
 container); `_fake_decode` remains the default-path stand-in so existing
 oracles are unchanged. Swap the NotImplementedError branch for
@@ -396,9 +397,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     (numpy), box chroma upsampling for subsampled scans, JFIF YCbCr->RGB
     with floor(x+0.5) rounding on integer component samples — the same
     integer-samples-then-color-convert order libjpeg uses. Grayscale
-    replicates to 3 channels like the netpbm path. Progressive (SOF2),
-    arithmetic coding, 12-bit precision, and CMYK return None (those stay
-    behind the PIL seam), as does any structurally corrupt stream."""
+    replicates to 3 channels like the netpbm path. Progressive (SOF2)
+    delegates to _decode_jpeg_progressive (r7); arithmetic coding, 12-bit
+    precision, and CMYK return None (those stay behind the PIL seam), as
+    does any structurally corrupt stream."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -449,8 +451,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
                 for j in range(nc)
             ]
             frame = (w, h, comps)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive / lossless / arithmetic: PIL seam
+        elif marker == 0xC2:  # progressive: the multi-scan decoder (r7)
+            return _decode_jpeg_progressive(data)
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # lossless / arithmetic: PIL seam
         elif marker == 0xC4:  # DHT: one or more tables per segment
             i = 0
             while i + 17 <= len(body):
@@ -624,6 +628,378 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
 
 
+def _split_entropy(data: bytes, start: int) -> tuple[list[bytearray], int]:
+    """Split an entropy-coded segment into restart chunks (0xFF00
+    unstuffed), returning (chunks, position of the terminating marker's
+    0xFF)."""
+    chunks: list[bytearray] = []
+    cur = bytearray()
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                chunks.append(cur)
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    chunks.append(cur)
+    return chunks, i
+
+
+def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Progressive JPEG (SOF2, Huffman, 8-bit) — the T.81 annex G decoder
+    (VERDICT r6 task 6): spectral selection AND successive approximation,
+    DC first/refine, AC first/refine with EOB runs and ZRL-with-correction-
+    bits, restart intervals resetting predictors and the EOB run, Huffman/
+    quant tables redefinable between scans. Coefficients accumulate RAW
+    across scans per component block grid; dequant + IDCT + upsample +
+    color conversion run once at the end with the exact baseline-path
+    arithmetic, so a progressive re-encoding of the same quantized
+    coefficients decodes to pixel-identical output (pinned in
+    tests/test_text_multimodal_sources.py against the test-local
+    progressive encoder). Arithmetic coding and 12-bit stay on the PIL
+    seam, as in the baseline decoder."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart = 0
+    coefs: list[np.ndarray] | None = None
+    geom = None  # (hmax, vmax, mcux, mcuy, comp_cols, comp_rows)
+    preds_dims = 0
+    try:
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(data):
+                return None
+            seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            body = data[pos + 4 : pos + 2 + seglen]
+            if seglen < 2 or len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    i += 1
+                    n = 128 if pq else 64
+                    if len(body) < i + n:
+                        return None
+                    raw = np.frombuffer(
+                        body, dtype=">u2" if pq else np.uint8, count=64, offset=i
+                    ).astype(np.int64)
+                    nat = np.zeros(64, dtype=np.int64)
+                    nat[_JPEG_ZIGZAG] = raw
+                    qt[tq] = nat
+                    i += n
+            elif marker == 0xC2:
+                if len(body) < 6 or body[0] != 8:
+                    return None
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if w == 0 or h == 0 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                    return None
+                comps = [
+                    (body[6 + 3 * j], body[7 + 3 * j] >> 4, body[7 + 3 * j] & 15,
+                     body[8 + 3 * j])
+                    for j in range(nc)
+                ]
+                if nc == 1:
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0 or any(
+                    c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2]
+                    for c in comps
+                ):
+                    return None
+                frame = (w, h, comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # per-component block grids at FULL interleaved size; the
+                # non-interleaved scans only write the comp_cols x comp_rows
+                # prefix (T.81 A.2.2), padding blocks stay zero
+                comp_cols = [-(-(-(-w * c[1] // hmax)) // 8) for c in comps]
+                comp_rows = [-(-(-(-h * c[2] // vmax)) // 8) for c in comps]
+                coefs = [
+                    np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+                    for c in comps
+                ]
+                geom = (hmax, vmax, mcux, mcuy, comp_cols, comp_rows)
+                preds_dims = nc
+            elif marker in (0xC0, 0xC1) or (
+                0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+            ):
+                return None  # mixed-frame or unsupported coding inside SOF2 path
+            elif marker == 0xC4:
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    counts = body[i + 1 : i + 17]
+                    n = sum(counts)
+                    if len(body) < i + 17 + n:
+                        return None
+                    huff[(tc, th)] = _jpeg_huff_table(
+                        counts, body[i + 17 : i + 17 + n]
+                    )
+                    i += 17 + n
+            elif marker == 0xDD:
+                if len(body) != 2:
+                    return None
+                restart = int.from_bytes(body, "big")
+            elif marker == 0xDA:
+                if frame is None or coefs is None or geom is None:
+                    return None
+                ns = body[0]
+                if len(body) < 1 + 2 * ns + 3:
+                    return None
+                scomps = []
+                for j in range(ns):
+                    cid, tbls = body[1 + 2 * j], body[2 + 2 * j]
+                    idx = next(
+                        (k for k, c in enumerate(frame[2]) if c[0] == cid), None
+                    )
+                    if idx is None:
+                        return None
+                    scomps.append((idx, tbls >> 4, tbls & 15))
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+                if ss > se or se > 63 or (ss == 0 and se != 0) or (ss > 0 and ns != 1):
+                    return None
+                chunks, pos = _split_entropy(data, pos + 2 + seglen)
+                _jpeg_prog_scan(
+                    chunks, coefs, frame[2], scomps, ss, se, ah, al,
+                    restart, geom, huff, preds_dims,
+                )
+                continue
+            pos += 2 + seglen
+    except _JpegErr:
+        return None
+    if frame is None or coefs is None or geom is None:
+        return None
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy, _, _ = geom
+    samples = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c[3])
+        if q is None:
+            return None
+        deq = coefs[ci].astype(np.float64) * q[None, None, :]
+        rows, cols = deq.shape[0], deq.shape[1]
+        blocks = deq.reshape(rows, cols, 8, 8)
+        # spatial = A.T @ block @ A, batched over the grid
+        spatial = np.einsum("ij,rcjk,kl->rcil", _JPEG_A.T, blocks, _JPEG_A)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        p = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // c[2], axis=0), hmax // c[1], axis=1)
+        samples.append(p[:h, :w])
+    if len(samples) == 1:
+        gray = samples[0].astype(np.uint8)[:, :, None]
+        return w, h, 3, np.ascontiguousarray(np.repeat(gray, 3, axis=2))
+    y, cb, cr = samples
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255)
+    return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+
+
+def _jpeg_prog_scan(
+    chunks, coefs, comps, scomps, ss, se, ah, al, restart, geom, huff, nc
+) -> None:
+    """One progressive scan over the coefficient grids. Raises _JpegErr on
+    malformed entropy data. Restart chunk boundaries reset the DC
+    predictors and the EOB run (T.81 G.1.2.2)."""
+    hmax, vmax, mcux, mcuy, comp_cols, comp_rows = geom
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units_total = mcux * mcuy
+    else:
+        ci0 = scomps[0][0]
+        cols = comp_cols[ci0]
+        rows = comp_rows[ci0]
+        units_total = cols * rows
+    unit = 0
+    for chunk in chunks:
+        bitpos = 0
+        nbits = len(chunk) * 8
+
+        def getbit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits:
+                raise _JpegErr
+            b = (chunk[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def receive(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | getbit()
+            return v
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = receive(s)
+            return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+        preds = [0] * nc
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+
+        def refine_nonzero(blk: np.ndarray, z: int) -> None:
+            if getbit() and (blk[z] & p1) == 0:
+                blk[z] += p1 if blk[z] >= 0 else m1
+
+        limit = unit + restart if restart else units_total
+        while unit < min(limit, units_total):
+            if interleaved:
+                # DC scans only (AC scans are single-component, A.2.2)
+                if ss != 0:
+                    raise _JpegErr
+                my, mx = divmod(unit, mcux)
+                for ci, dc_id, _ in scomps:
+                    tbl = huff.get((0, dc_id))
+                    for by in range(comps[ci][2]):
+                        for bx in range(comps[ci][1]):
+                            blk = coefs[ci][my * comps[ci][2] + by,
+                                            mx * comps[ci][1] + bx]
+                            if ah == 0:
+                                if tbl is None:
+                                    raise _JpegErr
+                                s = huffdec_tbl(tbl, getbit)
+                                if s > 11:
+                                    raise _JpegErr
+                                preds[ci] += receive_extend(s)
+                                blk[0] = preds[ci] << al
+                            else:
+                                if getbit():
+                                    blk[0] |= p1
+            else:
+                ci, dc_id, ac_id = scomps[0]
+                by, bx = divmod(unit, cols)
+                blk = coefs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        tbl = huff.get((0, dc_id))
+                        if tbl is None:
+                            raise _JpegErr
+                        s = huffdec_tbl(tbl, getbit)
+                        if s > 11:
+                            raise _JpegErr
+                        preds[0] += receive_extend(s)
+                        blk[0] = preds[0] << al
+                    else:
+                        if getbit():
+                            blk[0] |= p1
+                elif ah == 0:
+                    # AC first scan
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        tbl = huff.get((1, ac_id))
+                        if tbl is None:
+                            raise _JpegErr
+                        k = ss
+                        while k <= se:
+                            rs = huffdec_tbl(tbl, getbit)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += receive(r)
+                                    break
+                                k += 16
+                                continue
+                            k += r
+                            if k > se:
+                                raise _JpegErr
+                            blk[_JPEG_ZIGZAG[k]] = receive_extend(s) << al
+                            k += 1
+                else:
+                    # AC refinement scan (G.1.2.3 / jdphuff shape). An EOBn
+                    # symbol covers the CURRENT block's tail (its buffered
+                    # correction bits follow the symbol) plus (2^n - 1 +
+                    # extra) FURTHER blocks — so the tail pass below runs
+                    # whether n was 0 or not, and eobrun only counts the
+                    # following blocks.
+                    tbl = huff.get((1, ac_id))
+                    k = ss
+                    tail = False
+                    if eobrun > 0:
+                        eobrun -= 1
+                        tail = True
+                    else:
+                        while k <= se:
+                            if tbl is None:
+                                raise _JpegErr
+                            rs = huffdec_tbl(tbl, getbit)
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += receive(r)
+                                    tail = True
+                                    break
+                            else:
+                                if s != 1:
+                                    raise _JpegErr
+                                val = p1 if getbit() else m1
+                            while k <= se:
+                                z = _JPEG_ZIGZAG[k]
+                                if blk[z] != 0:
+                                    refine_nonzero(blk, z)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                blk[_JPEG_ZIGZAG[k]] = val
+                            k += 1
+                    if tail:
+                        while k <= se:
+                            z = _JPEG_ZIGZAG[k]
+                            if blk[z] != 0:
+                                refine_nonzero(blk, z)
+                            k += 1
+            unit += 1
+    if unit < units_total:
+        raise _JpegErr
+
+
+def huffdec_tbl(tbl: dict[tuple[int, int], int], getbit) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | getbit()
+        sym = tbl.get((length, code))
+        if sym is not None:
+            return sym
+    raise _JpegErr
+
+
 def decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """(width, height, channels, HxWx3 uint8 RGB array) for the
     dependency-free families (BMP/netpbm/TGA uncompressed, PNG via
@@ -734,16 +1110,16 @@ def _pixel_features(w: int, h: int, img: np.ndarray) -> list[float]:
 def decode_image(data: bytes, real: bool = False) -> list[float]:
     """Feature vector for one image blob. real=False (the default every
     existing oracle pins): deterministic fake. real=True: ACTUAL pixels
-    for baseline JPEG/PNG/GIF/BMP/netpbm/TGA; the remaining compressed
-    codecs raise NotImplementedError (the PIL/ffmpeg seam, honestly
-    stubbed)."""
+    for baseline+progressive JPEG/PNG/GIF/BMP/netpbm/TGA; the remaining
+    compressed codecs raise NotImplementedError (the PIL/ffmpeg seam,
+    honestly stubbed)."""
     if real:
         px = decode_pixels(data)
         if px is None:
             raise NotImplementedError(
-                "progressive-JPEG/WebP decode requires PIL/torchvision — not "
-                "in this container; baseline JPEG/PNG/GIF/BMP/netpbm/TGA "
-                "decode natively"
+                "WebP/arithmetic-JPEG decode requires PIL/torchvision — not "
+                "in this container; JPEG/PNG/GIF/BMP/netpbm/TGA decode "
+                "natively"
             )
         w, h, _, img = px
         return _pixel_features(w, h, img)
