@@ -2,6 +2,7 @@
 main() — build_session getOrCreate reuses the test session, so these drive
 the real argparse -> command -> output path."""
 
+import re
 import sys
 
 from warc_metadata_sidecar_spark import cli, gen
@@ -298,3 +299,50 @@ def test_cli_curate_c4_gate(spark, tmp_path, capsys, monkeypatch):
     assert "read=10" in out and "after_quality=5" in out and "written=5" in out
     kept = {r.doc_id for r in spark.read.parquet(f"{out_dir}/curated").collect()}
     assert kept == {0, 1, 2, 3, 4}
+
+
+def test_cli_curate_full_compose_stage_counts(spark, tmp_path, capsys, monkeypatch):
+    """The full curate composition (exact dedup -> paragraph dedup ->
+    gopher -> c4 -> dsir top-K -> budgeted sample -> shards): every stage
+    count printed by the CLI is pinned on a planted corpus where each
+    stage does known work (BENCH/curate_bench.py is the sf0.1 form)."""
+    from pyspark.sql import functions as F
+
+    line = (
+        "The brown fox number{i} jumps over the lazy dog and cats with "
+        "style today and that is of interest to the reader of records."
+    )
+    rows = []
+    for i in range(20):
+        text = "\n".join(line.format(i=f"{i}x{j}") for j in range(6))
+        if i % 2 == 0:
+            text += "\nshared boilerplate line for the even half and that is fine."
+        rows.append((i, text, "en"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    # 4 exact duplicates re-enter under high ids -> dedup removes exactly 4
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(dups).write.mode("overwrite").parquet(docs_path)
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "2",
+         "--paragraph-dedup", "--gopher", "--c4",
+         "--dsir-k", "12", "--dsir-target-lang", "en", "--budget", "8"],
+    )
+    # 24 read; 20 after exact dedup; paragraph dedup keeps all 20 docs
+    # non-empty (each has unique lines); gates keep all 20 (compliant
+    # prose); dsir keeps 12; budget samples <= 8
+    assert "read=24 after_dedup=20 after_quality=20" in out
+    m = re.search(r"written=(\d+)", out)
+    assert m and int(m.group(1)) <= 8
+    written = spark.read.parquet(f"{out_dir}/curated")
+    assert written.count() == int(m.group(1))
+    # the boilerplate paragraph survives in exactly one even doc
+    boiler = written.filter(
+        F.col("text").contains("shared boilerplate line")
+    ).count()
+    assert boiler <= 1
