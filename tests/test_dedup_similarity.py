@@ -470,3 +470,27 @@ def test_semantic_dedup_large_k_routes_coarse_and_keeps_semantics(spark):
             assert r.cluster_id == src.cluster_id and r.csim == src.csim
         else:
             assert r.keep, i
+
+
+def test_hard_negatives_srp_path_matches_exact_on_clustered(spark):
+    """The SRP-blocked scale path plans no cross join and recovers the
+    exact hardest negatives on clustered data (anchors it covers); the
+    exact path emits one row per anchor."""
+    from warc_metadata_sidecar_spark.operators.similarity import hard_negatives
+    from warc_metadata_sidecar_spark.plans.audit import formatted_plan
+
+    emb = _clustered_vectors(spark, n=96, k=8).withColumn(
+        "label", F.col("vec_id") % 3
+    )
+    exact = {
+        r["vec_id"]: (r["negative_id"], r["sim"])
+        for r in hard_negatives(emb, exact=True).collect()
+    }
+    assert len(exact) == 96
+    srp = hard_negatives(emb, exact=False, planes=4, tables=6)
+    plan = formatted_plan(srp)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {r["vec_id"]: (r["negative_id"], r["sim"]) for r in srp.collect()}
+    assert len(got) >= 90  # SRP recall on tight clusters
+    agree = sum(1 for v in got if exact[v][1] == got[v][1])
+    assert agree >= 0.9 * len(got)

@@ -1200,3 +1200,26 @@ def test_sitemap_discovery_module_matches_twin(spark):
     # every host contributes page1+page2; %3 hosts add page3; index hosts
     # (%5) resolve THROUGH the index to the same page set
     assert len(exp) == 50 * 2 + len([h for h in range(50) if h % 3 == 0])
+
+
+def test_pagerank_dangling_and_partition_invariance(spark):
+    """frontier/graph.pagerank: dangling mass redistributes (ranks sum to
+    1), a sink fed by everyone outranks its feeders, and exact mode is
+    BIT-identical under a different input partitioning (sorted folds)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 3, 1), (1, 3, 1), (2, 3, 2), (0, 1, 1)],
+        "src: long, dst: long, weight: long",
+    )  # node 3 is dangling (no out-edges)
+    r = {x["node"]: x["rank"] for x in pagerank(edges, iters=6).collect()}
+    assert set(r) == {0, 1, 2, 3}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[3] > max(r[0], r[1], r[2])
+    r2 = {
+        x["node"]: x["rank"]
+        for x in pagerank(edges.repartition(7), iters=6).collect()
+    }
+    assert r2 == r  # bit-identical, not approximately

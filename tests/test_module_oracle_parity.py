@@ -335,3 +335,37 @@ def test_top_ngrams_module_matches_twin(spark):
     )
     exp = [(g, int(c)) for g, c in con.execute(dq.duck_sql_for("top_ngrams")).fetchall()]
     assert got == exp
+
+
+def test_boilerplate_filter_module_matches_twin(spark):
+    """operators/dedup.boilerplate_filter == the dual-dialect SQL twin on
+    the planted-paragraph fixture: the shared subscribe footer (df = N/3)
+    disappears from EVERY doc (vs paragraph_dedup's keep-first), and the
+    plan is the documented 3-exchange shape (distinct pair hash, df
+    groupBy reuse, reassembly) with one lh equi-join."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark.operators.dedup import boilerplate_filter
+
+    dq.register_views(spark, SF_DIR)
+    fix = spark.sql(
+        "WITH " + dq._render(dq._pded_cte(dq.SPARK), dq.SPARK)
+        + " SELECT doc_id, text FROM pd"
+    )
+    out = boilerplate_filter(fix, max_docs=2)
+    got = sorted(
+        (int(r.doc_id), int(r.n_lines), int(r.n_kept), r.text) for r in out.collect()
+    )
+    con = duckdb.connect()
+    for t in dq.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    exp = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.execute(dq.duck_sql_for("boilerplate_lines")).fetchall()
+    )
+    assert got == exp
+    boiler = "subscribe to our newsletter for updates"
+    assert sum(t.count(boiler) for _, _, _, t in exp) == 0  # dropped everywhere
+    assert any(k < n for _, n, k, _ in exp)

@@ -1399,6 +1399,93 @@ FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ORDER BY doc_id
 """
 
+# Corpus-frequency boilerplate removal (CCNet/RefinedWeb line pass, r7):
+# a line present in MORE than 2 distinct docs is dropped from EVERY doc
+# (paragraph_dedup by contrast keeps the first occurrence). Reuses the
+# planted-paragraph fixture: the shared "subscribe" footer (df = N/3) and
+# any naturally colliding 8-word slices must all disappear. Module twin:
+# operators/dedup.boilerplate_filter (module==SQL parity pinned in
+# tests/test_module_oracle_parity.py).
+_Q["boilerplate_lines"] = """
+WITH @PDED,
+lined AS (SELECT doc_id, @LINES AS lines FROM pd),
+paras AS (
+  SELECT doc_id, i - 1 AS idx, @LINEI AS para FROM lined @LATL
+),
+freq AS (
+  SELECT md5(para) AS lh, count(DISTINCT doc_id) AS df FROM paras GROUP BY md5(para)
+),
+marked AS (
+  SELECT p.doc_id, p.idx, p.para, f.df <= 2 AS keep
+  FROM paras p JOIN freq f ON md5(p.para) = f.lh
+),
+kept AS (SELECT doc_id, idx, para FROM marked WHERE keep),
+agg AS (SELECT doc_id, count(*) AS n_kept, @AGGLINES AS text FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM paras GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text, '') AS text
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY doc_id
+"""
+
+# Okapi BM25 of a fixed 3-term query against every document (r7) — the
+# retrieval scorer for query-targeted corpus selection. ln lacks a
+# cross-engine correct-rounding guarantee, so the contract rounds to 4
+# (the ann twins' discipline). Module twin: operators/quality.bm25_score.
+_Q["bm25_score"] = """
+WITH base AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, CAST(@LEN(ws) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+toks AS (SELECT doc_id, @WORDI AS w FROM base @LATW),
+q AS (SELECT doc_id, w FROM toks WHERE w IN ('the', 'table', 'data')),
+dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM q GROUP BY w),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM q GROUP BY doc_id, w),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (CAST(s.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS sc
+  FROM tf
+  JOIN dfq ON tf.w = dfq.w
+  JOIN dl d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(sc) AS score FROM scored GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(round(coalesce(a.score, 0), 4) AS DOUBLE) AS score
+FROM dl d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY doc_id
+"""
+
+# Hard-negative mining (r7): per anchor, the most cosine-similar vector
+# with a DIFFERENT label (label = vec_id % 7 — the synthetic source key).
+# Exact all-pairs twin over the vec_id < 300 slice; rank and ties use the
+# ROUNDED sim so ordering is engine-stable. Module twin:
+# operators/similarity.hard_negatives (SRP-blocked at scale; exact=True
+# here).
+_Q["hard_negatives"] = """
+WITH e AS (
+  SELECT vec_id, embedding, vec_id % 7 AS label
+  FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS negative_id,
+         round(@COSINE(a.embedding, b.embedding), 4) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label <> b.label
+),
+ranked AS (
+  SELECT vec_id, negative_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, negative_id) AS rnk
+  FROM pairs
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(negative_id AS BIGINT) AS negative_id,
+       CAST(sim AS DOUBLE) AS sim
+FROM ranked WHERE rnk = 1 ORDER BY vec_id
+"""
+
 _COSINE_SPARK = (
     "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
     " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -2302,6 +2389,158 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
         .orderBy("doc_id")
+    )
+
+
+def boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removal MODULE path over the planted-paragraph fixture —
+    same rows as the dual-dialect SQL twin, planned as the operator's
+    shape: distinct (lh, doc_id) -> df groupBy -> lh equi-join -> one
+    reassembly groupBy."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.dedup import boilerplate_filter
+
+    register_views(spark, sf_dir)
+    fix = spark.sql(
+        "WITH " + _render(_pded_cte(SPARK), SPARK) + " SELECT doc_id, text FROM pd"
+    )
+    return (
+        boilerplate_filter(fix, max_docs=2)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 MODULE path (operators/quality.bm25_score, query =
+    the/table/data) — same rows as the dual-dialect SQL twin, planned as
+    the operator's shape: query-filtered token stream, literal idf map,
+    <= |q|-row-per-doc score groupBy."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.quality import bm25_score
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        bm25_score(docs, ["the", "table", "data"])
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining MODULE path (exact form over vec_id < 300,
+    label = vec_id % 7) — same rows as the dual-dialect SQL twin; the SRP
+    scale path is pinned separately in tests (no crossJoin in its plan)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.similarity import hard_negatives
+
+    register_views(spark, sf_dir)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 300)
+        .withColumn("label", F.col("vec_id") % 7)
+    )
+    return (
+        hard_negatives(emb, label_col="label", exact=True)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("negative_id").cast("long").alias("negative_id"),
+            F.col("sim").cast("double").alias("sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic host graph (frontier/graph.py, r7):
+    edges derived deterministically from doc_id (src = doc_id % 50,
+    dst = (doc_id*7+3) % 50, weight = multiplicity), 5 damped iterations.
+    BIT-EXACT against the sequential twin (_pagerank_twin): sorted-fold
+    contribution sums, fixed operation order — no rounding anywhere."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.graph import pagerank
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(
+        "SELECT CAST(doc_id % 50 AS BIGINT) AS src, "
+        "CAST((doc_id * 7 + 3) % 50 AS BIGINT) AS dst FROM documents"
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    return (
+        pagerank(edges, iters=5, damping=0.85)
+        .select(
+            F.col("node").cast("long").alias("host"),
+            F.col("rank").cast("double").alias("rank"),
+        )
+        .orderBy("host")
+    )
+
+
+def _pagerank_twin(sf_dir: str | None = None) -> list[tuple[int, float]]:
+    """Sequential twin of pagerank_hosts: same edge derivation, same
+    ((rank*d)*w)/outw operation order, same ascending-sorted left folds
+    for per-dst contributions and dangling mass — bit-identical doubles."""
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    wt: dict[tuple[int, int], int] = {}
+    for i in ids:
+        k = (i % 50, (i * 7 + 3) % 50)
+        wt[k] = wt.get(k, 0) + 1
+    nodes = sorted({s for s, _ in wt} | {t for _, t in wt})
+    n, d = len(nodes), 0.85
+    outw: dict[int, float] = {}
+    for (src, _), w in wt.items():
+        outw[src] = outw.get(src, 0.0) + float(w)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        dang_vals = sorted(rank[v] for v in nodes if v not in outw)
+        dacc = 0.0
+        for v in dang_vals:
+            dacc += v
+        base = (1.0 - d) / n + d * dacc / n
+        contribs: dict[int, list[float]] = {}
+        for (src, dst), w in wt.items():
+            contribs.setdefault(dst, []).append(
+                ((rank[src] * d) * float(w)) / outw[src]
+            )
+        new = {}
+        for v in nodes:
+            acc = 0.0
+            for c in sorted(contribs.get(v, [])):
+                acc += c
+            new[v] = base + acc
+        rank = new
+    return [(v, rank[v]) for v in nodes]
+
+
+def _pagerank_oracle_sql(sf_dir: str | None = None) -> str:
+    values = ",\n    ".join(f"({v}, {r!r})" for v, r in _pagerank_twin(sf_dir))
+    return (
+        "SELECT CAST(host AS BIGINT) AS host, CAST(rank AS DOUBLE) AS rank\n"
+        f"FROM (VALUES\n    {values}) AS t(host, rank)\n"
+        "ORDER BY host"
     )
 
 
@@ -3574,6 +3813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dual-dialect SQL, so the comparison is module-vs-independent-SQL
     out["dsir_select"] = dsir_select_q
     out["paragraph_dedup"] = paragraph_dedup_q
+    out["boilerplate_lines"] = boilerplate_lines_q
+    out["bm25_score"] = bm25_score_q
+    out["hard_negatives"] = hard_negatives_q
+    out["pagerank_hosts"] = pagerank_hosts
     out["top_ngrams"] = top_ngrams_q
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real
@@ -3637,4 +3880,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["ann_pq_top1"] = _ann_pq_top1_oracle_sql()
     # exact-BPE token accounting vs the standalone Python re-train twin
     oracles["bpe_token_counts"] = _bpe_token_counts_oracle_sql()
+    # PageRank over the synthetic host graph vs the bit-exact sequential
+    # twin rendered as VALUES (sorted-fold arithmetic on both sides)
+    oracles["pagerank_hosts"] = _pagerank_oracle_sql()
     return oracles

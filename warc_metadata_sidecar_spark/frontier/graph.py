@@ -1,0 +1,96 @@
+"""Link-graph analytics for frontier prioritization — PageRank over the
+host graph (r7). Real crawl schedulers order discovery by link authority
+(OPIC/PageRank priors); this is that operator over the edge sets
+`extract_hrefs`/crawl rounds produce, aggregated to hosts.
+
+Reference parity note: the reference is per-record metadata extraction
+(warc_metadata_sidecar.py:205) with no graph stage; this extends the
+frontier family (SURVEY §2 N-ops) the way the scheduler extends
+politeness.
+
+Scale shape (100 TB / 10^9 hosts):
+  * edges aggregate once to (src, dst, weight) + per-src out-weight —
+    both map-side-combinable groupBys on the src key; iterations then
+    JOIN rank->edges on src (rank and out-weight share the src
+    partitioning, so AQE reuses one exchange) and aggregate
+    contributions on dst — the classic two-exchange-per-iteration
+    PageRank; the rank frame is node-cardinality and checkpointed per
+    iteration to keep lineage flat (persist(DISK) on a real cluster);
+  * `exact=True` (default, oracle mode) folds each dst's contributions
+    in SORTED order (the r5 bit-stable-Lloyd rule) so ranks are
+    bit-identical across runs/partitionings and against the sequential
+    twin — the collect_list is bounded by the dst's distinct-src
+    in-degree, fine for host graphs (fan-in of distinct hosts), while
+    `exact=False` uses plain sum() for web-scale node counts where
+    bit-stability is traded for O(1) aggregation state;
+  * dangling mass (hosts with no out-links) redistributes uniformly —
+    its per-iteration total is ONE scalar collected from a sorted fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sorted_sum(col: str) -> F.Column:
+    return F.aggregate(
+        F.array_sort(F.collect_list(col)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    exact: bool = True,
+) -> DataFrame:
+    """Weighted PageRank: returns (node, rank). rank_{t+1}(v) =
+    (1-d)/N + d*dangling/N + sum_u rank_t(u) * d * w(u,v)/outw(u).
+
+    Deterministic in exact mode: per-dst contributions fold in sorted
+    order; each contribution is computed as ((rank * d) * w) / outw in
+    exactly that operation order — the sequential twin
+    (driver_queries._pagerank_twin) replays it bit-for-bit."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        linked = ranks.join(outw, ranks["node"] == outw["src"], "left")
+        dang = linked.filter(F.col("outw").isNull()).agg(
+            _sorted_sum("rank").alias("s")
+        ).collect()[0]["s"]
+        base = (1.0 - damping) / n + damping * (dang or 0.0) / n
+        contrib = (
+            linked.filter(F.col("outw").isNotNull())
+            .join(e, "src")
+            .select(
+                "dst",
+                (((F.col("rank") * F.lit(damping)) * F.col("w")) / F.col("outw")).alias("c"),
+            )
+        )
+        agg_c = _sorted_sum("c") if exact else F.sum("c")
+        inc = contrib.groupBy("dst").agg(agg_c.alias("inc"))
+        ranks = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -417,3 +417,62 @@ def paragraph_dedup(
             sep,
         ).alias("text"),
     )
+
+
+def boilerplate_filter(
+    docs: DataFrame,
+    max_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet / RefinedWeb line
+    pass, r7): a line that occurs in MORE than `max_docs` distinct
+    documents is navigation/footer boilerplate and is dropped from EVERY
+    document (unlike paragraph_dedup, which keeps the first occurrence).
+    Returns (doc_id, n_lines, n_kept, text) — one row per input document,
+    emptied documents included (callers drop them like the curate CLI).
+
+    Spark shape / 100 TB notes:
+      * document frequency per line runs on (md5(line), doc_id) pairs
+        DISTINCT'd first — two exchanges on the uniform line hash, both
+        map-side combinable; the heaviest key (a boilerplate line in
+        every doc) is exactly the key whose pair set dedup shrinks;
+      * the verdict joins back to the exploded lines on the line hash —
+        a plain equi-join between two line-hash-partitioned sides, so AQE
+        reuses the partitioning (no broadcast of a corpus-sized side);
+      * reassembly is the paragraph_dedup single-groupBy form (sorted
+        struct filter/transform) — one doc_id exchange.
+
+    Reference parity note: the reference has no corpus-level operators
+    (per-record loop, warc_metadata_sidecar.py:205); training-data family
+    (SURVEY §2c). Dual-dialect twin: driver_queries._Q["boilerplate_lines"];
+    module==twin pinned in tests/test_module_oracle_parity.py.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).withColumn("lh", F.md5(F.col("para")))
+    df_per_line = (
+        lines.select("lh", "doc_id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    marked = lines.join(df_per_line, "lh").withColumn(
+        "keep", F.col("df") <= max_docs
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("idx", "keep", "para"))),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+    )

@@ -257,3 +257,80 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(k)
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 of a fixed query against every document (r7) — the
+    retrieval scorer a curation pipeline uses for query-targeted corpus
+    selection (rank documents by relevance to a seed query, DSIR's
+    retrieval-shaped cousin). idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    the Lucene floor-free form. Returns (doc_id, score), score 0.0 for
+    documents containing no query term, rounded half-even to
+    `round_digits` (ln is the one op here without a cross-engine
+    correct-rounding guarantee; rounding absorbs the ulp).
+
+    Spark shape / 100 TB notes:
+      * the token stream is FILTERED to the query terms before any
+        aggregation — document frequency and term frequency never touch
+        the full vocabulary, so both groupBys aggregate <= |q| keys per
+        doc (map-side combinable);
+      * N / avgdl / per-term idf are collected as <= |q|+2 scalars and
+        re-enter as literals (the classifier weight-table discipline);
+      * doc length is a pure projection; the score join is one broadcast
+        of the (term, idf) literal map against the (doc, term, tf) frame,
+        then a <= |q|-row-per-doc groupBy.
+
+    Dual-dialect twin: driver_queries._Q["bm25_score"]; module==twin
+    pinned in tests/test_module_oracle_parity.py."""
+    import math
+
+    terms = list(query_terms)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    dl = base.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    toks = base.select(
+        "doc_id", F.explode("ws").alias("w")
+    ).filter(F.col("w").isin(terms))
+    df_rows = {
+        r["w"]: r["df"]
+        for r in toks.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - df_rows.get(t, 0) + 0.5) / (df_rows.get(t, 0) + 0.5))
+        for t in terms
+    }
+    idf_col = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    scored = tf.join(dl, "doc_id").select(
+        "doc_id",
+        (
+            idf_col[F.col("w")]
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("s"),
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    return dl.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("score"), F.lit(0.0)), round_digits).alias("score"),
+    )

@@ -725,3 +725,82 @@ def semantic_dedup(
             F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    planes: int = 6,
+    tables: int = 6,
+    max_bucket: int = 1000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining (r7): per anchor, the most cosine-similar
+    vector with a DIFFERENT label — the pair-construction step of a
+    contrastive/embedding training pipeline (hardest in-batch negatives at
+    corpus scale). Returns (vec_id, negative_id, sim); ranking and ties
+    use the ROUNDED sim (desc) then the lowest negative id, so the order
+    is engine-stable.
+
+    Scale shape: the DEFAULT candidate generator is the multi-table SRP
+    bucketing (srp_candidate_pairs — the embedding_cosine_dedup scale
+    path): each undirected candidate pair scores its cosine ONCE, emits
+    two directed rows, and the per-anchor argmax is a map-side-combinable
+    min(struct). No crossJoin anywhere; norms fold once per side.
+    `exact=True` keeps the all-pairs baseline (the oracle twin / recall
+    reference for small corpora). Anchors whose every candidate shares
+    their label emit no row under the SRP path (exact path: only if the
+    whole corpus shares one label).
+
+    Dual-dialect twin: driver_queries._Q["hard_negatives"]; module==twin
+    pinned in tests/test_module_oracle_parity.py."""
+    e = _as_double(embeddings, vec_col)
+    a = e.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+        F.col(label_col).alias("_la"),
+    )
+    b = e.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+        F.col(label_col).alias("_lb"),
+    )
+    if exact:
+        und = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
+    else:
+        cand = srp_candidate_pairs(e, id_col, vec_col, planes, tables, max_bucket)
+        und = cand.join(a, cand["id_a"] == a["_ida"]).join(
+            b, cand["id_b"] == b["_idb"]
+        )
+    scored = (
+        und.filter(F.col("_la") != F.col("_lb"))
+        .withColumn(
+            "sim",
+            F.round(_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_digits),
+        )
+        .select("_ida", "_idb", "sim")
+    )
+    directed = scored.unionByName(
+        scored.select(
+            F.col("_idb").alias("_ida"), F.col("_ida").alias("_idb"), "sim"
+        )
+    )
+    best = directed.groupBy("_ida").agg(
+        F.min(
+            F.struct(
+                (-F.col("sim")).alias("ns"),
+                F.col("_idb").alias("n"),
+                F.col("sim").alias("s"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("_ida").alias("vec_id"),
+        F.col("m.n").alias("negative_id"),
+        F.col("m.s").alias("sim"),
+    )
