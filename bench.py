@@ -242,6 +242,13 @@ EXTENDED = [
     "classifier_train",
     "top_ngrams",
     "sitemap_discovery",
+    # r7 operators
+    "boilerplate_lines",
+    "bm25_score",
+    "hard_negatives",
+    "pagerank_hosts",
+    "containment_pairs",
+    "tfidf_keywords",
 ]
 
 

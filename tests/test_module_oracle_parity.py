@@ -369,3 +369,22 @@ def test_boilerplate_filter_module_matches_twin(spark):
     boiler = "subscribe to our newsletter for updates"
     assert sum(t.count(boiler) for _, _, _, t in exp) == 0  # dropped everywhere
     assert any(k < n for _, n, k, _ in exp)
+
+
+def test_containment_direction_is_asymmetric(spark):
+    """containment_pairs on the planted quote-inclusion fixture: every
+    quoter (id+700000) points at its source above threshold, while the
+    reverse direction (long doc -> short quote) stays below it."""
+    from warc_metadata_sidecar_spark.operators.dedup import containment_pairs
+
+    dq.register_views(spark, SF_DIR)
+    fix = spark.sql(
+        "WITH " + dq._render(dq._cont_cte(dq.SPARK), dq.SPARK)
+        + " SELECT doc_id, text FROM qc"
+    )
+    rows = {(r.id_a, r.id_b): r.containment for r in containment_pairs(fix).collect()}
+    quoters = [i for i in range(0, 500, 7)]
+    hit = sum(1 for q in quoters if (q + 700000, q) in rows)
+    assert hit >= len(quoters) - 2  # boundary shingles may collide away
+    for q in quoters:
+        assert (q, q + 700000) not in rows  # reverse stays sub-threshold

@@ -1486,6 +1486,87 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM ranked WHERE rnk = 1 ORDER BY vec_id
 """
 
+# Asymmetric shingle containment (r7): planted quote-inclusion fixture —
+# every doc_id % 7 == 0 doc's first 12 words re-enter as a short "quoting"
+# doc (id + 700000) with a unique 2-word tail, so containment(quoter ->
+# quoted) ~ 0.83 while the reverse direction stays under threshold.
+# Module twin: operators/dedup.containment_pairs.
+_CONT_CTE = """
+qc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 700000 AS BIGINT) AS doc_id,
+         concat(@Q12, ' qa', @IDSTR, ' qb', @IDSTR) AS text
+  FROM (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM documents) t0
+  WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _cont_cte(d: dict) -> str:
+    t = _CONT_CTE
+    t = t.replace(
+        "@Q12",
+        "concat_ws(' ', slice(ws, 1, 12))"
+        if d is SPARK
+        else "coalesce(array_to_string(ws[1:12], ' '), '')",
+    )
+    t = t.replace(
+        "@IDSTR",
+        "CAST(doc_id AS STRING)" if d is SPARK else "CAST(doc_id AS VARCHAR)",
+    )
+    return t
+
+
+_Q["containment_pairs"] = """
+WITH @CONT,
+wsd AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM qc),
+grams AS (
+  SELECT DISTINCT doc_id, md5(@SLICE3) AS gh
+  FROM wsd @LAT3
+  WHERE @LEN(ws) >= 3
+),
+dfp AS (SELECT gh, count(*) AS df FROM grams GROUP BY gh),
+pruned AS (
+  SELECT g.doc_id, g.gh FROM grams g JOIN dfp ON g.gh = dfp.gh AND dfp.df <= 64
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM pruned a JOIN pruned b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+       CAST(round(CAST(i.n_inter AS DOUBLE) / s.n_sh, 6) AS DOUBLE) AS containment
+FROM inter i JOIN sizes s ON s.doc_id = i.id_a
+WHERE round(CAST(i.n_inter AS DOUBLE) / s.n_sh, 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+# Per-doc top-3 tf-idf keywords (r7): weight = tf * ln(N/df), round-4
+# (ln's cross-engine ulp), ties break on the term. Module twin:
+# operators/quality.tfidf_keywords.
+_Q["tfidf_keywords"] = """
+WITH base AS (SELECT doc_id, @SPLIT(text, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, @WORDI AS w FROM base @LATW),
+nd AS (SELECT count(*) AS n FROM base),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term,
+         round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df), 4) AS weight
+  FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rnk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(weight AS DOUBLE) AS weight, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
 _COSINE_SPARK = (
     "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
     " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1658,6 +1739,11 @@ def _render_query(name: str, dialect: dict) -> str:
         sql = sql.replace("@LATPACK", dialect["LAT"]("k1 - k0 + 1"))
     if "@PDED" in sql:
         sql = sql.replace("@PDED", _pded_cte(dialect))
+    if "@CONT" in sql:
+        sql = sql.replace("@CONT", _cont_cte(dialect))
+    if "@SLICE3" in sql:
+        sql = sql.replace("@SLICE3", dialect["SLICE_JOIN"].format(arr="ws", i="i"))
+        sql = sql.replace("@LAT3", dialect["LAT"]("@LEN(ws) - 2"))
     if "@LINEI" in sql:
         # 1-based element access into the split-lines array
         sql = sql.replace(
@@ -2541,6 +2627,51 @@ def _pagerank_oracle_sql(sf_dir: str | None = None) -> str:
         "SELECT CAST(host AS BIGINT) AS host, CAST(rank AS DOUBLE) AS rank\n"
         f"FROM (VALUES\n    {values}) AS t(host, rank)\n"
         "ORDER BY host"
+    )
+
+
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment MODULE path over the planted quote-inclusion fixture —
+    same rows as the dual-dialect SQL twin, planned as the operator's
+    shape (distinct shingles, df prune BEFORE the self-join, size join)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.dedup import containment_pairs
+
+    register_views(spark, sf_dir)
+    fix = spark.sql(
+        "WITH " + _render(_cont_cte(SPARK), SPARK) + " SELECT doc_id, text FROM qc"
+    )
+    return (
+        containment_pairs(fix, threshold=0.5, n=3, max_df=64)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("containment").cast("double").alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf MODULE path — same rows as the dual-dialect SQL twin,
+    planned as the operator's shape (two map-side-combinable groupBys +
+    the per-doc top-k window)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.quality import tfidf_keywords
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        tfidf_keywords(docs, k=3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "term",
+            F.col("weight").cast("double").alias("weight"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("doc_id", "rnk")
     )
 
 
@@ -3817,6 +3948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_score"] = bm25_score_q
     out["hard_negatives"] = hard_negatives_q
     out["pagerank_hosts"] = pagerank_hosts
+    out["containment_pairs"] = containment_pairs_q
+    out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
     out["multimodal_features"] = multimodal_features
     out["multimodal_decode_real"] = multimodal_decode_real

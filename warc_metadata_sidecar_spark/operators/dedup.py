@@ -476,3 +476,77 @@ def boilerplate_filter(
             sep,
         ).alias("text"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by shingle containment (r7):
+    containment(a in b) = |S_a ∩ S_b| / |S_a| over distinct word n-gram
+    shingles — the measure that catches QUOTE INCLUSION (a short doc
+    embedded verbatim in a long one), which symmetric Jaccard misses
+    because the union is dominated by the long doc. Returns
+    (id_a, id_b, containment) for ordered pairs with containment >=
+    threshold (containment of a's shingles inside b), id_a != id_b,
+    containment rounded half-even to 6.
+
+    Spark shape / 100 TB notes:
+      * shingles are DISTINCT (doc, md5(gram)) pairs — one map-side-
+        combinable dedup before anything joins;
+      * `max_df` drops shingles appearing in more than max_df docs BEFORE
+        the self-join (the LSH max_bucket discipline): a boilerplate
+        shingle in 10^6 docs would otherwise contribute 10^12 pairs; the
+        df prune is one groupBy on the uniform hash;
+      * the pair intersection is a self equi-join on the shingle hash +
+        one (id_a, id_b) groupBy — both keys uniform; per-doc shingle
+        counts ride a projection-sized join.
+
+    Dual-dialect twin: driver_queries._Q["containment_pairs"] over a
+    planted quote-inclusion fixture."""
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), r"\s+").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            # guard: sequence(1, 0) would generate DESCENDING [1, 0] for
+            # docs shorter than n words — emit no shingles instead
+            F.explode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    df_per = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    pruned = grams.join(df_per.filter(F.col("df") <= max_df), "gh")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = pruned.select(F.col("doc_id").alias("id_a"), "gh")
+    b = pruned.select(F.col("doc_id").alias("id_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("n_sh").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

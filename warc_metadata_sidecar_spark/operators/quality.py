@@ -334,3 +334,50 @@ def bm25_score(
         "doc_id",
         F.round(F.coalesce(F.col("score"), F.lit(0.0)), round_digits).alias("score"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (r7): weight = tf * ln(N/df),
+    the corpus-statistics summarizer a curation pipeline uses for topic
+    tagging / cluster labeling. Returns (doc_id, term, weight, rnk) with
+    rnk 1..k ordered by (rounded weight desc, term asc) — rounding first
+    keeps the rank order engine-stable (ln's cross-engine ulp).
+
+    Spark shape: one token explode -> (doc, term) tf groupBy -> df groupBy
+    on the term (both map-side-combinable, uniform keys); N is one scalar;
+    the per-doc top-k window partitions on doc_id (high-cardinality — no
+    single-partition sort)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    n_docs = float(docs.count())
+    tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        base.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(df_t, "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.round(
+            F.col("tf").cast("double") * F.log(F.lit(n_docs) / F.col("df")),
+            round_digits,
+        ).alias("weight"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "weight", "rnk")
+    )
