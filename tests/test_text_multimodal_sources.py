@@ -1882,3 +1882,60 @@ def test_decode_jpeg_progressive_matches_baseline_color_subsampled():
     assert rb is not None and rp is not None
     assert rb[:3] == rp[:3] == (19, 13, 3)
     assert (rb[3] == rp[3]).all()
+
+
+def test_decode_jpeg_cmyk_adobe_inverted():
+    """4-component baseline JPEG (Adobe CMYK, no APP14 transform): each
+    channel decodes through the same Huffman/IDCT path and the composite
+    is RGB = stored_c * stored_k / 255 (stored channels are Adobe-
+    inverted). Expected pixels from the independent naive-IDCT twin."""
+    import numpy as np
+
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    quant = [2] * 64
+    chans = {ci: _prog_blocks(3 + 2 * ci, 4) for ci in range(4)}
+    blob = _enc_jpeg(16, 16, [(1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1)],
+                     quant, lambda ci, i: chans[ci][i])
+    got = decode_pixels(blob)
+    assert got is not None and got[:3] == (16, 16, 3)
+    planes = [
+        np.array(_naive_jpeg_plane(chans[ci], 2, 2, quant), dtype=np.float64)
+        for ci in range(4)
+    ]
+    c, m, ye, k = planes
+    exp = np.clip(np.floor(np.stack([c * k, m * k, ye * k], axis=2) / 255.0 + 0.5), 0, 255).astype(np.uint8)
+    assert (got[3] == exp).all()
+
+
+def test_decode_jpeg_ycck_app14():
+    """APP14 transform=2 (YCCK): the YCbCr matrix runs on the first three
+    channels before the CMYK composite. Cb/Cr planes are all-zero
+    coefficients (constant 128 samples), so the inverted CMY equals the Y
+    plane exactly and RGB = y * k / 255."""
+    import numpy as np
+    import struct as st
+
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    quant = [2] * 64
+    ypl = _prog_blocks(9, 4)
+    kpl = _prog_blocks(21, 4)
+    zero = [[0] * 8 for _ in range(8)]
+
+    def block_fn(ci, i):
+        return [ypl, [zero] * 4, [zero] * 4, kpl][ci][i]
+
+    blob = _enc_jpeg(16, 16, [(1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1)],
+                     quant, block_fn)
+    app14 = (
+        b"\xff\xee" + st.pack(">H", 2 + 12)
+        + b"Adobe" + b"\x00\x65" + b"\x00\x00\x00\x00" + bytes([2])
+    )
+    blob = blob[:2] + app14 + blob[2:]
+    got = decode_pixels(blob)
+    assert got is not None and got[:3] == (16, 16, 3)
+    y = np.array(_naive_jpeg_plane(ypl, 2, 2, quant), dtype=np.float64)
+    k = np.array(_naive_jpeg_plane(kpl, 2, 2, quant), dtype=np.float64)
+    exp = np.clip(np.floor(np.stack([y * k] * 3, axis=2) / 255.0 + 0.5), 0, 255).astype(np.uint8)
+    assert (got[3] == exp).all()

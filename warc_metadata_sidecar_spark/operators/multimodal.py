@@ -6,8 +6,9 @@ third-party dependency — BMP (BI_RGB 24/32-bit), netpbm (P2/P3/P5/P6),
 TGA (type-2 truecolor), PNG (8-bit gray/RGB/palette/alpha via stdlib
 zlib — a genuine DEFLATE-compressed decode), GIF (87a/89a first
 frame via a pure-Python LZW inflater, interlace + local color tables),
-and JPEG — baseline (SOF0/SOF1) AND progressive (SOF2, spectral
-selection + successive approximation, r7) — (canonical-Huffman entropy decode,
+and JPEG — baseline (SOF0/SOF1), progressive (SOF2, spectral selection +
+successive approximation, r7), and Adobe CMYK/YCCK 4-component (r7) —
+(canonical-Huffman entropy decode,
 restart intervals, dequant + zigzag + numpy IDCT, chroma box
 upsampling, JFIF YCbCr->RGB) — via `decode_pixels`;
 `decode_image(real=True)` derives a deterministic feature vector (dims +
@@ -389,6 +390,43 @@ def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int
     return lut
 
 
+def _jpeg_finish(
+    samples: list[np.ndarray], w: int, h: int, adobe_transform: int | None
+) -> tuple[int, int, int, np.ndarray]:
+    """Shared color-conversion tail for both JPEG decoders: integer
+    component samples -> RGB. 1 comp: grayscale replicate. 3: JFIF
+    YCbCr->RGB. 4 (r7): Adobe CMYK — channels are stored INVERTED per
+    Adobe convention; transform 2 (YCCK) runs the YCbCr matrix on the
+    first three channels first (yielding the inverted CMY), transform
+    0/absent takes them as inverted CMYK directly; composite
+    RGB = stored_c * stored_k / 255 (= (255-C)(255-K)/255 on the real
+    ink values), floor(x+0.5), clip — the common naive CMYK composite,
+    stated here because CMYK->RGB has no single standard."""
+    if len(samples) == 1:
+        gray = samples[0].astype(np.uint8)[:, :, None]
+        return w, h, 3, np.ascontiguousarray(np.repeat(gray, 3, axis=2))
+    if len(samples) == 4:
+        if adobe_transform == 2:
+            y, cb, cr, k = samples
+            c = y + 1.402 * (cr - 128.0)
+            m = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ye = y + 1.772 * (cb - 128.0)
+            c = np.clip(np.floor(c + 0.5), 0, 255)
+            m = np.clip(np.floor(m + 0.5), 0, 255)
+            ye = np.clip(np.floor(ye + 0.5), 0, 255)
+        else:
+            c, m, ye, k = samples
+        rgb = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
+        rgb = np.clip(np.floor(rgb + 0.5), 0, 255)
+        return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+    y, cb, cr = samples
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255)
+    return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+
+
 def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) -> (w, h, 3, RGB array),
     dependency-free: marker walk, canonical-Huffman entropy decode with
@@ -398,9 +436,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     with floor(x+0.5) rounding on integer component samples — the same
     integer-samples-then-color-convert order libjpeg uses. Grayscale
     replicates to 3 channels like the netpbm path. Progressive (SOF2)
-    delegates to _decode_jpeg_progressive (r7); arithmetic coding, 12-bit
-    precision, and CMYK return None (those stay behind the PIL seam), as
-    does any structurally corrupt stream."""
+    delegates to _decode_jpeg_progressive (r7); Adobe CMYK/YCCK decodes
+    through _jpeg_finish (r7); arithmetic coding and 12-bit precision
+    return None (those stay behind the PIL seam), as does any structurally
+    corrupt stream."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -409,6 +448,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq), ...])
     restart = 0
     scan = None
+    adobe_transform = None  # APP14 color-transform byte (CMYK/YCCK)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -443,7 +483,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
-            if w == 0 or h == 0 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
+            if w == 0 or h == 0 or nc not in (1, 3, 4) or len(body) < 6 + 3 * nc:
                 return None
             comps = [
                 (body[6 + 3 * j], body[7 + 3 * j] >> 4, body[7 + 3 * j] & 15,
@@ -486,6 +526,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
                 scomps.append((idx, tbls >> 4, tbls & 15))
             scan = (scomps, pos + 2 + seglen)
             break
+        elif marker == 0xEE and body.startswith(b"Adobe") and len(body) >= 12:
+            adobe_transform = body[11]
         # APPn / COM / anything else: skip
         pos += 2 + seglen
     if frame is None or scan is None:
@@ -617,15 +659,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
         p = np.clip(np.floor(planes[ci] + 128.0 + 0.5), 0, 255)
         p = np.repeat(np.repeat(p, vmax // c[2], axis=0), hmax // c[1], axis=1)
         samples.append(p[:h, :w])
-    if len(samples) == 1:
-        gray = samples[0].astype(np.uint8)[:, :, None]
-        return w, h, 3, np.ascontiguousarray(np.repeat(gray, 3, axis=2))
-    y, cb, cr = samples
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.clip(np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255)
-    return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+    return _jpeg_finish(samples, w, h, adobe_transform)
 
 
 def _split_entropy(data: bytes, start: int) -> tuple[list[bytearray], int]:
@@ -678,6 +712,7 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, np.ndarray] | 
     coefs: list[np.ndarray] | None = None
     geom = None  # (hmax, vmax, mcux, mcuy, comp_cols, comp_rows)
     preds_dims = 0
+    adobe_transform = None
     try:
         while pos + 2 <= len(data):
             if data[pos] != 0xFF:
@@ -715,7 +750,7 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, np.ndarray] | 
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nc = body[5]
-                if w == 0 or h == 0 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                if w == 0 or h == 0 or nc not in (1, 3, 4) or len(body) < 6 + 3 * nc:
                     return None
                 comps = [
                     (body[6 + 3 * j], body[7 + 3 * j] >> 4, body[7 + 3 * j] & 15,
@@ -790,6 +825,8 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, np.ndarray] | 
                     restart, geom, huff, preds_dims,
                 )
                 continue
+            elif marker == 0xEE and body.startswith(b"Adobe") and len(body) >= 12:
+                adobe_transform = body[11]
             pos += 2 + seglen
     except _JpegErr:
         return None
@@ -811,15 +848,7 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, np.ndarray] | 
         p = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
         p = np.repeat(np.repeat(p, vmax // c[2], axis=0), hmax // c[1], axis=1)
         samples.append(p[:h, :w])
-    if len(samples) == 1:
-        gray = samples[0].astype(np.uint8)[:, :, None]
-        return w, h, 3, np.ascontiguousarray(np.repeat(gray, 3, axis=2))
-    y, cb, cr = samples
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.clip(np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255)
-    return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+    return _jpeg_finish(samples, w, h, adobe_transform)
 
 
 def _jpeg_prog_scan(
