@@ -1131,6 +1131,49 @@ def test_extract_hrefs_edge_kinds(spark):
         extract_hrefs(docs, edge_kinds=("href", "imgs"))
 
 
+def test_extract_hrefs_css_and_script_edges(spark):
+    """VERDICT r6 missing #4: inline-CSS url()/@import and script-block
+    absolute string literals emit edges through the same resolution.
+    Negative space pinned: url(#fragment) SVG refs, relative JS strings,
+    url( appearing OUTSIDE a style scope, and data-style attributes must
+    all stay silent."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
+
+    html = (
+        '<style>body{background:url("/bg.png");} @import "skin.css";\n'
+        ".x{mask:url(#clip)}</style>"
+        "<div style=\"background-image: url('tex.jpg')\">url(not-css.png)</div>"
+        '<div data-style="url(skip.png)">x</div>'
+        "<script>var api = 'https://api.example.org/v1/items';\n"
+        'var rel = "relative/path.json"; var frag = "https://f.example.com/p#sec";'
+        "</script>"
+        '<a href="a.html">t</a>'
+    )
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": html, "media_ref": None, "offset": 0}],
+          "https://host.example.com/dir/page.html")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    got = {
+        r.url
+        for r in extract_hrefs(
+            docs, edge_kinds=("href", "css_url", "script_url")
+        ).collect()
+    }
+    assert got == {
+        "https://host.example.com/dir/a.html",
+        "https://host.example.com/bg.png",           # <style> url()
+        "https://host.example.com/dir/skin.css",     # @import
+        "https://host.example.com/dir/tex.jpg",      # style= attr url()
+        "https://api.example.org/v1/items",          # script literal
+        "https://f.example.com/p",                   # fragment stripped
+    }
+    # default surface untouched by the new kinds
+    assert {r.url for r in extract_hrefs(docs).collect()} == {
+        "https://host.example.com/dir/a.html"
+    }
+
+
 def test_sitemap_discovery_module_matches_twin(spark):
     """frontier/robots.extract_sitemaps + extract_sitemap_locs (+ one
     bounded index-resolution level) == the dual-dialect sitemap_discovery

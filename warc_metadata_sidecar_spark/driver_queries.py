@@ -3372,10 +3372,12 @@ ORDER BY parent_url, url
 
 
 def href_edge_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadened discovery surface (VERDICT r5 #6): link/area href, img and
-    script src, srcset candidates (descriptors stripped), and meta-refresh
-    url= targets, all through the SAME RFC 3986 resolution — oracled
-    against CPython's urljoin over the identical raw URL list."""
+    """Broadened discovery surface (VERDICT r5 #6 + r6 missing #4):
+    link/area href, img and script src, srcset candidates (descriptors
+    stripped), meta-refresh url= targets, inline-CSS url()/@import edges
+    (style blocks and style= attributes), and absolute script-literal
+    URLs, all through the SAME RFC 3986 resolution — oracled against
+    CPython's urljoin over the identical raw URL list."""
     from warc_metadata_sidecar_spark.frontier.crawl import extract_hrefs
 
     register_views(spark, sf_dir)
@@ -3387,7 +3389,8 @@ def href_edge_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
                array(named_struct(
                  'kind', 'text',
                  'text', format_string(
-                   '<link rel="next" href="./n%d.html"> <area shape="rect" href="/area/%d"> <img src="img/%d.png" data-src="SKIP-%d.png"> <script src="/js/app%d.js"></script> <img srcset="a%d-1x.png 1x, ../a%d-2x.png 2x"> <meta http-equiv="refresh" content="0;url=/moved/%d">',
+                   '<link rel="next" href="./n%d.html"> <area shape="rect" href="/area/%d"> <img src="img/%d.png" data-src="SKIP-%d.png"> <script src="/js/app%d.js"></script> <img srcset="a%d-1x.png 1x, ../a%d-2x.png 2x"> <meta http-equiv="refresh" content="0;url=/moved/%d"> <style>p{background:url("/bg/%d.png")} @import "skin%d.css";</style> <div style="color:red;background:url(tex%d.jpg)">url(not-css.png)</div> <script>fetch("https://api%d.example.org/v1/%d")</script>',
+                   doc_id, doc_id, doc_id, doc_id, doc_id,
                    doc_id, doc_id, doc_id, doc_id, doc_id,
                    doc_id, doc_id, doc_id),
                  'media_ref', CAST(NULL AS STRING),
@@ -3396,7 +3399,8 @@ def href_edge_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return extract_hrefs(
-        docs, edge_kinds=("href", "src", "srcset", "meta_refresh")
+        docs,
+        edge_kinds=("href", "src", "srcset", "meta_refresh", "css_url", "script_url"),
     ).orderBy("parent_url", "url")
 
 
@@ -3428,6 +3432,11 @@ def _href_edge_kinds_oracle_sql(sf_dir: str | None = None) -> str:
             f"a{i}-1x.png",      # srcset candidate 1
             f"../a{i}-2x.png",   # srcset candidate 2
             f"/moved/{i}",       # meta refresh
+            f"/bg/{i}.png",      # <style> url()
+            f"skin{i}.css",      # @import
+            f"tex{i}.jpg",       # style= attribute url()
+            f"https://api{i}.example.org/v1/{i}",  # script literal
+            # url(not-css.png) outside a style scope: excluded on BOTH sides
         ]
         for h in raw:
             rows.add((parent, urljoin(parent, h)))

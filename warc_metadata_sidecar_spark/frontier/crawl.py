@@ -76,7 +76,18 @@ def extract_hrefs(
       - 'srcset': each candidate URL of srcset= lists (descriptors like
         '2x'/'640w' stripped);
       - 'meta_refresh': the url= target of a numeric-delay content=
-        attribute ('0;url=...').
+        attribute ('0;url=...');
+      - 'css_url': url(...) references and @import targets found in
+        INLINE CSS only — style= attribute values and <style> block
+        bodies (VERDICT r6 missing #4). External stylesheets are fetch
+        targets (their href already emits via 'href'), so their inner
+        urls belong to the round that fetches them, not this page;
+      - 'script_url': absolute http(s) string literals inside <script>
+        block bodies (VERDICT r6 missing #4). Relative strings in JS
+        are NOT emitted — without executing the script there is no
+        principled base to resolve them against (string concatenation,
+        router prefixes), and a wrong guess poisons the frontier;
+        conservative absolute-only is the crawler norm.
     All kinds share one staged text and the same RFC 3986 resolution.
 
     Resolution (RFC 3986 subset, r4):
@@ -106,7 +117,9 @@ def extract_hrefs(
     """
     from warc_metadata_sidecar_spark.operators.sidecar import payload_text_col
 
-    unknown = set(edge_kinds) - {"href", "src", "srcset", "meta_refresh"}
+    unknown = set(edge_kinds) - {
+        "href", "src", "srcset", "meta_refresh", "css_url", "script_url"
+    }
     if unknown or not edge_kinds:
         raise ValueError(f"unknown edge_kinds: {sorted(unknown)}")
     # payload text staged ONCE (the with_surt CSE lesson: two HOF-bearing
@@ -132,6 +145,36 @@ def extract_hrefs(
         ).alias("_base_href"),
         F.regexp_replace(F.col("_text"), r"(?i)<base\s[^>]*>", " ").alias("_stripped"),
     )
+    # CSS / JS scopes staged as named columns (the with_surt CSE lesson):
+    # each scope text is referenced by TWO extraction patterns below, and a
+    # repeated inline subtree would re-run the scope regexes per reference.
+    if "css_url" in edge_kinds:
+        # style= attribute values (backreference pairs the opening quote, so
+        # url('...') inside style="..." survives) + <style> block bodies,
+        # joined with a separator no URL may contain
+        style_attrs = F.regexp_extract_all(
+            F.col("_stripped"),
+            F.lit(r"""(?i)(?<![\w-])style\s*=\s*(["'])((?:(?!\1).)*)"""),
+            F.lit(2),
+        )
+        style_blocks = F.regexp_extract_all(
+            F.col("_stripped"), F.lit(r"(?is)<style[^>]*>(.*?)</style>"), F.lit(1)
+        )
+        staged = staged.withColumn(
+            "_css_text", F.array_join(F.concat(style_attrs, style_blocks), "\n")
+        )
+    if "script_url" in edge_kinds:
+        staged = staged.withColumn(
+            "_js_text",
+            F.array_join(
+                F.regexp_extract_all(
+                    F.col("_stripped"),
+                    F.lit(r"(?is)<script[^>]*>(.*?)</script>"),
+                    F.lit(1),
+                ),
+                "\n",
+            ),
+        )
     kind_arrays = []
     if "href" in edge_kinds:
         kind_arrays.append(
@@ -173,6 +216,34 @@ def extract_hrefs(
             F.regexp_extract_all(
                 F.col("_stripped"),
                 F.lit(r"""(?i)content\s*=\s*["']\s*\d[\d.]*\s*;\s*url\s*=\s*([^"'>]+)"""),
+                F.lit(1),
+            )
+        )
+    if "css_url" in edge_kinds:
+        # url(path) / url('path') / url("path") — the optional quote is
+        # consumed outside the group; pure-fragment refs (url(#filter),
+        # SVG-internal) truncate to '' and drop at the length filter —
+        # plus quote-less `@import "x.css"` forms (with-url() imports are
+        # already caught by the url( pattern)
+        kind_arrays.append(
+            F.concat(
+                F.regexp_extract_all(
+                    F.col("_css_text"),
+                    F.lit(r"""(?i)url\(\s*["']?([^"'()\s#>]+)"""),
+                    F.lit(1),
+                ),
+                F.regexp_extract_all(
+                    F.col("_css_text"),
+                    F.lit(r"""(?i)@import\s+["']([^"'#>]+)"""),
+                    F.lit(1),
+                ),
+            )
+        )
+    if "script_url" in edge_kinds:
+        kind_arrays.append(
+            F.regexp_extract_all(
+                F.col("_js_text"),
+                F.lit(r"""(?i)["'](https?://[^"'\s<>#]+)"""),
                 F.lit(1),
             )
         )
@@ -541,7 +612,8 @@ def run_crawl(
     (columns url + spans) and returning (parent_url, url) rows.
     `edge_kinds` forwards to extract_hrefs in 'hrefs' mode (r6): which
     attribute surfaces emit crawl edges (href / src / srcset /
-    meta_refresh); the default keeps the href-only oracle surface.
+    meta_refresh / css_url / script_url); the default keeps the
+    href-only oracle surface.
     """
     empty_seen = spark.createDataFrame([], "canonical_url string, first_round int")
     if bucketed_seen and out_dir is None:
