@@ -374,7 +374,15 @@ def test_boilerplate_filter_module_matches_twin(spark):
 def test_containment_direction_is_asymmetric(spark):
     """containment_pairs on the planted quote-inclusion fixture: every
     quoter (id+700000) points at its source above threshold, while the
-    reverse direction (long doc -> short quote) stays below it."""
+    reverse direction (long doc -> short quote) stays below it — for
+    sources long enough that the asymmetry is a mathematical fact. A
+    source of n words has n-2 shingles and shares at most 10 with its
+    12-word quote, so reverse containment <= 10/(n-2): only sources with
+    n >= 23 (bound < 0.5) participate in the reverse assertion — a SHORT
+    source legitimately IS contained in its quoter (doc 84 at one
+    testdata generation had 14 words -> reverse containment 10/12)."""
+    import duckdb
+
     from warc_metadata_sidecar_spark.operators.dedup import containment_pairs
 
     dq.register_views(spark, SF_DIR)
@@ -383,8 +391,16 @@ def test_containment_direction_is_asymmetric(spark):
         + " SELECT doc_id, text FROM qc"
     )
     rows = {(r.id_a, r.id_b): r.containment for r in containment_pairs(fix).collect()}
+    words = dict(
+        duckdb.sql(
+            f"SELECT doc_id, len(string_split(text, ' ')) FROM "
+            f"'{SF_DIR}/documents.parquet' WHERE doc_id % 7 = 0 AND doc_id < 500"
+        ).fetchall()
+    )
     quoters = [i for i in range(0, 500, 7)]
     hit = sum(1 for q in quoters if (q + 700000, q) in rows)
     assert hit >= len(quoters) - 2  # boundary shingles may collide away
-    for q in quoters:
+    long_sources = [q for q in quoters if words[q] >= 23]
+    assert len(long_sources) >= 10  # the fixture must actually test something
+    for q in long_sources:
         assert (q, q + 700000) not in rows  # reverse stays sub-threshold

@@ -1001,6 +1001,88 @@ def test_decode_wav_hand_computed():
     assert x[:, 0].tolist() == [0.0, 64 / 128, -64 / 128, 32 / 128]
 
 
+def test_decode_flac_roundtrip_all_subframe_paths():
+    """FLAC decode == the source integers EXACTLY, across every subframe
+    type (constant/verbatim/fixed 0-4/LPC), all four channel assignments,
+    rice partitions, escape partitions, wasted bits, 8-bit depth, and a
+    non-table sample rate (16-bit Hz header field). Ground truth is sample
+    identity: FLAC is lossless, so decode(encode(x)) == x by spec."""
+    import numpy as np
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_flac
+
+    rng = [((m * 73 + i * 31) % 4001) - 2000 for m in (3,) for i in range(96)]
+    left = rng[:48]
+    right = [((v * 7) % 4001) - 2000 for v in rng[48:]]
+
+    def check(channels, rate, bps, frames):
+        blob = gen._enc_flac(channels, rate, bps, frames)
+        out = decode_flac(blob)
+        assert out is not None
+        rate_got, nch, x = out
+        assert (rate_got, nch) == (rate, len(channels))
+        want = np.array(channels, dtype=np.float64).T / float(1 << (bps - 1))
+        assert np.array_equal(x, want)
+        return blob
+
+    # every fixed order + LPC + verbatim over independent stereo; rice
+    # partition orders 0-2; frame 3 forces escape partitions
+    check([left, right], 44100, 16, [
+        (16, "indep", [{"type": "fixed", "order": 0, "po": 2}, {"type": "fixed", "order": 1}]),
+        (16, "indep", [{"type": "fixed", "order": 3, "po": 1}, {"type": "fixed", "order": 4, "po": 2}]),
+        (8, "right_side", [{"type": "lpc", "order": 3, "coefs": [3, -3, 1], "shift": 1, "prec": 6}, {"type": "verbatim"}]),
+        (8, "indep", [{"type": "fixed", "order": 2, "escape": True}, {"type": "fixed", "order": 0, "escape": True, "po": 1}]),
+    ])
+    # constant subframe + wasted bits (samples share a factor of 4) +
+    # non-table rate (sr_code 13: 16-bit Hz follows the frame number)
+    const_l = [-12288] * 32
+    waste_r = [v * 4 for v in [((i * 37) % 1751) - 875 for i in range(32)]]
+    check([const_l, waste_r], 11025, 16, [
+        (32, "indep", [{"type": "constant"}, {"type": "fixed", "order": 2, "wasted": 2}]),
+    ])
+    # 8-bit mono through the mid-side-free path
+    mono = [((i * 29) % 241) - 120 for i in range(24)]
+    check([mono], 8000, 8, [(24, "indep", [{"type": "verbatim"}])])
+
+    # corruption: a flipped payload bit breaks the frame CRC-16 -> None;
+    # truncation -> None; non-FLAC -> None
+    good = check([left[:32], right[:32]], 32000, 16,
+                 [(32, "mid_side", [{"type": "fixed", "order": 2}, {"type": "fixed", "order": 1}])])
+    flipped = bytearray(good)
+    flipped[-8] ^= 0x10  # inside the last frame's residual bits
+    assert decode_flac(bytes(flipped)) is None
+    assert decode_flac(good[: len(good) - 5]) is None
+    assert decode_flac(b"fLaX" + good[4:]) is None
+
+
+def test_decode_flac_codec_rows_match_wav_twin():
+    """The codec_rows FLAC blobs decode to the IDENTICAL float array as
+    the WAV encoding of the same closed-form samples — the decode-real
+    oracle's transfer argument, pinned directly."""
+    import numpy as np
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        decode_audio,
+        decode_flac,
+        decode_wav,
+    )
+
+    rows = {r["media_ref"]: r["bytes"] for r in gen.codec_rows()}
+    for m in (14, 15):
+        out = decode_flac(rows[f"codec://flac/{m}"])
+        assert out is not None
+        rate, nch, x = out
+        assert (rate, nch) == (gen.CODEC_RATE, 2)
+        wrate, wnch, wx = decode_wav(gen._enc_wav(m))
+        assert np.array_equal(x, wx)
+        # and the feature vectors agree bit-for-bit through decode_audio
+        assert decode_audio(rows[f"codec://flac/{m}"], real=True) == decode_audio(
+            gen._enc_wav(m), real=True
+        )
+
+
 def test_media_features_real_wav_and_compressed_audio(spark):
     """extract_media_features(real=True): WAV blobs get REAL audio
     features; an MP3 header (compressed, ffmpeg seam) falls back to the

@@ -2927,7 +2927,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode through the ENGINE path: gen.codec_rows() encodes
     CLOSED-FORM rasters/PCM through the repo's encoders (PNG with all five
-    scanline filters, GIF via real LZW, BMP/P6/TGA, 16-bit WAV);
+    scanline filters, GIF via real LZW, BMP/P6/TGA, 16-bit WAV, FLAC with
+    fixed/LPC subframes + mid/side + escape partitions — lossless, so the
+    WAV rows' sample arithmetic transfers);
     extract_media_features(real=True) decodes them back inside mapInPandas.
     The DuckDB oracle never touches a blob: it recomputes every compared
     feature slot straight from the same closed-form pixel/sample formulas
@@ -3029,8 +3031,9 @@ ORDER BY media_ref
 def _multimodal_decode_real_oracle_sql() -> str:
     """DuckDB twin of multimodal_decode_real — features from the closed
     forms only. Exactness notes: pixel sums are integer-exact in float64,
-    so mean slots replicate numpy's (sum/n)/255 bit-for-bit; WAV samples
-    are dyadic rationals (s/2^15) over power-of-two frame counts, so RMS/
+    so mean slots replicate numpy's (sum/n)/255 bit-for-bit; WAV and FLAC
+    samples are dyadic rationals (s/2^15) over power-of-two frame counts
+    (FLAC decode is lossless, byte-verified in tests), so RMS/
     peak/ZCR/means are IEEE-exact; the image std slot's sum-of-squares may
     differ from numpy's pairwise order in the last float64 ulp, which the
     REAL cast absorbs (verified deterministic in tests)."""
@@ -3091,7 +3094,7 @@ pcm AS (
     SELECT mm.m, ii.i, cc.c,
            CAST((mm.m*73 + ii.i*31 + cc.c*17) % 4001 - 2000 AS DOUBLE) / 32768
                AS x
-    FROM (VALUES (10), (11)) mm(m),
+    FROM (VALUES (10), (11), (14), (15)) mm(m),
          generate_series(0, 63) ii(i),
          generate_series(0, 1) cc(c)
 ),

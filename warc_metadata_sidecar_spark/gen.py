@@ -398,6 +398,186 @@ def _enc_wav(m: int) -> bytes:
     return b"RIFF" + st.pack("<I", len(body)) + body
 
 
+class _FlacW:
+    """MSB-first bit writer for the FLAC fixture encoder."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0, "unaligned read of the frame buffer"
+        return bytes(self.buf)
+
+
+def _sbits(v: int) -> int:
+    """Minimum signed-bit width holding v (two's complement)."""
+    return (v if v >= 0 else ~v).bit_length() + 1
+
+
+def _flac_subenc(w: _FlacW, s: list[int], bps: int, bs: int, spec: dict) -> None:
+    typ = spec["type"]
+    wasted = spec.get("wasted", 0)
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in s), "wasted bits must divide"
+        s = [v >> wasted for v in s]
+    eb = bps - wasted
+    mask = (1 << eb) - 1
+    tcode = {"constant": 0, "verbatim": 1}.get(typ)
+    if typ == "fixed":
+        tcode = 8 + spec["order"]
+    elif typ == "lpc":
+        tcode = 32 + spec["order"] - 1
+    w.w(0, 1)
+    w.w(tcode, 6)
+    if wasted:
+        w.w(1, 1)
+        w.w(1, wasted)  # (wasted-1) zeros then the terminating 1
+    else:
+        w.w(0, 1)
+    if typ == "constant":
+        assert len(set(s)) == 1
+        w.w(s[0] & mask, eb)
+        return
+    if typ == "verbatim":
+        for v in s:
+            w.w(v & mask, eb)
+        return
+    order = spec["order"]
+    for v in s[:order]:
+        w.w(v & mask, eb)
+    if typ == "lpc":
+        coefs, shift = spec["coefs"], spec["shift"]
+        prec = spec.get("prec", 15)
+        w.w(prec - 1, 4)
+        w.w(shift & 0x1F, 5)
+        for c in coefs:
+            w.w(c & ((1 << prec) - 1), prec)
+    else:
+        coefs, shift = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order], 0
+    res = []
+    for i in range(order, len(s)):
+        acc = sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+        res.append(s[i] - (acc >> shift))
+    po = spec.get("po", 0)
+    w.w(0, 2)  # residual method 0: 4-bit rice params
+    w.w(po, 4)
+    idx = 0
+    for part in range(1 << po):
+        n = (bs >> po) - (order if part == 0 else 0)
+        chunk = res[idx : idx + n]
+        idx += n
+        if spec.get("escape"):
+            rb = max((_sbits(v) for v in chunk), default=1)
+            w.w(0xF, 4)
+            w.w(rb, 5)
+            for v in chunk:
+                w.w(v & ((1 << rb) - 1), rb)
+            continue
+        u = [(v << 1) ^ (-1 if v < 0 else 0) for v in chunk]
+        p = max(0, min(14, (max(u, default=0).bit_length() - 3)))
+        w.w(p, 4)
+        for uv in u:
+            w.w(1, (uv >> p) + 1)  # unary quotient: q zeros then a 1
+            if p:
+                w.w(uv & ((1 << p) - 1), p)
+
+
+_FLAC_SR_CODE = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+
+
+def _enc_flac(
+    channels: list[list[int]],
+    rate: int,
+    bps: int = 16,
+    frames: list[tuple[int, str, list[dict]]] | None = None,
+) -> bytes:
+    """REAL (spec-conformant, CRC-carrying) FLAC encoder for fixtures:
+    STREAMINFO + fixed-blocksize frames. `frames` consumes the sample
+    stream in order as (blocksize, mode, per-stored-channel subframe
+    specs); mode selects the stereo decorrelation (indep / left_side /
+    right_side / mid_side); specs exercise constant / verbatim / fixed /
+    lpc subframes, rice partitions, escape partitions, and wasted bits.
+    Lossless by construction — the decode test's ground truth is sample
+    equality with the closed form, independent of both codecs' internals."""
+    from warc_metadata_sidecar_spark.operators.multimodal import _crc8, _crc16
+
+    nch = len(channels)
+    total = len(channels[0])
+    if frames is None:
+        frames = [(total, "indep", [{"type": "verbatim"}] * nch)]
+    bsizes = [f[0] for f in frames]
+    si = (min(bsizes) << 16) | max(bsizes)
+    si = (si << 48)  # min/max framesize unknown
+    si = (si << 20) | rate
+    si = (si << 3) | (nch - 1)
+    si = (si << 5) | (bps - 1)
+    si = (si << 36) | total
+    si <<= 128  # md5 unknown
+    out = bytearray(b"fLaC")
+    out += b"\x80" + (34).to_bytes(3, "big") + si.to_bytes(34, "big")
+    sr_code = _FLAC_SR_CODE.get(rate)
+    pos = 0
+    for fno, (bs, mode, specs) in enumerate(frames):
+        assert fno < 128, "fixture frame numbers stay single-byte UTF-8"
+        seg = [ch[pos : pos + bs] for ch in channels]
+        pos += bs
+        if mode == "indep":
+            stored, sbps, chan_code = seg, [bps] * nch, nch - 1
+        elif mode == "left_side":
+            l, r = seg
+            stored = [l, [a - b for a, b in zip(l, r)]]
+            sbps, chan_code = [bps, bps + 1], 8
+        elif mode == "right_side":
+            l, r = seg
+            stored = [[a - b for a, b in zip(l, r)], r]
+            sbps, chan_code = [bps + 1, bps], 9
+        elif mode == "mid_side":
+            l, r = seg
+            stored = [
+                [(a + b) >> 1 for a, b in zip(l, r)],
+                [a - b for a, b in zip(l, r)],
+            ]
+            sbps, chan_code = [bps, bps + 1], 10
+        else:
+            raise ValueError(mode)
+        w = _FlacW()
+        w.w(0x3FFE, 14)
+        w.w(0, 2)  # reserved + fixed-blocksize strategy
+        w.w(6, 4)  # block size: 8-bit value-1 follows the number
+        w.w(sr_code if sr_code else 13, 4)  # 13: 16-bit Hz follows
+        w.w(chan_code, 4)
+        w.w({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+        w.w(0, 1)
+        w.w(fno, 8)  # UTF-8 coded frame number, single byte
+        w.w(bs - 1, 8)
+        if not sr_code:
+            w.w(rate, 16)
+        w.w(_crc8(w.bytes()), 8)
+        for ch_s, ch_bps, spec in zip(stored, sbps, specs):
+            _flac_subenc(w, ch_s, ch_bps, bs, spec)
+        w.align()
+        w.w(_crc16(w.bytes()), 16)
+        out += w.bytes()
+    return bytes(out)
+
+
 CODEC_JPEG_WH = 16  # 2x2 grid of flat 8x8 tiles -> 4 one-block MCUs
 
 
@@ -608,8 +788,9 @@ def probe_media(spark: SparkSession) -> DataFrame:
 def codec_rows() -> list[dict]:
     """Deterministic blobs for the real-decode oracle: two of each raster
     container (PNG/GIF/BMP/P6/TGA) over the closed-form pixels, two WAVs
-    over the closed-form samples, two baseline JPEGs over the closed-form
-    DC-only tiles (lossless under an all-ones quant table)."""
+    and two FLACs over the closed-form samples (FLAC is lossless, so both
+    share the oracle's sample arithmetic), two baseline JPEGs over the
+    closed-form DC-only tiles (lossless under an all-ones quant table)."""
     rows = []
     for m, (kind, enc) in enumerate(
         (k, e)
@@ -648,6 +829,31 @@ def codec_rows() -> list[dict]:
                 "media_ref": f"codec://jpeg/{m}",
                 "bytes": _enc_jpeg_dc(m),
                 "meta": {"media_type": "image", "width": CODEC_JPEG_WH, "height": CODEC_JPEG_WH, "duration_ms": None},
+            }
+        )
+    for m in (14, 15):
+        # the SAME closed-form PCM as the WAV rows, FLAC-encoded (lossless,
+        # so the oracle's per-m sample arithmetic transfers verbatim); the
+        # two frames exercise mid/side + fixed/LPC and left/side +
+        # verbatim/escape paths of the decoder
+        ch = [
+            [codec_sample(m, i, c) for i in range(CODEC_FRAMES)] for c in range(2)
+        ]
+        frames = [
+            (32, "mid_side", [
+                {"type": "fixed", "order": 2, "po": 1},
+                {"type": "lpc", "order": 2, "coefs": [2, -1], "shift": 0, "prec": 5},
+            ]),
+            (32, "left_side", [
+                {"type": "verbatim"},
+                {"type": "fixed", "order": 1, "escape": True},
+            ]),
+        ]
+        rows.append(
+            {
+                "media_ref": f"codec://flac/{m}",
+                "bytes": _enc_flac(ch, CODEC_RATE, 16, frames),
+                "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": CODEC_FRAMES * 1000 // CODEC_RATE},
             }
         )
     return rows

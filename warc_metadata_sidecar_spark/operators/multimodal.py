@@ -14,8 +14,11 @@ upsampling, JFIF YCbCr->RGB) — via `decode_pixels`;
 `decode_image(real=True)` derives a deterministic feature vector (dims +
 per-channel means + std) from the actual pixels. `decode_wav` does the
 same for RIFF/WAVE integer PCM (8/16-bit, any channel count) ->
-`decode_audio(real=True)` features (duration/rate/RMS/peak/ZCR). The
-remaining compressed codecs (WebP, arithmetic/12-bit JPEG, MP3/OGG/FLAC) raise
+`decode_audio(real=True)` features (duration/rate/RMS/peak/ZCR), and
+`decode_flac` (r7) decodes REAL FLAC — STREAMINFO + frame walk, all four
+subframe types (CONSTANT/VERBATIM/FIXED/LPC), rice/rice2 residuals with
+escape partitions, wasted bits, stereo decorrelation, CRC-8/16 verified. The
+remaining compressed codecs (WebP, arithmetic/12-bit JPEG, MP3/OGG) raise
 NotImplementedError behind the same seam (PIL/ffmpeg absent from this
 container); `_fake_decode` remains the default-path stand-in so existing
 oracles are unchanged. Swap the NotImplementedError branch for
@@ -1081,6 +1084,283 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray] | None:
     return rate, nch, samples[: frames * nch].reshape(frames, nch)
 
 
+class _FlacBits:
+    """MSB-first bit reader for the FLAC frame layer. Raises on overrun —
+    decode_flac's outer try/except turns any structural damage into None."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes, pos_bits: int = 0) -> None:
+        self.d = d
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        pos, d = self.pos, self.d
+        end = pos + n
+        if end > len(d) * 8:
+            raise EOFError("flac: bitstream overrun")
+        v = 0
+        while n:
+            avail = 8 - (pos & 7)
+            take = avail if avail < n else n
+            v = (v << take) | ((d[pos >> 3] >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and (v >> (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:  # a legal rice quotient is never this long
+                raise ValueError("flac: runaway unary")
+        return q
+
+
+def _crc8(d: bytes) -> int:
+    crc = 0
+    for b in d:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(d: bytes) -> int:
+    crc = 0
+    for b in d:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_utf8_num(br: _FlacBits) -> int:
+    """The frame header's UTF-8-style coded frame/sample number."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("flac: bad coded number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad continuation byte")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(br: _FlacBits, bs: int, order: int) -> list[int]:
+    """Inter-frame residual: rice (method 0, 4-bit params) or rice2
+    (method 1, 5-bit), 2^po partitions, all-ones param escapes to raw
+    n-bit samples."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    out: list[int] = []
+    for part in range(nparts):
+        n = (bs >> po) - (order if part == 0 else 0)
+        if n < 0 or bs % nparts:
+            raise ValueError("flac: bad partition order")
+        p = br.read(pbits)
+        if p == esc:
+            rb = br.read(5)
+            out.extend(br.sread(rb) if rb else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                u = (br.unary() << p) | br.read(p)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+# fixed-predictor coefficients by order (T.172 / flac format §9.2.1)
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(br: _FlacBits, bs: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("flac: bad subframe padding bit")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eb = bps - wasted
+    if eb <= 0:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        s = [br.sread(eb)] * bs
+    elif t == 1:  # VERBATIM
+        s = [br.sread(eb) for _ in range(bs)]
+    elif 8 <= t <= 12 or t >= 32:  # FIXED order 0-4 / LPC order 1-32
+        if t >= 32:
+            order = (t & 31) + 1
+            warm = [br.sread(eb) for _ in range(order)]
+            prec = br.read(4) + 1
+            if prec == 16:
+                raise ValueError("flac: invalid qlp precision")
+            shift = br.sread(5)
+            if shift < 0:
+                raise ValueError("flac: negative qlp shift")
+            coefs = [br.sread(prec) for _ in range(order)]
+        else:
+            order = t - 8
+            warm = [br.sread(eb) for _ in range(order)]
+            shift, coefs = 0, _FLAC_FIXED[order]
+        if order > bs:
+            raise ValueError("flac: predictor order exceeds block")
+        res = _flac_residual(br, bs, order)
+        s = warm
+        for i in range(order, bs):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * s[i - 1 - j]
+            s.append(res[i - order] + (acc >> shift))
+    else:
+        raise ValueError("flac: reserved subframe type")
+    return [v << wasted for v in s] if wasted else s
+
+
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(data: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Native FLAC decode (no external codec): STREAMINFO + frame walk,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, rice and rice2 residuals with
+    escape partitions, wasted bits, and all four channel assignments
+    (independent, left/side, right/side, mid/side). Frame-header CRC-8 and
+    frame CRC-16 are verified, so a bit-flipped stream returns None
+    instead of emitting wrong samples -> (rate, channels,
+    frames x channels float64 in [-1, 1]), or None if not FLAC / corrupt.
+
+    Closes part of the compressed-audio seam the reference reaches through
+    ffmpeg-backed tooling (the sidecar itself never decodes audio; this
+    rides the training-pipeline multimodal surface)."""
+    if len(data) < 42 or data[:4] != b"fLaC":
+        return None
+    try:
+        pos, si, last = 4, None, False
+        while not last:
+            if pos + 4 > len(data):
+                raise ValueError("flac: truncated metadata")
+            b0 = data[pos]
+            last = bool(b0 & 0x80)
+            btype = b0 & 0x7F
+            ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            body = data[pos + 4 : pos + 4 + ln]
+            if btype == 0:
+                if ln != 34:
+                    raise ValueError("flac: bad STREAMINFO length")
+                bits = int.from_bytes(body, "big")
+                # min_bs(16) max_bs(16) min_fs(24) max_fs(24) rate(20)
+                # nch-1(3) bps-1(5) total(36) md5(128)
+                si = (
+                    (bits >> (128 + 36 + 5 + 3)) & 0xFFFFF,   # rate
+                    ((bits >> (128 + 36 + 5)) & 0x7) + 1,     # channels
+                    ((bits >> (128 + 36)) & 0x1F) + 1,        # bps
+                    (bits >> 128) & 0xFFFFFFFFF,              # total samples
+                )
+            pos += 4 + ln
+        if si is None or si[0] == 0:
+            raise ValueError("flac: missing STREAMINFO")
+        si_rate, si_nch, si_bps, total = si
+        br = _FlacBits(data, pos * 8)
+        chans: list[list[int]] = [[] for _ in range(si_nch)]
+        rate = si_rate
+        nbits = len(data) * 8
+        while br.pos + 16 <= nbits and (total == 0 or len(chans[0]) < total):
+            fstart = br.pos >> 3
+            if br.read(14) != 0x3FFE or br.read(1):
+                raise ValueError("flac: lost frame sync")
+            br.read(1)  # blocking strategy: number semantics only
+            bs_code, sr_code = br.read(4), br.read(4)
+            chan, ss_code = br.read(4), br.read(3)
+            if br.read(1):
+                raise ValueError("flac: reserved header bit")
+            _flac_utf8_num(br)
+            if bs_code == 0:
+                raise ValueError("flac: reserved block size")
+            elif bs_code == 1:
+                bs = 192
+            elif bs_code <= 5:
+                bs = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                bs = br.read(8) + 1
+            elif bs_code == 7:
+                bs = br.read(16) + 1
+            else:
+                bs = 256 << (bs_code - 8)
+            if sr_code == 0:
+                rate = si_rate
+            elif sr_code in _FLAC_RATES:
+                rate = _FLAC_RATES[sr_code]
+            elif sr_code == 12:
+                rate = br.read(8) * 1000
+            elif sr_code == 13:
+                rate = br.read(16)
+            elif sr_code == 14:
+                rate = br.read(16) * 10
+            else:
+                raise ValueError("flac: invalid sample rate code")
+            if ss_code not in _FLAC_BPS and ss_code != 0:
+                raise ValueError("flac: reserved sample size")
+            bps = si_bps if ss_code == 0 else _FLAC_BPS[ss_code]
+            hdr_end = br.pos >> 3
+            if _crc8(data[fstart:hdr_end]) != br.read(8):
+                raise ValueError("flac: frame header CRC-8 mismatch")
+            if chan <= 7:
+                nch = chan + 1
+                subs = [_flac_subframe(br, bs, bps) for _ in range(nch)]
+            elif chan <= 10:
+                nch = 2
+                side0 = chan == 9  # right/side stores side first
+                b0_, b1_ = (bps + 1, bps) if side0 else (bps, bps + 1)
+                s0 = _flac_subframe(br, bs, b0_)
+                s1 = _flac_subframe(br, bs, b1_)
+                if chan == 8:  # left/side
+                    subs = [s0, [l - s for l, s in zip(s0, s1)]]
+                elif chan == 9:  # right/side
+                    subs = [[r + s for s, r in zip(s0, s1)], s1]
+                else:  # mid/side
+                    subs = [[], []]
+                    for m, s in zip(s0, s1):
+                        mm = (m << 1) | (s & 1)
+                        subs[0].append((mm + s) >> 1)
+                        subs[1].append((mm - s) >> 1)
+            else:
+                raise ValueError("flac: reserved channel assignment")
+            if nch != si_nch:
+                raise ValueError("flac: channel count changed mid-stream")
+            br.pos = (br.pos + 7) & ~7
+            if _crc16(data[fstart : br.pos >> 3]) != br.read(16):
+                raise ValueError("flac: frame CRC-16 mismatch")
+            for c in range(nch):
+                chans[c].extend(subs[c])
+        if not chans[0]:
+            raise ValueError("flac: no audio frames")
+        n = total if 0 < total <= len(chans[0]) else len(chans[0])
+        x = np.array([c[:n] for c in chans], dtype=np.float64).T
+        return rate, si_nch, x / float(1 << (si_bps - 1))
+    except Exception:
+        return None  # corrupt container: same contract as decode_wav
+
+
 def _audio_features(rate: int, nch: int, x: np.ndarray) -> list[float]:
     """FEATURE_DIM floats from REAL samples: duration, rate, channels,
     RMS, peak, zero-crossing rate, per-channel means — hand-computable."""
@@ -1101,20 +1381,22 @@ def _audio_features(rate: int, nch: int, x: np.ndarray) -> list[float]:
 
 
 def decode_audio(data: bytes, real: bool = False) -> list[float]:
-    """Feature vector for one audio blob. real=True decodes WAV PCM
-    natively; compressed audio (MP3/OGG/FLAC/AAC) raises
+    """Feature vector for one audio blob. real=True decodes WAV PCM and
+    FLAC natively; the remaining compressed codecs (MP3/OGG/AAC) raise
     NotImplementedError (the ffmpeg seam, honestly stubbed)."""
     if real:
         try:
-            wav = decode_wav(data)
+            out = decode_wav(data)
         except Exception:
-            wav = None  # corrupt container: same fallback as undecodable
-        if wav is None:
+            out = None  # corrupt container: same fallback as undecodable
+        if out is None:
+            out = decode_flac(data)
+        if out is None:
             raise NotImplementedError(
-                "compressed-audio decode requires ffmpeg — not in this "
-                "container; WAV PCM decodes natively"
+                "MP3/OGG/AAC decode requires ffmpeg — not in this "
+                "container; WAV PCM and FLAC decode natively"
             )
-        return _audio_features(*wav)
+        return _audio_features(*out)
     return _fake_decode(data)
 
 
