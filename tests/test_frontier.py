@@ -1174,6 +1174,43 @@ def test_extract_hrefs_css_and_script_edges(spark):
     }
 
 
+def test_extract_anchor_texts(spark):
+    """Anchor-text extraction: visible text with inner markup stripped and
+    whitespace collapsed, hrefs through the shared base-tag/RFC 3986
+    resolution (fragments stripped), fragment-only and non-http(s) anchors
+    dropped, image-only anchors yield '' (callers filter), duplicates
+    preserved for counting (distinct=False default)."""
+    from warc_metadata_sidecar_spark.frontier.crawl import extract_anchor_texts
+
+    html = (
+        '<base href="https://b.example.com/x/">'
+        '<a href="a.html">Read <b>more</b>   here</a>'
+        '<a class="z" href="/r#top">Rooted</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="mailto:x@y">mail</a>'
+        '<a href="/img"><img src="i.png"></a>'
+        '<a href="a.html">Read more here</a>'
+    )
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": html, "media_ref": None, "offset": 0}],
+          "https://host.example.com/page.html")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, url string",
+    )
+    got = sorted(
+        (r.url, r.anchor) for r in extract_anchor_texts(docs).collect()
+    )
+    assert got == [
+        ("https://b.example.com/img", ""),
+        ("https://b.example.com/r", "Rooted"),
+        ("https://b.example.com/x/a.html", "Read more here"),
+        ("https://b.example.com/x/a.html", "Read more here"),
+    ]
+    # distinct=True collapses the duplicate pair
+    assert (
+        extract_anchor_texts(docs, distinct=True).count() == 3
+    )
+
+
 def test_sitemap_discovery_module_matches_twin(spark):
     """frontier/robots.extract_sitemaps + extract_sitemap_locs (+ one
     bounded index-resolution level) == the dual-dialect sitemap_discovery

@@ -247,14 +247,32 @@ def extract_hrefs(
                 F.lit(1),
             )
         )
-    base = staged.select(
-        "parent_url",
-        "_base_href",
-        (F.concat(*kind_arrays) if len(kind_arrays) > 1 else kind_arrays[0]).alias("_hrefs"),
+    base = _with_base_cols(
+        staged.select(
+            "parent_url",
+            "_base_href",
+            (F.concat(*kind_arrays) if len(kind_arrays) > 1 else kind_arrays[0]).alias("_hrefs"),
+        )
     )
-    # the effective base URL: <base href> absolute wins, root-relative
-    # rebases onto the document origin, anything else falls back to the
-    # document URL (staged column — the with_surt CSE lesson)
+    links = base.select(
+        "parent_url", "_origin", "_scheme", "_base_url", "_dir",
+        F.explode("_hrefs").alias("_href"),
+        # srcset parsing can yield empty candidates (trailing commas);
+        # an empty href must not resolve to the parent directory itself
+    ).filter(F.length("_href") > 0)
+    links = _resolve_refs(links)
+    # distinct is the public-API contract; the crawl loop passes
+    # distinct=False — rank_round's candidate dedup already collapses by
+    # canonical URL, so the extra exchange per round would be pure waste
+    return links.distinct() if distinct else links
+
+
+def _with_base_cols(base: DataFrame) -> DataFrame:
+    """Stage the resolution-base columns (_base_url/_origin/_scheme/_dir)
+    next to an existing `parent_url`/`_base_href` pair. The effective base
+    URL: <base href> absolute wins, root-relative rebases onto the
+    document origin, anything else falls back to the document URL (staged
+    columns — the with_surt CSE lesson)."""
     doc_origin = F.regexp_extract(
         F.col("parent_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1
     )
@@ -285,12 +303,14 @@ def extract_hrefs(
             F.regexp_replace(F.col("_base_url"), r"[?#].*$", ""), r"[^/]*$", ""
         ),
     ).otherwise(F.concat(F.col("_origin"), F.lit("/")))
-    links = base.select(
-        "parent_url", "_origin", "_scheme", "_base_url", parent_dir.alias("_dir"),
-        F.explode("_hrefs").alias("_href"),
-        # srcset parsing can yield empty candidates (trailing commas);
-        # an empty href must not resolve to the parent directory itself
-    ).filter(F.length("_href") > 0)
+    return base.withColumn("_dir", parent_dir)
+
+
+def _resolve_refs(links: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """RFC 3986 reference resolution over a frame carrying `parent_url`,
+    the _with_base_cols quartet, one `_href` per row, and optional
+    passthrough columns -> (parent_url, url, *extra); other-scheme and
+    unresolvable refs are dropped."""
     href = F.col("_href")
     has_origin = F.length("_origin") > 0
     resolved = (
@@ -318,7 +338,7 @@ def extract_hrefs(
     # otherwise re-evaluate per downstream reference (Catalyst CSE skips
     # conditional branches — the with_surt lesson).
     links = (
-        links.select("parent_url", resolved.alias("_resolved"))
+        links.select("parent_url", *extra, resolved.alias("_resolved"))
         .filter(F.col("_resolved").isNotNull())
         .withColumn(
             "_pref",
@@ -358,13 +378,77 @@ def extract_hrefs(
             ),
         )
     )
-    links = links.select(
-        "parent_url", F.concat("_pref", "_p", "_query").alias("url")
+    return links.select(
+        "parent_url", *extra, F.concat("_pref", "_p", "_query").alias("url")
     ).filter(F.col("url").isNotNull())
-    # distinct is the public-API contract; the crawl loop passes
-    # distinct=False — rank_round's candidate dedup already collapses by
-    # canonical URL, so the extra exchange per round would be pure waste
-    return links.distinct() if distinct else links
+
+
+def extract_anchor_texts(
+    documents: DataFrame, url_col: str = "url", distinct: bool = False
+) -> DataFrame:
+    """(parent_url, url, anchor) for every `<a href>...</a>` element: the
+    href resolves through the SAME base-tag + RFC 3986 pipeline as
+    extract_hrefs; `anchor` is the link's VISIBLE text — inner markup
+    stripped, whitespace runs collapsed, edges trimmed (an image-only
+    anchor yields ''). Anchor text is the classic webgraph signal the
+    reference's ecosystem feeds to indexing/ranking; aggregated per
+    target it also labels documents for training data (query-document
+    pairs). Anchors whose href is fragment-only or non-http(s) scheme
+    drop, like every other discovery surface.
+
+    Scale: pure projection + explode per anchor — no shuffle in the
+    extractor itself; aggregation (groupBy target) is the caller's one
+    exchange, map-side combined."""
+    from warc_metadata_sidecar_spark.operators.sidecar import payload_text_col
+
+    staged = documents.select(
+        F.col(url_col).alias("parent_url"), payload_text_col().alias("_text")
+    ).select(
+        "parent_url",
+        F.regexp_extract(
+            F.col("_text"),
+            r"""(?i)<base\s[^>]*?href\s*=\s*["']([^"'#>]+)""",
+            1,
+        ).alias("_base_href"),
+        F.regexp_replace(F.col("_text"), r"(?i)<base\s[^>]*>", " ").alias("_stripped"),
+    )
+    # whole-element matches (group 0), then per-element href/text pulls;
+    # the value may carry a #fragment (resolution strips it via the same
+    # [^"'#>] class extract_hrefs uses)
+    matches = F.regexp_extract_all(
+        F.col("_stripped"),
+        F.lit(
+            r"""(?is)<a\s[^>]*?href\s*=\s*["'][^"'#>]+(?:#[^"'>]*)?["'][^>]*>.*?</a>"""
+        ),
+        F.lit(0),
+    )
+    rows = staged.select(
+        "parent_url", "_base_href", F.explode(matches).alias("_m")
+    ).select(
+        "parent_url",
+        "_base_href",
+        F.regexp_extract(F.col("_m"), r"""(?is)href\s*=\s*["']([^"'#>]+)""", 1).alias(
+            "_href"
+        ),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract(F.col("_m"), r"(?is)^<a\b[^>]*>(.*)</a>$", 1),
+                    r"(?s)<[^>]*>",
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("anchor"),
+    ).filter(F.length("_href") > 0)
+    out = _resolve_refs(
+        _with_base_cols(rows).select(
+            "parent_url", "_origin", "_scheme", "_base_url", "_dir", "_href", "anchor"
+        ),
+        extra=("anchor",),
+    )
+    return out.distinct() if distinct else out
 
 
 def extract_links(fetched: DataFrame, universe: int) -> DataFrame:
