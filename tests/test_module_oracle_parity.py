@@ -94,6 +94,39 @@ def test_lm_module_matches_twin(spark):
     )
 
 
+def test_stupid_backoff_branches_hand_computed(spark):
+    """operators/lm.stupid_backoff on a tiny hand corpus: each backoff
+    branch's score is checked against arithmetic done by hand —
+    trigram branch c3/c_ctx, bigram branch 0.4*c23/c_u2, unigram floor
+    0.4^2*(c+1)/(N+V) — including the held-out-unseen-word case."""
+    import math
+
+    from warc_metadata_sidecar_spark.operators.lm import stupid_backoff
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat")],
+        "doc_id long, text string",
+    )
+    # N = 9 tokens, V = 6 distinct {the,cat,sat,ran,a,dog}
+    query = spark.createDataFrame(
+        [(10, "the cat sat on mat"), (11, "cat the cat"), (12, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in stupid_backoff(train, query).collect()}
+    # doc 10: (the cat sat) trigram branch 1/2; (cat sat on) + (sat on mat)
+    # fall through to the unigram floor 0.16 * 1 / 15
+    s_floor = 0.4 * 0.4 * 1 / 15
+    exp10 = -(math.log(1 / 2) + 2 * math.log(s_floor)) / 3
+    assert got[10].n_tri == 3
+    assert got[10].nll_per_tok == round(exp10, 4)
+    # doc 11: single position (cat the cat) — trigram unseen, backoff
+    # bigram 'the cat' c=2, unigram 'the' c=2 -> 0.4 * 2/2
+    assert got[11].n_tri == 1
+    assert got[11].nll_per_tok == round(-math.log(0.4), 4)
+    # doc 12: < 3 words -> no trigram positions, dropped
+    assert 12 not in got
+
+
 def test_substring_spans_module_matches_twin(spark):
     """operators/dedup.exact_substring_spans == the dual-dialect
     substring_spans statement on the planted corpus; the planted exact

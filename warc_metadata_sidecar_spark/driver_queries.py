@@ -806,6 +806,58 @@ ORDER BY doc_id
 """
 )
 
+# Stupid-backoff word-trigram LM (Brants et al. 2007): train on doc_id%3=0,
+# score HELD-OUT doc_id%3=1 (exercises all three backoff branches — a
+# self-scored corpus never leaves the trigram branch). S = c3/c_ctx, else
+# 0.4*c23/c_u2, else 0.4^2 * Laplace unigram (keeps held-out scores
+# finite). Module twin: operators/lm.stupid_backoff (single melted join
+# against the vocabulary-scaled model — never broadcast); this SQL twin
+# takes the five explicit LEFT JOINs instead.
+_Q["lm_backoff"] = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' '),
+                             ' +', ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT * FROM norm WHERE length(t) >= 1),
+wst AS (SELECT doc_id, @SPLIT(t, ' ') AS ws FROM nz WHERE doc_id % 3 = 0),
+wsq AS (SELECT doc_id, @SPLIT(t, ' ') AS ws FROM nz WHERE doc_id % 3 = 1),
+uni AS (SELECT @WORDI AS g, CAST(count(*) AS DOUBLE) AS c
+        FROM wst @LATW GROUP BY 1),
+big AS (SELECT @SLICE2 AS g, CAST(count(*) AS DOUBLE) AS c
+        FROM wst @LAT2W WHERE @LEN(ws) >= 2 GROUP BY 1),
+tri AS (SELECT @SLICE3 AS g, CAST(count(*) AS DOUBLE) AS c
+        FROM wst @LAT3 WHERE @LEN(ws) >= 3 GROUP BY 1),
+nv AS (SELECT SUM(c) AS n_tok, CAST(count(*) AS DOUBLE) AS v FROM uni),
+pos AS (
+  SELECT doc_id, @SLICE3 AS k3, @SLICE2 AS kcx, @BI23 AS kb2,
+         @W2 AS ku2, @W3 AS ku3
+  FROM wsq @LAT3
+  WHERE @LEN(ws) >= 3
+),
+hits AS (
+  SELECT p.doc_id, t.c AS c3, cx.c AS ccx, b.c AS c23, u2.c AS cu2, u3.c AS cu3
+  FROM pos p
+  LEFT JOIN tri t ON t.g = p.k3
+  LEFT JOIN big cx ON cx.g = p.kcx
+  LEFT JOIN big b ON b.g = p.kb2
+  LEFT JOIN uni u2 ON u2.g = p.ku2
+  LEFT JOIN uni u3 ON u3.g = p.ku3
+),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN c3 IS NOT NULL THEN c3 / ccx
+              WHEN c23 IS NOT NULL THEN 0.4 * c23 / cu2
+              ELSE 0.4 * 0.4 * (coalesce(cu3, 0) + 1) / (n_tok + v) END AS s
+  FROM hits CROSS JOIN nv
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(round(-SUM(ln(s)) / count(*), 4) AS DOUBLE) AS nll_per_tok
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
 # Gopher repetition filters (Rae et al. 2021 App. A1.1, word-fraction
 # adaptation): most-frequent-2gram share + duplicate-5gram fraction per
 # document, with the paper's drop thresholds. Composable module twin:
@@ -1702,6 +1754,16 @@ def _render_query(name: str, dialect: dict) -> str:
         else:
             sql = sql.replace("@SLICE2", "array_to_string(ws[i:i+1], ' ')")
             sql = sql.replace("@SLICE5", "array_to_string(ws[i:i+4], ' ')")
+    if "@BI23" in sql:
+        # lm_backoff: the trigram position's backoff keys (w2 w3), w2, w3
+        if dialect is SPARK:
+            sql = sql.replace("@BI23", "concat_ws(' ', slice(ws, i + 1, 2))")
+            sql = sql.replace("@W2", "element_at(ws, i + 1)")
+            sql = sql.replace("@W3", "element_at(ws, i + 2)")
+        else:
+            sql = sql.replace("@BI23", "array_to_string(ws[i+1:i+2], ' ')")
+            sql = sql.replace("@W2", "ws[i+1]")
+            sql = sql.replace("@W3", "ws[i+2]")
     if "@SHIFTR" in sql:
         sql = sql.replace("@SHIFTR", dialect["SHIFTRIGHT"].format(v="hv", b="CAST((i - 1) % 4 AS INT)"))
     if "@SHIFTL" in sql:
@@ -3493,6 +3555,23 @@ def anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_backoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE side of lm_backoff: the MODULE's melted single-join scoring
+    (operators/lm.stupid_backoff) against the dual-dialect SQL twin's five
+    explicit LEFT JOINs — train on doc_id%3=0, score held-out doc_id%3=1."""
+    from warc_metadata_sidecar_spark.operators.lm import stupid_backoff
+
+    register_views(spark, sf_dir)
+    train = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0")
+    query = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1")
+    out = stupid_backoff(train, query)
+    return out.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(n_tri AS BIGINT) AS n_tri",
+        "CAST(nll_per_tok AS DOUBLE) AS nll_per_tok",
+    ).orderBy("doc_id")
+
+
 def _anchor_texts_oracle_sql(sf_dir: str | None = None) -> str:
     """Twin of anchor_texts: the same pages' (href, visible text) pairs
     resolved by CPython's urljoin and normalized by an independent
@@ -4056,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["href_resolution"] = href_resolution
     out["href_edge_kinds"] = href_edge_kinds
     out["anchor_texts"] = anchor_texts
+    out["lm_backoff"] = lm_backoff_q
     out["charset_bytes"] = charset_bytes
     out["pack_greedy"] = pack_greedy_docs
     out["ann_pq_top1"] = ann_pq_top1

@@ -25,6 +25,14 @@ scored output (documented; the SQL twin drops them identically).
 
 The dual-dialect SQL twin is driver_queries._Q["lm_perplexity"];
 tests/test_module_oracle_parity.py pins this module to the twin's rows.
+
+r7 adds the WORD-level counterpart: a stupid-backoff trigram LM
+(train_backoff_lm / score_backoff_lm / stupid_backoff — Brants et al.
+2007). Unlike the bounded char model it is vocabulary-scaled, so the
+scoring path never broadcast-hints it: the five per-position lookups
+melt to (role, gram) rows and take one gram-key join. Twin:
+driver_queries._Q["lm_backoff"] (held-out split exercising all three
+backoff branches).
 """
 
 from __future__ import annotations
@@ -133,6 +141,152 @@ def lm_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exactly twice: once to train, once to score."""
     lm = train_char_lm(docs, text_col).cache()
     return score_char_lm(docs, lm, text_col).orderBy("doc_id")
+
+
+def normalize_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + `ws`: the char-LM normalization ([a-z ] squash, space
+    collapse, trim) then a whitespace split. Empty normalized docs drop
+    (split('') would emit a phantom '' token)."""
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", " "), " +", " "
+        )
+    )
+    return (
+        df.select("doc_id", t.alias("t"))
+        .where(F.length("t") >= 1)
+        .select("doc_id", F.split("t", " ").alias("ws"))
+    )
+
+
+def train_backoff_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word n-gram counts for orders 1-3 in ONE corpus scan: each word
+    position emits its unigram plus (bounds permitting) the bigram and
+    trigram starting there — one flatten(transform(...)) generator, one
+    map-side-combined groupBy. The gram string's space count encodes its
+    order, so a single (g, c) table serves all three.
+
+    Unlike the 27-char bigram model (train_char_lm), this model is
+    VOCABULARY-scaled — O(distinct n-grams), billions of rows on web-scale
+    text — so nothing here collects or broadcasts it: scoring joins on the
+    gram key (shuffle, co-partitioned), the standard shape for
+    corpus-sized LM artifacts (cf. Brants et al. 2007, 'Large Language
+    Models in Machine Translation' — distributed stupid backoff)."""
+    base = normalize_words(docs, text_col)
+    grams = base.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(1, size(ws)), i -> concat(
+                  array(element_at(ws, i)),
+                  IF(i + 1 <= size(ws),
+                     array(concat_ws(' ', slice(ws, i, 2))), array()),
+                  IF(i + 2 <= size(ws),
+                     array(concat_ws(' ', slice(ws, i, 3))), array()))))
+                """
+            )
+        ).alias("g")
+    )
+    return grams.groupBy("g").agg(F.count(F.lit(1)).cast("double").alias("c"))
+
+
+def score_backoff_lm(
+    docs: DataFrame, lm: DataFrame, text_col: str = "text", alpha: float = 0.4
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007): per trigram
+    position, S = c3/c_ctx if the trigram is attested, else alpha *
+    c23/c_u2 if the (w2 w3) bigram is, else alpha^2 * Laplace unigram
+    ((c_u3+1)/(N+V) — the floor keeps held-out scores finite where pure
+    stupid backoff emits 0). Returns doc_id, n_tri, nll_per_tok
+    (= -avg ln S, round-4). Docs with < 3 normalized words drop.
+
+    Scale shape: the 5 lookups each position needs (tri, context-bi,
+    backoff-bi, 2 unigrams) MELT to (role, gram) rows and take ONE
+    join against the model on the gram key — never broadcast-HINTED
+    (the model is corpus-vocabulary-sized; the optimizer may still
+    choose broadcast while it fits under the threshold, and past that
+    AQE falls back to the shuffle join this shape is built for) and
+    never five separate joins; a (doc_id, pos) regroup pivots the hits
+    back, then one doc-level aggregation. Every exchange is linear in
+    corpus tokens."""
+    base = normalize_words(docs, text_col).where(F.expr("size(ws) >= 3"))
+    keys = base.select(
+        "doc_id",
+        F.expr("explode(sequence(1, size(ws) - 2))").alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr("concat_ws(' ', slice(ws, i, 3))").alias("k3"),
+        F.expr("concat_ws(' ', slice(ws, i, 2))").alias("kcx"),
+        F.expr("concat_ws(' ', slice(ws, i + 1, 2))").alias("kb2"),
+        F.expr("element_at(ws, i + 1)").alias("ku2"),
+        F.expr("element_at(ws, i + 2)").alias("ku3"),
+    )
+    roles = (("t3", "k3"), ("cx", "kcx"), ("b2", "kb2"), ("u2", "ku2"), ("u3", "ku3"))
+    melted = keys.select(
+        "doc_id",
+        "i",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("role"), F.col(k).alias("g"))
+                    for r, k in roles
+                ]
+            )
+        ).alias("kv"),
+    ).select("doc_id", "i", F.col("kv.role").alias("role"), F.col("kv.g").alias("g"))
+    per_pos = (
+        melted.join(lm, "g", "left")
+        .groupBy("doc_id", "i")
+        .agg(
+            *[
+                F.max(F.when(F.col("role") == r, F.col("c"))).alias(f"c_{r}")
+                for r, _ in roles
+            ]
+        )
+    )
+    # N (total tokens) and V (vocabulary) from the model's unigram rows —
+    # a 1-row aggregate, the only broadcast-sized artifact here
+    nv = lm.where(~F.col("g").contains(" ")).agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    s = (
+        F.when(F.col("c_t3").isNotNull(), F.col("c_t3") / F.col("c_cx"))
+        .when(
+            F.col("c_b2").isNotNull(),
+            F.lit(alpha) * F.col("c_b2") / F.col("c_u2"),
+        )
+        .otherwise(
+            F.lit(alpha)
+            * F.lit(alpha)
+            * (F.coalesce(F.col("c_u3"), F.lit(0.0)) + 1)
+            / (F.col("n_tok") + F.col("v"))
+        )
+    )
+    return (
+        per_pos.crossJoin(F.broadcast(nv))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.round(-F.sum(F.log("s")) / F.count(F.lit(1)), 4).alias("nll_per_tok"),
+        )
+    )
+
+
+def stupid_backoff(
+    train_docs: DataFrame,
+    query_docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Train on one corpus, score another (the held-out arrangement that
+    actually exercises all three backoff branches). The model feeds two
+    consumers (the gram join and the 1-row N/V aggregate), so it is
+    persisted once; at real scale it would be a written table."""
+    lm = train_backoff_lm(train_docs, text_col).persist()
+    return score_backoff_lm(query_docs, lm, text_col, alpha).orderBy("doc_id")
 
 
 def perplexity_buckets(
