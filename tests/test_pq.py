@@ -141,3 +141,40 @@ def test_zero_vector_never_wins_top1(spark):
     # the zero query's own sims are the -1.0 sentinel, not NaN
     if 2 in got:
         assert got[2]["sim"] == -1.0
+
+
+def test_sq_roundtrip_error_bound_and_codes(spark):
+    """Scalar int8 quantization: every code is in [0, 255], the
+    reconstruction error respects the affine bound max_d(scale_d)/2
+    (+ round-6 slack), a constant dimension round-trips EXACTLY (scale-1
+    convention, code 0), and dequantization recovers endpoints exactly."""
+    from warc_metadata_sidecar_spark.operators.pq import (
+        sq_encode,
+        sq_roundtrip,
+        sq_scales,
+        sq_train,
+    )
+
+    rows = [
+        (0, [0.0, -5.0, 7.5, 3.25]),
+        (1, [255.0, 5.0, 7.5, -1.5]),
+        (2, [128.0, 0.0, 7.5, 0.75]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    mins, maxs = sq_train(emb, dims=4)
+    assert mins == [0.0, -5.0, 7.5, -1.5] and maxs == [255.0, 5.0, 7.5, 3.25]
+    scales = sq_scales(mins, maxs)
+    assert scales[2] == 1.0  # constant dim convention
+    enc = {r["vec_id"]: r["codes"] for r in sq_encode(emb, mins, maxs).collect()}
+    for codes in enc.values():
+        assert all(0 <= c <= 255 for c in codes)
+    # endpoints land exactly on codes 0 / 255; dim0 step is exactly 1.0
+    assert enc[0][0] == 0 and enc[1][0] == 255 and enc[2][0] == 128
+    assert enc[0][2] == enc[1][2] == 0  # constant dim -> code 0
+    out = {r["vec_id"]: r for r in sq_roundtrip(emb, dims=4).collect()}
+    bound = max(s for s in sq_scales(mins, maxs)) / 2 + 1e-6
+    for r in out.values():
+        assert r["max_abs_err"] <= bound
+    # constant dim contributes zero error; endpoint vectors reconstruct
+    # dim0 exactly, so vector 0's error comes only from dims 1/3
+    assert out[2]["max_abs_err"] <= max(scales[1], scales[3]) / 2 + 1e-6

@@ -1595,6 +1595,34 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / s.n_sh, 6) >= 0.5
 ORDER BY id_a, id_b
 """
 
+# Scalar int8 embedding quantization (FAISS-SQ-style, r7): per-dim affine
+# codes q_d = clamp(round((v_d - min_d)/scale_d), 0, 255) with a
+# reconstruction audit. Module twin: operators/pq.sq_roundtrip (params as
+# literals, one projection after a 1-row train agg); this SQL computes the
+# identical arithmetic with the params as joined CTE rows instead.
+_Q["embedding_sq"] = """
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+vals AS (
+  SELECT vec_id, i, CAST(@VECI AS DOUBLE) AS x
+  FROM emb @LATV
+),
+dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY i),
+params AS (
+  SELECT i, mn, CASE WHEN mx > mn THEN (mx - mn) / 255 ELSE 1.0 END AS sc
+  FROM dims
+),
+q AS (
+  SELECT v.vec_id,
+         GREATEST(0.0, LEAST(255.0, round((v.x - p.mn) / p.sc))) AS q,
+         v.x, p.mn, p.sc
+  FROM vals v JOIN params p ON p.i = v.i
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(SUM(q) AS BIGINT) AS sum_codes,
+       CAST(round(MAX(ABS(mn + q * sc - x)), 6) AS DOUBLE) AS max_abs_err
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
 # Per-doc top-3 tf-idf keywords (r7): weight = tf * ln(N/df), round-4
 # (ln's cross-engine ulp), ties break on the term. Module twin:
 # operators/quality.tfidf_keywords.
@@ -1754,6 +1782,11 @@ def _render_query(name: str, dialect: dict) -> str:
         else:
             sql = sql.replace("@SLICE2", "array_to_string(ws[i:i+1], ' ')")
             sql = sql.replace("@SLICE5", "array_to_string(ws[i:i+4], ' ')")
+    if "@LATV" in sql:
+        # embedding_sq: per-dimension lateral over the vector
+        arrlen = "size(v)" if dialect is SPARK else "len(v)"
+        sql = sql.replace("@LATV", dialect["LAT"](arrlen))
+        sql = sql.replace("@VECI", "element_at(v, i)" if dialect is SPARK else "v[i]")
     if "@BI23" in sql:
         # lm_backoff: the trigram position's backoff keys (w2 w3), w2, w3
         if dialect is SPARK:
@@ -3555,6 +3588,17 @@ def anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_sq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE side of embedding_sq: operators/pq.sq_roundtrip (literal
+    params, single projection) vs the dual-dialect SQL twin's joined-CTE
+    arithmetic."""
+    from warc_metadata_sidecar_spark.operators.pq import sq_roundtrip
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return sq_roundtrip(emb).orderBy("vec_id")
+
+
 def lm_backoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE side of lm_backoff: the MODULE's melted single-join scoring
     (operators/lm.stupid_backoff) against the dual-dialect SQL twin's five
@@ -4136,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["href_edge_kinds"] = href_edge_kinds
     out["anchor_texts"] = anchor_texts
     out["lm_backoff"] = lm_backoff_q
+    out["embedding_sq"] = embedding_sq_q
     out["charset_bytes"] = charset_bytes
     out["pack_greedy"] = pack_greedy_docs
     out["ann_pq_top1"] = ann_pq_top1

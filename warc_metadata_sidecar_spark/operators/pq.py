@@ -323,3 +323,114 @@ def pq_rerank_top1(
         (-F.col("m.nn")).cast("long").alias("neighbor_id"),
         F.col("m.s").alias("sim"),
     )
+
+
+# --- scalar quantization (SQ8) ------------------------------------------------
+# The other compression rung next to PQ: per-dimension affine int8 codes
+# (4x memory over float32, 8x over doubles) with bounded reconstruction
+# error |v - dq(q(v))| <= scale_d / 2. Standard in ANN systems (FAISS
+# ScalarQuantizer) as the cheap-but-accurate tier before PQ's aggressive
+# compression.
+
+
+def sq_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) in ONE aggregate: 2*dims scalar aggs over
+    a single scan, partials combined map-side — the collected row is
+    2*dims doubles (model-sized, the codebook-collect precedent), never
+    row-scaled."""
+    e = _as_double(embeddings, vec_col)
+    row = e.agg(
+        *[
+            F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"mn{i}")
+            for i in range(dims)
+        ],
+        *[
+            F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"mx{i}")
+            for i in range(dims)
+        ],
+    ).first()
+    return (
+        [float(row[f"mn{i}"]) for i in range(dims)],
+        [float(row[f"mx{i}"]) for i in range(dims)],
+    )
+
+
+def sq_scales(mins: list[float], maxs: list[float], bits: int = 8) -> list[float]:
+    """Affine step per dimension; a constant dimension gets step 1.0 so
+    its code is exactly 0 and dequantization returns the constant."""
+    levels = (1 << bits) - 1
+    return [
+        (mx - mn) / levels if mx > mn else 1.0 for mn, mx in zip(mins, maxs)
+    ]
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """input + codes:array<int>: q_d = clamp(round((v_d - min_d) /
+    scale_d), 0, 2^bits - 1) with the trained params embedded as LITERALS
+    (the SRP/PQ trick) — ONE projection, zero shuffle, no UDF. The clamp
+    is FP armor (v inside [min, max] lands inside the range by algebra;
+    out-of-sample vectors saturate like FAISS SQ does)."""
+    levels = (1 << bits) - 1
+    scales = sq_scales(mins, maxs, bits)
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(float(levels)),
+                    F.round(
+                        (F.element_at(v, i + 1) - F.lit(mins[i]))
+                        / F.lit(scales[i])
+                    ),
+                ),
+            ).cast("int")
+            for i in range(len(mins))
+        ]
+    )
+    return embeddings.withColumn("codes", codes)
+
+
+def sq_roundtrip(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    bits: int = 8,
+) -> DataFrame:
+    """Train + encode + per-vector reconstruction audit: (vec_id,
+    sum_codes, max_abs_err) where max_abs_err = max_d |min_d + q_d *
+    scale_d - v_d| — bounded by max_d(scale_d)/2, the property the unit
+    test asserts. Everything after the 1-row train agg is a single
+    projection; the only action is the train collect."""
+    mins, maxs = sq_train(embeddings, id_col, vec_col, dims)
+    scales = sq_scales(mins, maxs, bits)
+    enc = sq_encode(embeddings, mins, maxs, id_col, vec_col, bits)
+    v = F.col(vec_col).cast("array<double>")
+    dq = F.array(
+        *[
+            F.lit(mins[i]) + F.element_at(F.col("codes"), i + 1) * F.lit(scales[i])
+            for i in range(dims)
+        ]
+    )
+    return enc.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("sum_codes"),
+        F.round(
+            F.array_max(F.zip_with(dq, v, lambda a, b: F.abs(a - b))), 6
+        ).alias("max_abs_err"),
+    )
