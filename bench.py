@@ -249,6 +249,10 @@ EXTENDED = [
     "pagerank_hosts",
     "containment_pairs",
     "tfidf_keywords",
+    # r7 session-2 operators
+    "anchor_texts",
+    "lm_backoff",
+    "embedding_sq",
 ]
 
 

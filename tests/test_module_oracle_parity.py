@@ -94,6 +94,40 @@ def test_lm_module_matches_twin(spark):
     )
 
 
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    """operators/quality.compression_ratio: a templated/repeated page
+    compresses far below prose, prose below noise; values equal the same
+    CPython zlib arithmetic computed directly; empty text drops."""
+    import zlib
+
+    from warc_metadata_sidecar_spark.operators.quality import compression_ratio
+
+    rep = "click here to subscribe " * 200
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "violinists rehearse an entirely different passage nearby. "
+    ) * 20
+    import hashlib
+
+    # genuinely high-entropy (hex of chained md5 — a modular formula would
+    # be periodic and compress BELOW prose)
+    noise = "".join(
+        hashlib.md5(bytes([i % 256, i // 256])).hexdigest() for i in range(64)
+    )
+    docs = spark.createDataFrame(
+        [(0, rep), (1, prose), (2, noise), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert 3 not in got  # empty text drops (0/0)
+    for i, t in ((0, rep), (1, prose), (2, noise)):
+        raw = t.encode("utf-8")
+        assert got[i].n_bytes == len(raw)
+        assert got[i].ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[0].ratio < got[1].ratio < got[2].ratio
+    assert got[0].ratio < 0.05  # boilerplate is drastically compressible
+
+
 def test_stupid_backoff_branches_hand_computed(spark):
     """operators/lm.stupid_backoff on a tiny hand corpus: each backoff
     branch's score is checked against arithmetic done by hand —

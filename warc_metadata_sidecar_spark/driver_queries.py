@@ -3599,6 +3599,51 @@ def embedding_sq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_roundtrip(emb).orderBy("vec_id")
 
 
+def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility signal through the ENGINE's Arrow-batched
+    pandas UDF, oracled against a Python twin that calls the same CPython
+    zlib over the same rows (rendered as VALUES — DuckDB has no zlib)."""
+    from warc_metadata_sidecar_spark.operators.quality import compression_ratio
+
+    register_views(spark, sf_dir)
+    docs = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0")
+    return compression_ratio(docs).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(n_bytes AS BIGINT) AS n_bytes",
+        "CAST(ratio AS DOUBLE) AS ratio",
+    ).orderBy("doc_id")
+
+
+def _compression_ratio_oracle_sql(sf_dir: str | None = None) -> str:
+    """Python-zlib twin of compression_ratio rendered as VALUES."""
+    import zlib
+
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 6 = 0 ORDER BY doc_id"
+    ).fetchall()
+    vals = []
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        if not raw:
+            continue  # the engine drops empty text identically
+        vals.append((int(doc_id), len(raw), round(len(zlib.compress(raw, 6)) / len(raw), 6)))
+    values = ",\n    ".join(f"({d}, {n}, {r})" for d, n, r in vals)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(ratio AS DOUBLE) AS ratio
+FROM (VALUES
+    {values}
+) AS t(doc_id, n_bytes, ratio)
+ORDER BY doc_id
+"""
+
+
 def lm_backoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE side of lm_backoff: the MODULE's melted single-join scoring
     (operators/lm.stupid_backoff) against the dual-dialect SQL twin's five
@@ -4181,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["anchor_texts"] = anchor_texts
     out["lm_backoff"] = lm_backoff_q
     out["embedding_sq"] = embedding_sq_q
+    out["compression_ratio"] = compression_ratio_q
     out["charset_bytes"] = charset_bytes
     out["pack_greedy"] = pack_greedy_docs
     out["ann_pq_top1"] = ann_pq_top1
@@ -4230,6 +4276,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["href_edge_kinds"] = _href_edge_kinds_oracle_sql()
     # anchor-text aggregation vs urljoin + independent Python normalization
     oracles["anchor_texts"] = _anchor_texts_oracle_sql()
+    # engine pandas-UDF zlib signal vs the same CPython zlib as VALUES
+    oracles["compression_ratio"] = _compression_ratio_oracle_sql()
     # raw-bytes charset ladder vs ground-truth labels (the codec each
     # fixture was ENCODED with — no detection logic on the oracle side)
     oracles["charset_bytes"] = _charset_bytes_oracle_sql()

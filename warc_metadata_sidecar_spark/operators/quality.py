@@ -28,6 +28,8 @@ pins this module to the twin's rows.
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf resolves 'pd.Series' hints here
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -380,4 +382,43 @@ def tfidf_keywords(
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "weight", "rnk")
+    )
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text", level: int = 6) -> DataFrame:
+    """zlib-compressibility quality signal (doc_id, n_bytes, ratio =
+    deflate_bytes / utf8_bytes, round-6): highly templated/repetitive
+    pages compress far below prose — the 'compression ratio' member of
+    the Dolma/RedPajama-v2 signal family, run alongside the Gopher and
+    LM gates. Low ratio => repetitive (candidate drop), ~1 => high-
+    entropy/binary-ish.
+
+    zlib is not expressible in native Spark SQL, so this is an honest
+    Arrow-batched pandas UDF (the sanctioned slow path — one Python
+    worker per partition streaming batches, never per-row
+    serialization); everything around it (byte length, ratio, filter)
+    stays JVM-side. Empty-text rows drop (0/0). Deterministic: zlib's
+    output is fixed for a given (input, level) and library build, and
+    the oracle twin calls the SAME CPython zlib when rendering its
+    VALUES, so the comparison never depends on cross-library byte
+    equality."""
+
+    @F.pandas_udf("long")
+    def _dlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        lvl = level
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lvl))
+        ).astype("int64")
+
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
+    ).where(F.col("n_bytes") > 0)
+    return staged.select(
+        "doc_id",
+        "n_bytes",
+        F.round(_dlen(F.col("_t")) / F.col("n_bytes"), 6).alias("ratio"),
     )
