@@ -856,6 +856,18 @@ def codec_rows() -> list[dict]:
                 "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": CODEC_FRAMES * 1000 // CODEC_RATE},
             }
         )
+    for m in (16, 17):
+        # WebP lossless (VP8L) over the SAME closed-form raster as the
+        # PNG/BMP rows — m=17 additionally routes through SUBTRACT_GREEN
+        rows.append(
+            {
+                "media_ref": f"codec://webp/{m}",
+                "bytes": _enc_webp_pixels(
+                    CODEC_W, CODEC_H, _rgb_raster(m), subtract_green=(m == 17)
+                ),
+                "meta": {"media_type": "image", "width": CODEC_W, "height": CODEC_H, "duration_ms": None},
+            }
+        )
     return rows
 
 
@@ -924,3 +936,276 @@ def robots(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
     """Synthetic robots table: deterministic per-host budget + a disallowed
     prefix for every 7th host (exercises deny), varying budgets (1..4)."""
     return spark.createDataFrame(robots_rows(n_hosts), schema.ROBOTS)
+
+
+# --- WebP-lossless (VP8L) fixture encoder ------------------------------------
+# Spec-conformant bitstream writer exercising every decoder path: simple
+# and normal prefix codes, color cache, LZ77 (absolute distance codes),
+# meta prefix codes, and all four transforms. Lossless by construction —
+# decode tests assert pixel identity with the source raster.
+
+
+class _VW:
+    """LSB-first bit writer (+ MSB-first code writer) for VP8L."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, n: int) -> None:  # value bits, LSB-first
+        self.acc |= (v & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, c: int, n: int) -> None:  # prefix code, MSB-first
+        for k in range(n - 1, -1, -1):
+            self.w((c >> k) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.n:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+def _vp8l_lengths(freqs: dict[int, int], cap: int) -> dict[int, int]:
+    """Huffman code lengths from frequencies, capped at `cap`; falls back
+    to the balanced complete code if the tree exceeds the cap."""
+    import heapq
+    import itertools
+
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    tie = itertools.count()
+    heap = [(f, next(tie), (s,)) for s, f in sorted(freqs.items())]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for s in syms}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, next(tie), g1 + g2))
+    if max(depth.values()) <= cap:
+        return depth
+    # balanced complete fallback: n_short symbols at L-1, rest at L
+    k = len(syms)
+    lng = (k - 1).bit_length()
+    n_short = (1 << lng) - k
+    return {
+        s: (lng - 1 if i < n_short else lng) for i, s in enumerate(syms)
+    }
+
+
+def _vp8l_canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits), canonical RFC 1951 assignment."""
+    code = 0
+    out: dict[int, tuple[int, int]] = {}
+    prev_len = 0
+    for l, s in sorted((l, s) for s, l in lengths.items()):
+        code <<= l - prev_len
+        out[s] = (code, l)
+        code += 1
+        prev_len = l
+    return out
+
+
+def _vp8l_write_code(
+    bw: _VW, lengths: dict[int, int], alphabet: int
+) -> dict[int, tuple[int, int]]:
+    """Emit one prefix code (simple when <=2 symbols, else the full
+    code-length-code path with all 19 CL lengths and no max_symbol cap)."""
+    syms = sorted(lengths)
+    if len(syms) <= 2:
+        bw.w(1, 1)  # simple
+        bw.w(len(syms) - 1, 1)
+        s0 = syms[0]
+        if s0 <= 1:
+            bw.w(0, 1)
+            bw.w(s0, 1)
+        else:
+            bw.w(1, 1)
+            bw.w(s0, 8)
+        if len(syms) == 2:
+            bw.w(syms[1], 8)
+        if len(syms) == 1:
+            return {syms[0]: (0, 0)}
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    bw.w(0, 1)  # normal
+    seq = [lengths.get(s, 0) for s in range(alphabet)]
+    clf: dict[int, int] = {}
+    for v in seq:
+        clf[v] = clf.get(v, 0) + 1
+    cl_lengths = _vp8l_lengths(clf, 7)
+    order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    bw.w(15, 4)  # num_codes = 19
+    for s in order:
+        bw.w(cl_lengths.get(s, 0), 3)
+    bw.w(0, 1)  # no max_symbol cap: all `alphabet` lengths follow
+    cl_codes = _vp8l_canonical(cl_lengths)
+    if len(cl_codes) == 1:
+        cl_codes = {next(iter(cl_codes)): (0, 0)}  # single: zero bits
+    for v in seq:
+        c, n = cl_codes[v]
+        bw.code(c, n)
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_write_image(bw: _VW, w: int, h: int, tokens, cache_bits: int = 0,
+                      groups_of=None, meta_bits: int = 0, level0: bool = False) -> None:
+    """One spatially-coded image from a token stream. tokens: list of
+    ('lit', argb) / ('copy', length, dist_code) / ('cache', idx).
+    groups_of(x, y) -> group id enables meta prefix codes (level0 only)."""
+    bw.w(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.w(cache_bits, 4)
+    n_groups = 1
+    if level0:
+        if groups_of is not None:
+            bw.w(1, 1)
+            bw.w(meta_bits - 2, 3)
+            hw = (w + (1 << meta_bits) - 1) >> meta_bits
+            hh = (h + (1 << meta_bits) - 1) >> meta_bits
+            hpix = [
+                ("lit", 0xFF000000 | (groups_of(hx << meta_bits, hy << meta_bits) << 8))
+                for hy in range(hh)
+                for hx in range(hw)
+            ]
+            _vp8l_write_image(bw, hw, hh, hpix)
+            n_groups = max(
+                groups_of(hx << meta_bits, hy << meta_bits)
+                for hy in range(hh)
+                for hx in range(hw)
+            ) + 1
+        else:
+            bw.w(0, 1)
+    # token -> per-group symbol frequencies
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    galpha = 256 + 24 + cache_size
+
+    def gid(pos_x, pos_y):
+        return groups_of(pos_x, pos_y) if groups_of is not None else 0
+
+    freqs = [
+        [dict() for _ in range(5)] for _ in range(n_groups)
+    ]  # g, r, b, a, d
+
+    def bump(g, which, sym):
+        f = freqs[g][which]
+        f[sym] = f.get(sym, 0) + 1
+
+    def len_to_prefix(v):
+        # inverse of _prefix_value: find (code, extra_bits, extra_val)
+        if v <= 4:
+            return v - 1, 0, 0
+        nbits = (v - 1).bit_length() - 1
+        rest = v - 1 - (1 << nbits)
+        if rest < (1 << (nbits - 1)):
+            return 2 * nbits, nbits - 1, rest
+        return 2 * nbits + 1, nbits - 1, rest - (1 << (nbits - 1))
+
+    pos = 0
+    for tok in tokens:
+        x, y = pos % w, pos // w
+        g = gid(x, y)
+        if tok[0] == "lit":
+            px = tok[1]
+            bump(g, 0, (px >> 8) & 0xFF)
+            bump(g, 1, (px >> 16) & 0xFF)
+            bump(g, 2, px & 0xFF)
+            bump(g, 3, (px >> 24) & 0xFF)
+            pos += 1
+        elif tok[0] == "copy":
+            lcode, _, _ = len_to_prefix(tok[1])
+            dcode, _, _ = len_to_prefix(tok[2])
+            bump(g, 0, 256 + lcode)
+            bump(g, 4, dcode)
+            pos += tok[1]
+        else:
+            bump(g, 0, 280 + tok[1])
+            pos += 1
+    assert pos == w * h, f"tokens cover {pos} != {w * h}"
+    codes = []
+    for g in range(n_groups):
+        cg = []
+        for which, alpha in ((0, galpha), (1, 256), (2, 256), (3, 256), (4, 40)):
+            f = freqs[g][which] or {0: 1}  # unused code: 1-symbol placeholder
+            cg.append(
+                _vp8l_write_code(bw, _vp8l_lengths(f, 15), alpha)
+            )
+        codes.append(cg)
+    pos = 0
+    for tok in tokens:
+        x, y = pos % w, pos // w
+        cg = codes[gid(x, y)]
+        if tok[0] == "lit":
+            px = tok[1]
+            bw.code(*cg[0][(px >> 8) & 0xFF])
+            bw.code(*cg[1][(px >> 16) & 0xFF])
+            bw.code(*cg[2][px & 0xFF])
+            bw.code(*cg[3][(px >> 24) & 0xFF])
+            pos += 1
+        elif tok[0] == "copy":
+            lcode, lx, lv = len_to_prefix(tok[1])
+            bw.code(*cg[0][256 + lcode])
+            bw.w(lv, lx)
+            dcode, dx, dv = len_to_prefix(tok[2])
+            bw.code(*cg[4][dcode])
+            bw.w(dv, dx)
+            pos += tok[1]
+        else:
+            bw.code(*cg[0][280 + tok[1]])
+            pos += 1
+
+
+def _enc_webp_pixels(
+    w: int,
+    h: int,
+    rgb,
+    subtract_green: bool = False,
+    tokens_fn=None,
+    cache_bits: int = 0,
+    transforms_extra=None,
+) -> bytes:
+    """RIFF/VP8L bytes for an HxW list-of-rows of (r, g, b). Default is
+    an all-literals stream; subtract_green applies that transform;
+    tokens_fn(argb_list) -> token list lets tests inject LZ77/cache
+    tokens; transforms_extra(bw, argb) -> argb may write predictor /
+    color / palette transform data and return the transformed stream."""
+    import struct as st
+
+    argb = [
+        0xFF000000 | (r << 16) | (g << 8) | b for row in rgb for (r, g, b) in row
+    ]
+    bw = _VW()
+    bw.w(w - 1, 14)
+    bw.w(h - 1, 14)
+    bw.w(0, 1)  # alpha hint
+    bw.w(0, 3)  # version
+    eff_w = w
+    if transforms_extra is not None:
+        argb, eff_w = transforms_extra(bw, argb)
+    if subtract_green:
+        bw.w(1, 1)
+        bw.w(2, 2)  # SUBTRACT_GREEN
+        argb = [
+            (px & 0xFF00FF00)
+            | ((((px >> 16) & 0xFF) - ((px >> 8) & 0xFF)) & 0xFF) << 16
+            | ((px & 0xFF) - ((px >> 8) & 0xFF)) & 0xFF
+            for px in argb
+        ]
+    bw.w(0, 1)  # end of transforms
+    tokens = (
+        tokens_fn(argb) if tokens_fn is not None else [("lit", px) for px in argb]
+    )
+    _vp8l_write_image(bw, eff_w, h, tokens, cache_bits=cache_bits, level0=True)
+    body = b"\x2f" + bw.bytes()
+    if len(body) & 1:
+        body += b"\x00"
+    chunk = b"VP8L" + st.pack("<I", len(body)) + body
+    return b"RIFF" + st.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

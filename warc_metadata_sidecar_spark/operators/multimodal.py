@@ -6,11 +6,14 @@ third-party dependency — BMP (BI_RGB 24/32-bit), netpbm (P2/P3/P5/P6),
 TGA (type-2 truecolor), PNG (8-bit gray/RGB/palette/alpha via stdlib
 zlib — a genuine DEFLATE-compressed decode), GIF (87a/89a first
 frame via a pure-Python LZW inflater, interlace + local color tables),
-and JPEG — baseline (SOF0/SOF1), progressive (SOF2, spectral selection +
+JPEG — baseline (SOF0/SOF1), progressive (SOF2, spectral selection +
 successive approximation, r7), and Adobe CMYK/YCCK 4-component (r7) —
 (canonical-Huffman entropy decode,
 restart intervals, dequant + zigzag + numpy IDCT, chroma box
-upsampling, JFIF YCbCr->RGB) — via `decode_pixels`;
+upsampling, JFIF YCbCr->RGB), and WebP LOSSLESS (r7b: the full VP8L
+bitstream — simple/normal prefix codes, meta prefix codes, color cache,
+LZ77 with the 2D distance neighborhood, and all four transforms;
+operators/webp.py) — via `decode_pixels`;
 `decode_image(real=True)` derives a deterministic feature vector (dims +
 per-channel means + std) from the actual pixels. `decode_wav` does the
 same for RIFF/WAVE integer PCM (8/16-bit, any channel count) ->
@@ -18,7 +21,7 @@ same for RIFF/WAVE integer PCM (8/16-bit, any channel count) ->
 `decode_flac` (r7) decodes REAL FLAC — STREAMINFO + frame walk, all four
 subframe types (CONSTANT/VERBATIM/FIXED/LPC), rice/rice2 residuals with
 escape partitions, wasted bits, stereo decorrelation, CRC-8/16 verified. The
-remaining compressed codecs (WebP, arithmetic/12-bit JPEG, MP3/OGG) raise
+remaining compressed codecs (lossy VP8, arithmetic/12-bit JPEG, MP3/OGG) raise
 NotImplementedError behind the same seam (PIL/ffmpeg absent from this
 container); `_fake_decode` remains the default-path stand-in so existing
 oracles are unchanged. Swap the NotImplementedError branch for
@@ -1041,7 +1044,12 @@ def decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     palette size, malformed LZW/DEFLATE stream) returns None rather than
     raising — at corpus scale corrupt payloads are a certainty and must
     not kill the Spark task they ride in."""
-    for dec in (_decode_png, _decode_gif, _decode_jpeg, _decode_bmp, _decode_netpbm, _decode_tga):
+    from warc_metadata_sidecar_spark.operators.webp import decode_webp_lossless
+
+    for dec in (
+        _decode_png, _decode_gif, _decode_jpeg, _decode_bmp, _decode_netpbm,
+        _decode_tga, decode_webp_lossless,
+    ):
         try:
             out = dec(data)
         except Exception:
@@ -1428,9 +1436,9 @@ def decode_image(data: bytes, real: bool = False) -> list[float]:
         px = decode_pixels(data)
         if px is None:
             raise NotImplementedError(
-                "WebP/arithmetic-JPEG decode requires PIL/torchvision — not "
-                "in this container; JPEG/PNG/GIF/BMP/netpbm/TGA decode "
-                "natively"
+                "lossy-WebP/arithmetic-JPEG decode requires PIL/torchvision "
+                "— not in this container; JPEG/PNG/GIF/BMP/netpbm/TGA and "
+                "lossless WebP (VP8L) decode natively"
             )
         w, h, _, img = px
         return _pixel_features(w, h, img)

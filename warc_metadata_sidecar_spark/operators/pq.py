@@ -384,21 +384,28 @@ def sq_encode(
     out-of-sample vectors saturate like FAISS SQ does)."""
     levels = (1 << bits) - 1
     scales = sq_scales(mins, maxs, bits)
-    v = F.col(vec_col).cast("array<double>")
-    codes = F.array(
-        *[
-            F.greatest(
-                F.lit(0.0),
-                F.least(
-                    F.lit(float(levels)),
-                    F.round(
-                        (F.element_at(v, i + 1) - F.lit(mins[i]))
-                        / F.lit(scales[i])
-                    ),
+    # SINGLE-PASS shape (an O(dims^2) trap lives here): building the codes
+    # as F.array(*[expr_i(vec)]) lets CollapseProject inline the vector
+    # cast — and any alias of the array — into EVERY element reference,
+    # re-evaluating O(dims) work per element (measured 8x wall at 10x rows
+    # before this rewrite). zip_with evaluates each array child exactly
+    # once, and the per-dim params ride as CONSTANT-FOLDED literal arrays
+    # with O(1) element_at.
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    pos = F.sequence(F.lit(1), F.lit(len(mins)))
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        pos,
+        lambda x, i: F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(float(levels)),
+                F.round(
+                    (x - F.element_at(mins_arr, i)) / F.element_at(scales_arr, i)
                 ),
-            ).cast("int")
-            for i in range(len(mins))
-        ]
+            ),
+        ).cast("int"),
     )
     return embeddings.withColumn("codes", codes)
 
@@ -418,12 +425,15 @@ def sq_roundtrip(
     mins, maxs = sq_train(embeddings, id_col, vec_col, dims)
     scales = sq_scales(mins, maxs, bits)
     enc = sq_encode(embeddings, mins, maxs, id_col, vec_col, bits)
-    v = F.col(vec_col).cast("array<double>")
-    dq = F.array(
-        *[
-            F.lit(mins[i]) + F.element_at(F.col("codes"), i + 1) * F.lit(scales[i])
-            for i in range(dims)
-        ]
+    # dq built by zip_with(codes, positions) — codes referenced ONCE, so
+    # CollapseProject inlining its zip_with costs O(dims), never O(dims^2)
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    pos = F.sequence(F.lit(1), F.lit(dims))
+    dq = F.zip_with(
+        F.col("codes"),
+        pos,
+        lambda q, i: F.element_at(mins_arr, i) + q * F.element_at(scales_arr, i),
     )
     return enc.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -431,6 +441,13 @@ def sq_roundtrip(
             F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
         ).alias("sum_codes"),
         F.round(
-            F.array_max(F.zip_with(dq, v, lambda a, b: F.abs(a - b))), 6
+            F.array_max(
+                F.zip_with(
+                    dq,
+                    F.col(vec_col).cast("array<double>"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ),
+            6,
         ).alias("max_abs_err"),
     )
