@@ -3313,6 +3313,148 @@ FROM media ORDER BY media_ref
 """
 
 
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashes (dHash + aHash, four 16-bit bands each) through
+    the ENGINE path: gen.phash_rows() encodes ten closed-form 36x32
+    rasters (gen.phash_pixel) through four REAL lossless encoders
+    (BMP/P6/PNG/TGA); operators/phash.image_hashes decodes them back
+    inside mapInPandas and hashes the pixels with integer-only
+    arithmetic. The DuckDB oracle never touches a blob: it rebuilds every
+    band value straight from the closed-form raster (generate_series +
+    modular arithmetic, floor box binning, cross-multiplied mean
+    compares) — decode(encode(x)) hashes == arithmetic(x)."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.phash import image_hashes
+
+    return image_hashes(gen.phash_media(spark)).orderBy("media_ref")
+
+
+def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup pairs via the banded equi-join (no all-pairs
+    compare). max_hamming=3 < 4 bands makes the candidate set pigeonhole-
+    EXACT, so the DuckDB oracle states the stronger brute-force claim:
+    all pairs with xor-popcount <= 3 over the closed-form hashes — the
+    banded plan must find exactly them. The fixtures plant five twin
+    pairs at distance 0-2; distinct bases sit at >=23."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.phash import image_hashes, neardup_pairs
+
+    pairs = neardup_pairs(image_hashes(gen.phash_media(spark)), max_hamming=3)
+    return pairs.orderBy("ref_a", "ref_b")
+
+
+def _image_phash_oracle_cte() -> str:
+    """Shared DuckDB CTE chain: closed-form raster -> integer grayscale ->
+    floor-binned box sums -> cross-multiplied bit compares -> four
+    little-endian 16-bit bands per hash, pivoted to one row per image.
+    Mirrors operators/phash.py bit for bit (all-integer arithmetic)."""
+    from warc_metadata_sidecar_spark import gen
+
+    refs = ",\n    ".join(
+        f"({i}, '{r['media_ref']}')" for i, r in enumerate(gen.phash_rows())
+    )
+    w, h = gen.PHASH_W, gen.PHASH_H
+    return f"""
+WITH refs(m, media_ref) AS (VALUES
+    {refs}
+),
+px AS (
+    SELECT mm.m, yy.y, xx.x, cc.c,
+           ((mm.m % 5) * 53 + ((mm.m % 5) + 2) * (yy.y*13 + xx.x*7)
+            + yy.y*yy.y*11 + xx.x*xx.x*5 + cc.c*29
+            + CASE WHEN mm.m >= 5 AND yy.y < 4 AND xx.x < 12 THEN 128 ELSE 0 END
+           ) % 256 AS v
+    FROM generate_series(0, 9) mm(m),
+         generate_series(0, {h - 1}) yy(y),
+         generate_series(0, {w - 1}) xx(x),
+         generate_series(0, 2) cc(c)
+),
+gray AS (
+    SELECT m, y, x,
+           SUM(CASE c WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v ELSE 114 * v END) AS g
+    FROM px GROUP BY m, y, x
+),
+b9 AS (
+    SELECT m, (y * 8) // {h} AS r, (x * 9) // {w} AS c,
+           SUM(g) AS s, COUNT(*) AS n
+    FROM gray GROUP BY 1, 2, 3
+),
+dbit AS (
+    SELECT m, r, c, CASE WHEN s_next * n > s * n_next THEN 1 ELSE 0 END AS bit
+    FROM (SELECT m, r, c, s, n,
+                 LEAD(s) OVER w AS s_next, LEAD(n) OVER w AS n_next
+          FROM b9 WINDOW w AS (PARTITION BY m, r ORDER BY c))
+    WHERE c < 8
+),
+b8 AS (
+    SELECT m, (y * 8) // {h} AS r, (x * 8) // {w} AS c,
+           SUM(g) AS s, COUNT(*) AS n
+    FROM gray GROUP BY 1, 2, 3
+),
+tot AS (SELECT m, SUM(s) AS ts, SUM(n) AS tn FROM b8 GROUP BY m),
+abit AS (
+    SELECT b8.m, r, c, CASE WHEN s * tn > ts * n THEN 1 ELSE 0 END AS bit
+    FROM b8 JOIN tot ON b8.m = tot.m
+),
+dband AS (
+    SELECT m, (r*8 + c) // 16 AS j,
+           SUM(bit * (1 << ((r*8 + c) % 16))) AS bv
+    FROM dbit GROUP BY 1, 2
+),
+aband AS (
+    SELECT m, (r*8 + c) // 16 AS j,
+           SUM(bit * (1 << ((r*8 + c) % 16))) AS bv
+    FROM abit GROUP BY 1, 2
+),
+hashes AS (
+    SELECT d.m,
+           CAST(MAX(CASE WHEN d.j = 0 THEN d.bv END) AS BIGINT) AS d0,
+           CAST(MAX(CASE WHEN d.j = 1 THEN d.bv END) AS BIGINT) AS d1,
+           CAST(MAX(CASE WHEN d.j = 2 THEN d.bv END) AS BIGINT) AS d2,
+           CAST(MAX(CASE WHEN d.j = 3 THEN d.bv END) AS BIGINT) AS d3,
+           CAST(MAX(CASE WHEN a.j = 0 THEN a.bv END) AS BIGINT) AS a0,
+           CAST(MAX(CASE WHEN a.j = 1 THEN a.bv END) AS BIGINT) AS a1,
+           CAST(MAX(CASE WHEN a.j = 2 THEN a.bv END) AS BIGINT) AS a2,
+           CAST(MAX(CASE WHEN a.j = 3 THEN a.bv END) AS BIGINT) AS a3
+    FROM dband d JOIN aband a ON d.m = a.m GROUP BY d.m
+)"""
+
+
+def _image_phash_oracle_sql() -> str:
+    from warc_metadata_sidecar_spark import gen
+
+    return (
+        _image_phash_oracle_cte()
+        + f"""
+SELECT refs.media_ref, CAST({gen.PHASH_W} AS BIGINT) AS w,
+       CAST({gen.PHASH_H} AS BIGINT) AS h,
+       d0, d1, d2, d3, a0, a1, a2, a3
+FROM hashes JOIN refs ON hashes.m = refs.m
+ORDER BY media_ref
+"""
+    )
+
+
+def _image_neardup_oracle_sql() -> str:
+    return (
+        _image_phash_oracle_cte()
+        + """
+SELECT LEAST(ra.media_ref, rb.media_ref) AS ref_a,
+       GREATEST(ra.media_ref, rb.media_ref) AS ref_b,
+       CAST(bit_count(xor(h1.d0, h2.d0)) + bit_count(xor(h1.d1, h2.d1))
+          + bit_count(xor(h1.d2, h2.d2)) + bit_count(xor(h1.d3, h2.d3))
+         AS BIGINT) AS hamming
+FROM hashes h1
+JOIN hashes h2 ON h1.m < h2.m
+JOIN refs ra ON ra.m = h1.m
+JOIN refs rb ON rb.m = h2.m
+WHERE bit_count(xor(h1.d0, h2.d0)) + bit_count(xor(h1.d1, h2.d1))
+    + bit_count(xor(h1.d2, h2.d2)) + bit_count(xor(h1.d3, h2.d3)) <= 3
+ORDER BY ref_a, ref_b
+"""
+    )
+
+
 def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB VALUES oracle for crawl_rounds (VERDICT r3 #3): the
     single-threaded pure-Python simulator — an INDEPENDENT implementation
@@ -4231,6 +4373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pack_greedy"] = pack_greedy_docs
     out["ann_pq_top1"] = ann_pq_top1
     out["bpe_token_counts"] = bpe_token_counts_docs
+    out["image_phash"] = image_phash
+    out["image_neardup"] = image_neardup
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4291,4 +4435,9 @@ def oracle_sql() -> dict[str, str]:
     # PageRank over the synthetic host graph vs the bit-exact sequential
     # twin rendered as VALUES (sorted-fold arithmetic on both sides)
     oracles["pagerank_hosts"] = _pagerank_oracle_sql()
+    # decode(encode(raster)) perceptual hashes vs closed-form integer
+    # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
+    # max_hamming < n_bands by pigeonhole)
+    oracles["image_phash"] = _image_phash_oracle_sql()
+    oracles["image_neardup"] = _image_neardup_oracle_sql()
     return oracles

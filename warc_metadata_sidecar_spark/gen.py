@@ -875,6 +875,56 @@ def codec_media(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(codec_rows(), schema.MEDIA)
 
 
+PHASH_W, PHASH_H = 36, 32  # 36 = lcm-friendly for 9 dHash cols (4 px/box)
+
+
+def phash_pixel(m: int, y: int, x: int, c: int) -> int:
+    """Closed-form RGB raster for the perceptual-hash fixtures — also
+    rendered as SQL in the DuckDB oracle. m and m+5 share a base raster
+    (s = m % 5); the m>=5 twin flips a 4x12 top-left patch by +128 mod 256,
+    landing the twins at dHash Hamming 0-2 while distinct bases sit at
+    >=23 of 64 (measured; the quadratic y*y/x*x terms decorrelate bases)."""
+    s = m % 5
+    v = (s * 53 + (s + 2) * (y * 13 + x * 7) + y * y * 11 + x * x * 5 + c * 29) % 256
+    if m >= 5 and y < 4 and x < 12:
+        v = (v + 128) % 256
+    return v
+
+
+def _phash_raster(m: int) -> list[list[tuple[int, int, int]]]:
+    return [
+        [tuple(phash_pixel(m, y, x, c) for c in range(3)) for x in range(PHASH_W)]
+        for y in range(PHASH_H)
+    ]
+
+
+def phash_rows() -> list[dict]:
+    """Ten 36x32 rasters (five bases + five near-dup twins) cycled through
+    four REAL lossless encoders so the hash rides the decode path, not the
+    closed form."""
+    encs = (("bmp", _enc_bmp24), ("p6", _enc_p6), ("png", _enc_png), ("tga", _enc_tga))
+    rows = []
+    for m in range(10):
+        kind, enc = encs[m % len(encs)]
+        rows.append(
+            {
+                "media_ref": f"phash://{kind}/{m}",
+                "bytes": enc(_phash_raster(m)),
+                "meta": {
+                    "media_type": "image",
+                    "width": PHASH_W,
+                    "height": PHASH_H,
+                    "duration_ms": None,
+                },
+            }
+        )
+    return rows
+
+
+def phash_media(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(phash_rows(), schema.MEDIA)
+
+
 def seed_rows(n_seeds: int = 20) -> list[dict]:
     """Pure-Python seed frontier rows (no Spark) — shared by seed_frontier
     and the simulator-backed crawl_rounds oracle."""
