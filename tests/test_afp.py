@@ -1,0 +1,150 @@
+"""Audio fingerprinting (operators/afp.py): engine fingerprints vs an
+independent scalar reference over the closed-form PCM, cross-codec
+(WAV vs lossless FLAC) duplicate detection, banded pairs vs brute force,
+8-bit quantization exactness, and DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import struct
+
+import duckdb
+import pytest
+
+from warc_metadata_sidecar_spark import gen
+from warc_metadata_sidecar_spark.operators.afp import (
+    N_BANDS,
+    audio_fingerprints,
+    audio_neardup_pairs,
+)
+
+
+def _ref_fp(m: int) -> list[int]:
+    """Independent scalar re-derivation (loops, no numpy, no engine)."""
+    w = gen.AFP_FRAMES // 17
+    mono = [
+        gen.afp_sample(m, i, 0) + gen.afp_sample(m, i, 1)
+        for i in range(w * 17)
+    ]
+    e = [[0] * 4 for _ in range(17)]
+    for i, v in enumerate(mono):
+        e[i // w][i % 4] += v * v
+    bits = [
+        1 if e[win + 1][b] > e[win][b] else 0
+        for win in range(16)
+        for b in range(4)
+    ]
+    return [sum(bits[j * 16 + k] << k for k in range(16)) for j in range(N_BANDS)]
+
+
+def _ham(a: list[int], b: list[int]) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+@pytest.fixture(scope="module")
+def fps(spark):
+    rows = audio_fingerprints(gen.afp_media(spark)).collect()
+    return {r["media_ref"]: r for r in rows}
+
+
+def test_engine_fingerprints_match_closed_form_both_codecs(fps):
+    """decode_wav AND decode_flac paths land on the same closed-form
+    bands — the FLAC rows (m=8,9) re-encode bases 0,1 losslessly, so the
+    scalar reference for m covers them too."""
+    assert len(fps) == 10
+    for r in gen.afp_rows():
+        m = int(r["media_ref"].rsplit("/", 1)[1])
+        row = fps[r["media_ref"]]
+        assert [row[f"b{j}"] for j in range(N_BANDS)] == _ref_fp(m), r["media_ref"]
+        assert (row["rate"], row["n_frames"]) == (gen.AFP_RATE, gen.AFP_FRAMES)
+
+
+def test_fixture_distance_geometry():
+    f = {m: _ref_fp(m) for m in range(10)}
+    for m in range(4):
+        assert _ham(f[m], f[m + 4]) == 1  # +900 perturbation = one bit
+    assert _ham(f[8], f[0]) == 0 and _ham(f[9], f[1]) == 0  # cross-codec dup
+    for i in range(10):
+        for j in range(i + 1, 10):
+            if (i % 4) != (j % 4):
+                assert _ham(f[i], f[j]) >= 20
+
+
+def test_neardup_pairs_match_brute_force(spark, fps):
+    got = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in audio_neardup_pairs(
+            audio_fingerprints(gen.afp_media(spark)), max_hamming=3
+        ).collect()
+    }
+    refs = sorted(fps)
+    want = {}
+    for i, ra in enumerate(refs):
+        for rb in refs[i + 1 :]:
+            hm = _ham(
+                [fps[ra][f"b{j}"] for j in range(N_BANDS)],
+                [fps[rb][f"b{j}"] for j in range(N_BANDS)],
+            )
+            if hm <= 3:
+                want[(ra, rb)] = hm
+    assert got == want
+    assert len(got) == 8  # 4 twins + 2 cross-codec dups + 2 derived
+
+
+def test_short_and_undecodable_blobs_yield_null_rows(spark):
+    from warc_metadata_sidecar_spark import schema
+
+    short = gen._enc_wav_pcm([[100] * 5, [200] * 5], 8000)  # 5 < 17 frames
+    rows = [
+        {"media_ref": "afp://short/0", "bytes": short,
+         "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": 1}},
+        {"media_ref": "afp://junk/1", "bytes": b"not audio at all",
+         "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": 1}},
+    ]
+    out = audio_fingerprints(
+        spark.createDataFrame(rows, schema.MEDIA)
+    ).collect()
+    assert len(out) == 2
+    assert all(r["b0"] is None for r in out)
+
+
+def test_8bit_wav_quantizes_exactly_to_16bit_twin(spark):
+    """(s-128)/128 * 32768 == (s-128)*256 exactly — the 8-bit decode path
+    must fingerprint identically to the 16-bit stream holding those
+    values."""
+    from warc_metadata_sidecar_spark import schema
+
+    n = 34  # two frames per window
+    vals8 = [(i * 29 + 7) % 256 for i in range(n)]
+    pcm8 = bytes(vals8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm8)) + pcm8
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    wav16 = gen._enc_wav_pcm([[(v - 128) * 256 for v in vals8]], 8000)
+    rows = [
+        {"media_ref": "afp://8bit/0", "bytes": wav8,
+         "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": 4}},
+        {"media_ref": "afp://16bit/0", "bytes": wav16,
+         "meta": {"media_type": "audio", "width": None, "height": None, "duration_ms": 4}},
+    ]
+    out = {
+        r["media_ref"]: [r[f"b{j}"] for j in range(N_BANDS)]
+        for r in audio_fingerprints(
+            spark.createDataFrame(rows, schema.MEDIA)
+        ).collect()
+    }
+    assert out["afp://8bit/0"] == out["afp://16bit/0"]
+    assert out["afp://8bit/0"][0] is not None
+
+
+def test_duckdb_oracle_parity():
+    from warc_metadata_sidecar_spark import driver_queries as dq
+
+    con = duckdb.connect()
+    odf = con.sql(dq.oracle_sql()["audio_fp"]).df()
+    assert len(odf) == 10
+    for _, row in odf.iterrows():
+        m = int(row["media_ref"].rsplit("/", 1)[1])
+        assert [row[f"b{j}"] for j in range(N_BANDS)] == _ref_fp(m)
+    pairs = con.sql(dq.oracle_sql()["audio_neardup"]).df()
+    assert len(pairs) == 8 and pairs["hamming"].max() <= 1

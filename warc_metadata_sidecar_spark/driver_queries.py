@@ -3455,6 +3455,121 @@ ORDER BY ref_a, ref_b
     )
 
 
+def audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprints through the ENGINE path: gen.afp_rows() encodes
+    ten closed-form PCM streams (gen.afp_sample) as eight WAVs + two
+    LOSSLESS FLAC re-encodes of bases 0,1; operators/afp decodes them
+    back (decode_wav / decode_flac) and fingerprints the samples with
+    integer-only arithmetic (windowed stride-band energies, delta-sign
+    bits, four 16-bit bands). The DuckDB oracle rebuilds every band from
+    the closed-form sample formula — fingerprint(decode(encode(x))) ==
+    arithmetic(x), for BOTH containers."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.afp import audio_fingerprints
+
+    return audio_fingerprints(gen.afp_media(spark)).orderBy("media_ref")
+
+
+def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs via the SHARED banded equi-join (operators/
+    phash.neardup_pairs over fingerprint bands). Plants four +900-sample
+    twins at Hamming 1 and two cross-codec (WAV vs FLAC) exact duplicates
+    at Hamming 0; the oracle is brute-force xor-popcount <= 3 (pigeonhole-
+    exact for the 4-band split)."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.afp import (
+        audio_fingerprints,
+        audio_neardup_pairs,
+    )
+
+    pairs = audio_neardup_pairs(audio_fingerprints(gen.afp_media(spark)), max_hamming=3)
+    return pairs.orderBy("ref_a", "ref_b")
+
+
+def _audio_fp_oracle_cte() -> str:
+    """Shared DuckDB CTE chain: closed-form PCM -> mono int sums ->
+    windowed stride-band energies -> delta-sign bits -> four little-endian
+    16-bit bands. Mirrors operators/afp.py bit for bit (all-integer)."""
+    from warc_metadata_sidecar_spark import gen
+
+    refs = ",\n    ".join(
+        f"({i}, '{r['media_ref']}')" for i, r in enumerate(gen.afp_rows())
+    )
+    n, w = gen.AFP_FRAMES, gen.AFP_FRAMES // 17
+    return f"""
+WITH refs(m, media_ref) AS (VALUES
+    {refs}
+),
+px AS (
+    SELECT mm.m, ii.i, cc.c,
+           ((mm.m % 4) * 91 + ii.i*37 + cc.c*17 + (mm.m % 4)*ii.i*5) % 4001
+           - 2000
+           + CASE WHEN mm.m BETWEEN 4 AND 7 AND ii.i < 16 AND ii.i % 4 = 0
+                  THEN 900 ELSE 0 END AS v
+    FROM generate_series(0, 9) mm(m),
+         generate_series(0, {n - 1}) ii(i),
+         generate_series(0, 1) cc(c)
+),
+mono AS (SELECT m, i, SUM(v) AS mv FROM px GROUP BY m, i),
+e AS (
+    SELECT m, i // {w} AS win, i % 4 AS b, SUM(mv * mv) AS en
+    FROM mono GROUP BY 1, 2, 3
+),
+fbit AS (
+    SELECT m, win, b, CASE WHEN e_next > en THEN 1 ELSE 0 END AS bit
+    FROM (SELECT m, win, b, en, LEAD(en) OVER ww AS e_next
+          FROM e WINDOW ww AS (PARTITION BY m, b ORDER BY win))
+    WHERE win < 16
+),
+fband AS (
+    SELECT m, (win*4 + b) // 16 AS j,
+           SUM(bit * (1 << ((win*4 + b) % 16))) AS bv
+    FROM fbit GROUP BY 1, 2
+),
+fps AS (
+    SELECT m,
+           CAST(MAX(CASE WHEN j = 0 THEN bv END) AS BIGINT) AS b0,
+           CAST(MAX(CASE WHEN j = 1 THEN bv END) AS BIGINT) AS b1,
+           CAST(MAX(CASE WHEN j = 2 THEN bv END) AS BIGINT) AS b2,
+           CAST(MAX(CASE WHEN j = 3 THEN bv END) AS BIGINT) AS b3
+    FROM fband GROUP BY m
+)"""
+
+
+def _audio_fp_oracle_sql() -> str:
+    from warc_metadata_sidecar_spark import gen
+
+    return (
+        _audio_fp_oracle_cte()
+        + f"""
+SELECT refs.media_ref, CAST({gen.AFP_RATE} AS BIGINT) AS rate,
+       CAST({gen.AFP_FRAMES} AS BIGINT) AS n_frames, b0, b1, b2, b3
+FROM fps JOIN refs ON fps.m = refs.m
+ORDER BY media_ref
+"""
+    )
+
+
+def _audio_neardup_oracle_sql() -> str:
+    return (
+        _audio_fp_oracle_cte()
+        + """
+SELECT LEAST(ra.media_ref, rb.media_ref) AS ref_a,
+       GREATEST(ra.media_ref, rb.media_ref) AS ref_b,
+       CAST(bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+          + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3))
+         AS BIGINT) AS hamming
+FROM fps h1
+JOIN fps h2 ON h1.m < h2.m
+JOIN refs ra ON ra.m = h1.m
+JOIN refs rb ON rb.m = h2.m
+WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
+ORDER BY ref_a, ref_b
+"""
+    )
+
+
 def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB VALUES oracle for crawl_rounds (VERDICT r3 #3): the
     single-threaded pure-Python simulator — an INDEPENDENT implementation
@@ -4375,6 +4490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bpe_token_counts"] = bpe_token_counts_docs
     out["image_phash"] = image_phash
     out["image_neardup"] = image_neardup
+    out["audio_fp"] = audio_fp
+    out["audio_neardup"] = audio_neardup
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4440,4 +4557,8 @@ def oracle_sql() -> dict[str, str]:
     # max_hamming < n_bands by pigeonhole)
     oracles["image_phash"] = _image_phash_oracle_sql()
     oracles["image_neardup"] = _image_neardup_oracle_sql()
+    # fingerprint(decode(encode(pcm))) vs closed-form integer arithmetic,
+    # across BOTH containers (WAV + lossless FLAC re-encode)
+    oracles["audio_fp"] = _audio_fp_oracle_sql()
+    oracles["audio_neardup"] = _audio_neardup_oracle_sql()
     return oracles

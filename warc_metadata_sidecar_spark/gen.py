@@ -925,6 +925,85 @@ def phash_media(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(phash_rows(), schema.MEDIA)
 
 
+AFP_FRAMES, AFP_RATE = 272, 8000  # 17 x 16-frame windows -> 64 delta bits
+
+
+def afp_sample(m: int, i: int, c: int) -> int:
+    """Closed-form 16-bit PCM for the audio-fingerprint fixtures — also
+    rendered as SQL in the DuckDB oracle. m%4 picks the base stream (the
+    s*i cross term decorrelates bases: non-related fingerprints measure
+    >=20 of 64 bits apart); m in 4..7 perturbs four band-0 samples of
+    window 0 (+900), landing the twins at Hamming 1; m=8,9 repeat bases
+    0,1 EXACTLY for the cross-codec (WAV vs FLAC) duplicate pairs."""
+    s = m % 4
+    v = ((s * 91 + i * 37 + c * 17 + s * i * 5) % 4001) - 2000
+    if 4 <= m < 8 and i < 16 and i % 4 == 0:
+        v += 900
+    return v
+
+
+def _afp_pcm(m: int) -> list[list[int]]:
+    return [[afp_sample(m, i, c) for i in range(AFP_FRAMES)] for c in range(2)]
+
+
+def _enc_wav_pcm(channels: list[list[int]], rate: int) -> bytes:
+    """Generic 16-bit stereo RIFF/WAVE for arbitrary sample lists."""
+    import struct as st
+
+    nch = len(channels)
+    pcm = b"".join(
+        st.pack("<h", channels[c][i])
+        for i in range(len(channels[0]))
+        for c in range(nch)
+    )
+    fmt = st.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def afp_rows() -> list[dict]:
+    """Ten PCM streams: four bases + four perturbed twins as WAV, plus two
+    FLAC re-encodes of bases 0,1 with IDENTICAL samples (FLAC is lossless,
+    so the fingerprint must land at Hamming 0 across containers)."""
+    rows = []
+    for m in range(8):
+        rows.append(
+            {
+                "media_ref": f"afp://wav/{m}",
+                "bytes": _enc_wav_pcm(_afp_pcm(m), AFP_RATE),
+                "meta": {
+                    "media_type": "audio",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": AFP_FRAMES * 1000 // AFP_RATE,
+                },
+            }
+        )
+    for m in (8, 9):
+        frames = [
+            (136, "indep", [{"type": "verbatim"}] * 2),
+            (136, "indep", [{"type": "verbatim"}] * 2),
+        ]
+        rows.append(
+            {
+                "media_ref": f"afp://flac/{m}",
+                "bytes": _enc_flac(_afp_pcm(m), AFP_RATE, 16, frames),
+                "meta": {
+                    "media_type": "audio",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": AFP_FRAMES * 1000 // AFP_RATE,
+                },
+            }
+        )
+    return rows
+
+
+def afp_media(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(afp_rows(), schema.MEDIA)
+
+
 def seed_rows(n_seeds: int = 20) -> list[dict]:
     """Pure-Python seed frontier rows (no Spark) — shared by seed_frontier
     and the simulator-backed crawl_rounds oracle."""
