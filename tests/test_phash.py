@@ -153,6 +153,22 @@ def test_neardup_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_max_bucket_drops_degenerate_clusters(spark):
+    """50 identical hashes (a solid-color-thumbnail mass): exact mode
+    emits all C(50,2) pairs; max_bucket=10 drops the degenerate buckets
+    entirely while an untouched small cluster survives."""
+    rows = [("dup%02d" % i, 7, 7, 7, 7) for i in range(50)]
+    rows += [("pair_a", 100, 200, 300, 400), ("pair_b", 100, 200, 300, 401)]
+    h = spark.createDataFrame(rows, "media_ref string, d0 long, d1 long, d2 long, d3 long")
+    exact = neardup_pairs(h, max_hamming=3)
+    assert exact.count() == 50 * 49 // 2 + 1
+    capped = {
+        (r["ref_a"], r["ref_b"])
+        for r in neardup_pairs(h, max_hamming=3, max_bucket=10).collect()
+    }
+    assert capped == {("pair_a", "pair_b")}
+
+
 def test_duckdb_oracle_parity():
     from warc_metadata_sidecar_spark import driver_queries as dq
 

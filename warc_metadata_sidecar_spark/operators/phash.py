@@ -129,7 +129,9 @@ def image_hashes(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "bytes").mapInPandas(batches, HASH_SCHEMA)
 
 
-def neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance <= max_hamming.
 
     Band equi-join, not an all-pairs cross: each image explodes into
@@ -137,7 +139,15 @@ def neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     equi-join on (band_idx, band_val) emits candidates, XOR popcount
     verifies. For max_hamming < N_BANDS this is EXACT (pigeonhole).
     Returns (ref_a, ref_b, hamming) with ref_a < ref_b, one row per pair.
-    """
+
+    max_bucket (the LSH discipline from operators/dedup.py:89): a
+    (band_idx, band_val) bucket with more members than this is a
+    degenerate constant-region cluster (solid-color thumbnails, blank
+    scans) whose within-bucket join is quadratic — drop it. At 10^10
+    images the 65536-value bands average ~N/2^16 members per bucket, so
+    uniform content stays cheap, but real corpora have such degenerate
+    masses; the cap bounds worst-case work at the documented recall cost
+    (None = exact, the oracle-pinned default)."""
     h = hashes.filter(F.col("d0").isNotNull()).select(
         "media_ref", *[f"d{j}" for j in range(N_BANDS)]
     )
@@ -148,6 +158,14 @@ def neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             "band_idx", "band_val"
         ),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        sized = bands.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val")),
+        )
+        bands = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.d{j}").bitwiseXOR(F.col(f"b.d{j}")))
