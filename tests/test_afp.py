@@ -137,6 +137,80 @@ def test_8bit_wav_quantizes_exactly_to_16bit_twin(spark):
     assert out["afp://8bit/0"][0] is not None
 
 
+def test_media_dedup_keep_transitive_closure(spark, fps):
+    """wav/0 ~ wav/4, wav/0 ~ flac/8, wav/4 ~ flac/8 chain into ONE
+    size-3 component with the min ref kept; pair-only deletion would
+    over- or under-delete here. Expectation derived independently by
+    closing the brute-force pair set in Python."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.phash import media_dedup_keep
+
+    fp = audio_fingerprints(gen.afp_media(spark)).select(
+        "media_ref", *[F.col(f"b{j}").alias(f"d{j}") for j in range(N_BANDS)]
+    )
+    got = {
+        r["media_ref"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in media_dedup_keep(fp, max_hamming=3).collect()
+    }
+    # independent closure: union-find over brute-force pairs
+    refs = sorted(fps)
+    parent = {r: r for r in refs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for i, ra in enumerate(refs):
+        for rb in refs[i + 1 :]:
+            if _ham(
+                [fps[ra][f"b{j}"] for j in range(N_BANDS)],
+                [fps[rb][f"b{j}"] for j in range(N_BANDS)],
+            ) <= 3:
+                parent[find(rb)] = find(ra)
+    comp: dict[str, list[str]] = {}
+    for r in refs:
+        comp.setdefault(find(r), []).append(r)
+    want = {}
+    for members in comp.values():
+        cid = min(members)
+        for r in members:
+            want[r] = (cid, len(members), r == cid)
+    assert got == want
+    assert sorted(v[1] for v in got.values()) == [2, 2, 2, 2, 3, 3, 3, 3, 3, 3]
+
+
+def test_media_dedup_keep_singletons_and_long_chain(spark):
+    """A 4-link Hamming-1 chain a~b~c~d collapses to one component
+    (multi-round star convergence on STRING ids) and an unrelated
+    singleton keeps itself."""
+    from warc_metadata_sidecar_spark.operators.phash import media_dedup_keep
+
+    rows = [
+        ("a", 0b0000, 7, 7, 7),
+        ("b", 0b0001, 7, 7, 7),
+        ("c", 0b0011, 7, 7, 7),
+        ("d", 0b0111, 7, 7, 7),
+        ("lone", 40000, 41000, 42000, 43000),
+    ]
+    h = spark.createDataFrame(
+        rows, "media_ref string, d0 long, d1 long, d2 long, d3 long"
+    )
+    got = {
+        r["media_ref"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in media_dedup_keep(h, max_hamming=1).collect()
+    }
+    # a~b, b~c, c~d at Hamming 1; a~c etc. at 2 — closure must chain them
+    assert got == {
+        "a": ("a", 4, True),
+        "b": ("a", 4, False),
+        "c": ("a", 4, False),
+        "d": ("a", 4, False),
+        "lone": ("lone", 1, True),
+    }
+
+
 def test_duckdb_oracle_parity():
     from warc_metadata_sidecar_spark import driver_queries as dq
 

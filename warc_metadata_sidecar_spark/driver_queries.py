@@ -3486,6 +3486,59 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("ref_a", "ref_b")
 
 
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup CLUSTERS with one kept representative: the afp
+    fixtures chain (wav/0 ~ wav/4, wav/0 ~ flac/8, wav/4 ~ flac/8), so
+    this exercises transitive closure — pairs -> large-star/small-star
+    components (string ids, cast=None) -> min-ref keeper + singleton
+    passthrough. The DuckDB oracle closes the brute-force pair set with
+    a recursive min-reachability CTE over the closed-form fingerprints."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.afp import audio_fingerprints
+    from warc_metadata_sidecar_spark.operators.phash import media_dedup_keep
+
+    fp = audio_fingerprints(gen.afp_media(spark)).select(
+        "media_ref", *[F.col(f"b{j}").alias(f"d{j}") for j in range(4)]
+    )
+    return media_dedup_keep(fp, max_hamming=3).orderBy("media_ref")
+
+
+def _media_dedup_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE"
+        + _audio_fp_oracle_cte().removeprefix("\nWITH")
+        + """,
+pairs AS (
+  SELECT h1.m AS u, h2.m AS v
+  FROM fps h1 JOIN fps h2 ON h1.m < h2.m
+  WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+      + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
+),
+redges(u, v) AS (
+  SELECT ra.media_ref, rb.media_ref
+  FROM pairs JOIN refs ra ON ra.m = pairs.u JOIN refs rb ON rb.m = pairs.v
+),
+edges AS (SELECT u, v FROM redges UNION SELECT v AS u, u AS v FROM redges),
+reach(node, r) AS (
+  SELECT DISTINCT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+labels AS (SELECT node AS media_ref, min(r) AS cid FROM reach GROUP BY node),
+allrefs AS (SELECT media_ref FROM refs)
+SELECT a.media_ref,
+       COALESCE(l.cid, a.media_ref) AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY COALESCE(l.cid, a.media_ref))
+            AS BIGINT) AS cluster_size,
+       COALESCE(l.cid, a.media_ref) = a.media_ref AS keep
+FROM allrefs a LEFT JOIN labels l ON l.media_ref = a.media_ref
+ORDER BY a.media_ref
+"""
+    )
+
+
 def _audio_fp_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form PCM -> mono int sums ->
     windowed stride-band energies -> delta-sign bits -> four little-endian
@@ -4492,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["image_neardup"] = image_neardup
     out["audio_fp"] = audio_fp
     out["audio_neardup"] = audio_neardup
+    out["media_dedup"] = media_dedup
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4561,4 +4615,7 @@ def oracle_sql() -> dict[str, str]:
     # across BOTH containers (WAV + lossless FLAC re-encode)
     oracles["audio_fp"] = _audio_fp_oracle_sql()
     oracles["audio_neardup"] = _audio_neardup_oracle_sql()
+    # star-round components + keeper vs recursive min-reachability over
+    # the same closed-form fingerprint pair set
+    oracles["media_dedup"] = _media_dedup_oracle_sql()
     return oracles

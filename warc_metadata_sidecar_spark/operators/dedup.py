@@ -193,7 +193,9 @@ def simhash_dedup_buckets(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 25, cast: str | None = "long"
+) -> DataFrame:
     """Connected components over near-duplicate pairs:
     (doc_id, cluster_id, cluster_size), cluster_id = the component's min id.
 
@@ -221,12 +223,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Reference anchor: the reference dedups byte-identical payloads only
     (warc_metadata_sidecar.py digest cache); this closes its near-dup gap
     for training-data curation (task brief: dedup as first-class ops).
+
+    The star rounds only need a total order on ids: cast="long" is the
+    document default; cast=None keeps the input type (e.g. string
+    media_refs from operators/phash.media_dedup_keep — min/greatest are
+    lexicographic there, deterministic all the same).
     """
+    ca, cb = F.col(pairs.columns[0]), F.col(pairs.columns[1])
+    if cast is not None:
+        ca, cb = ca.cast(cast), cb.cast(cast)
     e = (
-        pairs.select(
-            F.col(pairs.columns[0]).cast("long").alias("a"),
-            F.col(pairs.columns[1]).cast("long").alias("b"),
-        )
+        pairs.select(ca.alias("a"), cb.alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("u"),

@@ -188,3 +188,34 @@ def neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["ref_a", "ref_b"])
     )
+
+
+def media_dedup_keep(
+    hashes: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """Near-dup CLUSTERS with one kept representative per cluster:
+    (media_ref, cluster_id, cluster_size, keep).
+
+    Pairs alone over-delete: near-duplication chains (A~B, B~C with
+    A!~C — e.g. a WAV, its FLAC re-encode, and a lightly-edited copy),
+    so the pair set is first closed into components with the
+    large-star/small-star rounds (operators/dedup.dup_clusters,
+    cast=None — string refs order lexicographically). The keeper is the
+    component's min ref (deterministic, partition-invariant); rows whose
+    hash decoded but matched nobody are their own singleton keepers.
+    Works on any 4-band hash table — image dHash or audio fingerprints
+    renamed to d0..d3 (see afp.audio_neardup_pairs)."""
+    from warc_metadata_sidecar_spark.operators.dedup import dup_clusters
+
+    pairs = neardup_pairs(hashes, max_hamming=max_hamming, max_bucket=max_bucket)
+    clusters = dup_clusters(pairs.select("ref_a", "ref_b"), cast=None)
+    everyone = hashes.filter(F.col("d0").isNotNull()).select("media_ref")
+    out = everyone.join(
+        clusters.withColumnRenamed("doc_id", "media_ref"), "media_ref", "left"
+    )
+    return out.select(
+        "media_ref",
+        F.coalesce("cluster_id", "media_ref").alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        (F.coalesce("cluster_id", "media_ref") == F.col("media_ref")).alias("keep"),
+    )
