@@ -293,6 +293,68 @@ def cmd_curate(args) -> None:
     log.info("Processed in %f seconds.", time.time() - t0)
 
 
+def cmd_curate_media(args) -> None:
+    """Media-side curation: fingerprint every blob in ONE decode scan
+    (image dHash or audio energy bands, operators/afp.media_hashes),
+    cluster near-dups PER KIND (cross-kind pairs are meaningless — the
+    bit layouts are unrelated), keep one representative per cluster, and
+    write decisions + the surviving refs. Undecodable blobs pass through
+    as their own keepers (corrupt payloads are data at crawl scale; a
+    later pipeline stage decides their fate, not the dedup)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.afp import media_hashes
+    from warc_metadata_sidecar_spark.operators.phash import media_dedup_keep
+
+    log = _run_log(args.out_dir, "curate-media")
+    t0 = time.time()
+    spark = build_session("curate-media-cli", cpus=args.cpus)
+    media = spark.read.parquet(args.media_path)
+    n_read = media.count()
+    log.info("Fingerprinting %s (%d blobs)", args.media_path, n_read)
+
+    hashes = media_hashes(media).localCheckpoint(eager=True)
+    parts = []
+    for kind in ("image", "audio"):
+        sub = hashes.filter(F.col("kind") == kind)
+        parts.append(
+            media_dedup_keep(
+                sub, max_hamming=args.max_hamming, max_bucket=args.max_bucket
+            ).withColumn("kind", F.lit(kind))
+        )
+    undec = hashes.filter(F.col("kind").isNull()).select(
+        "media_ref",
+        F.col("media_ref").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast("string").alias("kind"),
+    )
+    decisions = parts[0].unionByName(parts[1]).unionByName(undec)
+    decisions.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "decisions")
+    )
+    kept = decisions.filter("keep")
+    kept.select("media_ref", "kind").repartition(1).write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "kept")
+    )
+    stats = {
+        r["kind"]: (r["n"], r["n_keep"])
+        for r in decisions.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        )
+        .collect()
+    }
+    for kind in ("image", "audio", None):
+        n, n_keep = stats.get(kind, (0, 0))
+        print(f"kind={kind or 'undecodable'} blobs={n} kept={n_keep}")
+    n_kept = kept.count()
+    print(f"read={n_read} kept={n_kept} dropped={n_read - n_kept}")
+    log.info("Kept %d of %d blobs.", n_kept, n_read)
+    log.info("Processed in %f seconds.", time.time() - t0)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="warc_metadata_sidecar_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -384,6 +446,17 @@ def main() -> None:
     )
     cu.add_argument("--dsir-target-lang", default="en")
     cu.set_defaults(fn=cmd_curate)
+
+    cm = sub.add_parser("curate-media")
+    cm.add_argument("media_path")
+    cm.add_argument("out_dir")
+    cm.add_argument("--max-hamming", type=int, default=3)
+    cm.add_argument(
+        "--max-bucket", type=int, default=1000,
+        help="drop degenerate fingerprint buckets larger than this "
+        "(solid-color/silent masses; None-equivalent: a huge value)",
+    )
+    cm.set_defaults(fn=cmd_curate_media)
 
     args = p.parse_args()
     args.fn(args)

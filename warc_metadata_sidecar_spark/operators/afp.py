@@ -112,6 +112,64 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "bytes").mapInPandas(batches, FP_SCHEMA)
 
 
+MEDIA_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+    ]
+    + [T.StructField(f"d{j}", T.LongType()) for j in range(N_BANDS)]
+)
+
+
+def media_hashes(media: DataFrame) -> DataFrame:
+    """ONE mapInPandas scan routing each blob to its fingerprint family:
+    decodable image -> perceptual dHash bands (operators/phash), else
+    decodable audio -> energy-delta bands, else a null row. Output
+    (media_ref, kind: image|audio|null, d0..d3) feeds
+    phash.media_dedup_keep PER KIND — image and audio bit layouts are
+    unrelated, so cross-kind pairs must never form (the curate-media CLI
+    partitions on kind before clustering)."""
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        decode_flac,
+        decode_pixels,
+        decode_wav,
+    )
+    from warc_metadata_sidecar_spark.operators.phash import hash_pixels
+
+    def one(raw: bytes) -> tuple[str, list[int]] | None:
+        img = decode_pixels(raw)
+        if img is not None:
+            return "image", hash_pixels(img[3])[0]
+        dec = decode_wav(raw) or decode_flac(raw)
+        if dec is not None:
+            bands = fingerprint_pcm(dec[2])
+            if bands is not None:
+                return "audio", bands
+        return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_ref": list(pdf["media_ref"]),
+                "kind": [],
+                **{f"d{j}": [] for j in range(N_BANDS)},
+            }
+            for b in pdf["bytes"]:
+                res = one(bytes(b)) if b is not None else None
+                if res is None:
+                    out["kind"].append(None)
+                    for j in range(N_BANDS):
+                        out[f"d{j}"].append(None)
+                    continue
+                kind, bands = res
+                out["kind"].append(kind)
+                for j in range(N_BANDS):
+                    out[f"d{j}"].append(bands[j])
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "bytes").mapInPandas(batches, MEDIA_HASH_SCHEMA)
+
+
 def audio_neardup_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate clip pairs: the shared banded equi-join over the
     fingerprint bands (see phash.neardup_pairs for the recall argument)."""
