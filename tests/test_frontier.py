@@ -1303,3 +1303,42 @@ def test_pagerank_dangling_and_partition_invariance(spark):
         for x in pagerank(edges.repartition(7), iters=6).collect()
     }
     assert r2 == r  # bit-identical, not approximately
+
+
+def test_recrawl_schedule_hand_computed_and_single_exchange(spark):
+    """frontier/recrawl.recrawl_schedule: smoothed inverse-change-rate
+    intervals against a hand-computed table, first-observation null lag
+    counted as no-change, clamping at both ends, and the plan claim —
+    the lag window and the aggregate share ONE url exchange."""
+    from warc_metadata_sidecar_spark.frontier.recrawl import recrawl_schedule
+
+    rows = [
+        # u_every: changes every round -> interval (4+1)//(3+1) = 1
+        ("u_every", 0, "a"), ("u_every", 1, "b"),
+        ("u_every", 2, "c"), ("u_every", 3, "d"),
+        # u_static: never changes -> (3+1)//(0+1)=4 clamped to max 3
+        ("u_static", 0, "x"), ("u_static", 1, "x"), ("u_static", 2, "x"),
+        # u_half: one change in 3 obs -> (3+1)//(1+1) = 2
+        ("u_half", 0, "p"), ("u_half", 2, "p"), ("u_half", 5, "q"),
+        # u_once: single observation -> (1+1)//(0+1) = 2
+        ("u_once", 9, "z"),
+    ]
+    h = spark.createDataFrame(rows, "url string, round long, digest string")
+    out = recrawl_schedule(h, horizon_round=6, max_interval=3)
+    got = {
+        r["url"]: (
+            r["n_obs"], r["n_changes"], r["last_round"],
+            r["interval"], r["next_due"], r["overdue"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        "u_every": (4, 3, 3, 1, 4, True),
+        "u_static": (3, 0, 2, 3, 5, True),
+        "u_half": (3, 1, 5, 2, 7, False),
+        "u_once": (1, 0, 9, 2, 11, False),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the initial
+    # plan below the final one; only the final plan's exchanges are real
+    assert final.count("Exchange hashpartitioning") == 1

@@ -3539,6 +3539,71 @@ ORDER BY a.media_ref
     )
 
 
+def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (frontier/recrawl.py) over a
+    closed-form change history: every doc becomes a URL observed at
+    rounds 0..5 whose digest flips every p = 1 + doc_id % 4 rounds —
+    fast-changing pages (p=1,2) come due inside the horizon, slow ones
+    (p=3,4) don't. The MODULE (lag window + single-exchange aggregate)
+    runs on the engine side; the DuckDB oracle restates the smoothed
+    inverse-change-rate arithmetic independently (integer division on
+    both sides — exact)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.recrawl import recrawl_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.select(
+        F.format_string(
+            "https://host%02d.example.com/page/%d",
+            (F.col("doc_id") % 50).cast("int"),
+            F.col("doc_id").cast("int"),
+        ).alias("url"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("round"),
+    ).select(
+        "url",
+        F.col("round").cast("long").alias("round"),
+        F.concat(
+            F.lit("v"),
+            F.expr("CAST(CAST(round AS BIGINT) div (1 + doc_id % 4) AS INT)"),
+        ).alias("digest"),
+    )
+    return recrawl_schedule(hist, horizon_round=7, max_interval=8).orderBy("url")
+
+
+def _recrawl_schedule_oracle_sql() -> str:
+    return """
+WITH h AS (
+  SELECT printf('https://host%02d.example.com/page/%d',
+                CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS url,
+         CAST(r.round AS BIGINT) AS round,
+         concat('v', CAST(r.round // (1 + doc_id % 4) AS INT)) AS digest
+  FROM documents, generate_series(0, 5) r(round)
+),
+lagd AS (
+  SELECT url, round,
+         CASE WHEN digest <> LAG(digest) OVER (PARTITION BY url ORDER BY round)
+              THEN 1 ELSE 0 END AS chg
+  FROM h
+),
+agg AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(chg) AS BIGINT) AS n_changes,
+         CAST(MAX(round) AS BIGINT) AS last_round
+  FROM lagd GROUP BY url
+)
+SELECT url, n_obs, n_changes, last_round,
+       CAST(LEAST(8, GREATEST(1, (n_obs + 1) // (n_changes + 1))) AS BIGINT)
+           AS interval,
+       last_round + CAST(LEAST(8, GREATEST(1, (n_obs + 1) // (n_changes + 1)))
+                         AS BIGINT) AS next_due,
+       last_round + LEAST(8, GREATEST(1, (n_obs + 1) // (n_changes + 1))) <= 7
+           AS overdue
+FROM agg ORDER BY url
+"""
+
+
 def _audio_fp_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form PCM -> mono int sums ->
     windowed stride-band energies -> delta-sign bits -> four little-endian
@@ -4546,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["audio_fp"] = audio_fp
     out["audio_neardup"] = audio_neardup
     out["media_dedup"] = media_dedup
+    out["recrawl_schedule"] = recrawl_schedule_q
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4618,4 +4684,7 @@ def oracle_sql() -> dict[str, str]:
     # star-round components + keeper vs recursive min-reachability over
     # the same closed-form fingerprint pair set
     oracles["media_dedup"] = _media_dedup_oracle_sql()
+    # module lag-window schedule vs an independent SQL restatement of the
+    # smoothed inverse-change-rate arithmetic (integer-exact both sides)
+    oracles["recrawl_schedule"] = _recrawl_schedule_oracle_sql()
     return oracles
