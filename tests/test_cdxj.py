@@ -397,3 +397,40 @@ def test_surt_host_edge_rule_all_twins(spark):
     staged = [r.canonical_url for r in with_surt(df).collect()]
     assert single == expected
     assert staged == expected
+
+
+def test_lookup_cdxj_text_and_parsed_paths(spark, tmp_path):
+    """operators/cdxj.lookup_cdxj: prefix + ts-range over raw text lines,
+    the same query over a PARSED urlkey-sorted parquet layout (identical
+    results), and the scale claim — the prefix predicate reaches the
+    parquet scan as a pushed filter."""
+    from warc_metadata_sidecar_spark.operators.cdxj import lookup_cdxj
+
+    rows = [
+        "com,example,a)/p/1 20260101000100 {\"u\": 1}",
+        "com,example,a)/p/2 20260101000200 {\"u\": 2}",
+        "com,example,a)/p/2 20260101000900 {\"u\": 3}",  # out of ts range
+        "com,example,b)/p/1 20260101000300 {\"u\": 4}",  # other prefix
+    ]
+    lines = spark.createDataFrame([(v,) for v in rows], "value string")
+    got = lookup_cdxj(
+        lines, "com,example,a)", ts_from="20260101000100", ts_to="20260101000500"
+    ).collect()
+    assert [(r["urlkey"], r["ts"]) for r in got] == [
+        ("com,example,a)/p/1", "20260101000100"),
+        ("com,example,a)/p/2", "20260101000200"),
+    ]
+
+    from warc_metadata_sidecar_spark.operators.cdxj import parse_cdxj_lines
+
+    parsed_dir = str(tmp_path / "cdxj_parsed")
+    parse_cdxj_lines(lines).drop("line_id").write.parquet(parsed_dir)
+    parsed = spark.read.parquet(parsed_dir)
+    q = lookup_cdxj(
+        parsed, "com,example,a)", ts_from="20260101000100", ts_to="20260101000500"
+    )
+    assert [(r["urlkey"], r["ts"]) for r in q.collect()] == [
+        (r["urlkey"], r["ts"]) for r in got
+    ]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(urlkey,com,example,a))" in plan  # pushed to scan

@@ -1342,3 +1342,26 @@ def test_recrawl_schedule_hand_computed_and_single_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes the initial
     # plan below the final one; only the final plan's exchanges are real
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_due_frontier_staleness_priority(spark):
+    """frontier/recrawl.due_frontier: only overdue rows survive, priority
+    = staleness (horizon - next_due)."""
+    from warc_metadata_sidecar_spark.frontier.recrawl import (
+        due_frontier,
+        recrawl_schedule,
+    )
+
+    rows = [
+        ("u_every", r, "d%d" % r) for r in range(4)      # next_due 4
+    ] + [
+        ("u_static", r, "same") for r in range(4)        # next_due 3+5=8
+    ]
+    h = spark.createDataFrame(rows, "url string, round long, digest string")
+    out = {
+        r["url"]: r["priority"]
+        for r in due_frontier(
+            recrawl_schedule(h, horizon_round=6, max_interval=5), 6
+        ).collect()
+    }
+    assert out == {"u_every": 2}  # 6 - 4; u_static due at 8, not emitted

@@ -190,3 +190,29 @@ def test_hot_digest_skew_detectors_once(spark):
     assert len(rows) == 5200  # every row annotated
     hot_payloads = {r.payload for r in rows if r.doc_id.startswith("hot-")}
     assert len(hot_payloads) == 1  # one detector result shared by all 5,000
+
+
+def test_resolve_revisits_first_occurrence_and_boundary(spark):
+    """operators/sidecar.resolve_revisits: duplicate-digest responses
+    resolve to the FIRST (min doc_id) original — the digest-memoization
+    rule — and a revisit whose digest matches no response resolves to
+    nulls (archive boundary)."""
+    from warc_metadata_sidecar_spark.operators.sidecar import resolve_revisits
+
+    rows = [
+        (1, "u1", "response", "dA"),
+        (2, "u2", "response", "dA"),  # duplicate content, NOT the original
+        (3, "u3", "response", "dB"),
+        (4, "u4", "revisit", "dA"),
+        (5, "u5", "revisit", "dB"),
+        (6, "u6", "revisit", "dZ"),   # no matching response
+        (7, "u7", "response", None),  # ARC-style: no digest, never an anchor
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, rec_type string, payload_digest string"
+    )
+    got = {
+        r["doc_id"]: (r["original_doc_id"], r["original_url"])
+        for r in resolve_revisits(df).collect()
+    }
+    assert got == {4: (1, "u1"), 5: (3, "u3"), 6: (None, None)}

@@ -3604,6 +3604,166 @@ FROM agg ORDER BY url
 """
 
 
+def recrawl_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """due_frontier over the same closed-form change history as
+    recrawl_schedule: overdue URLs become next-crawl seeds with
+    priority = staleness, closing crawl -> history -> schedule ->
+    refetch. Pure projection past the schedule's single exchange."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.recrawl import (
+        due_frontier,
+        recrawl_schedule,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.select(
+        F.format_string(
+            "https://host%02d.example.com/page/%d",
+            (F.col("doc_id") % 50).cast("int"),
+            F.col("doc_id").cast("int"),
+        ).alias("url"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("round"),
+    ).select(
+        "url",
+        F.col("round").cast("long").alias("round"),
+        F.concat(
+            F.lit("v"),
+            F.expr("CAST(CAST(round AS BIGINT) div (1 + doc_id % 4) AS INT)"),
+        ).alias("digest"),
+    )
+    sched = recrawl_schedule(hist, horizon_round=7, max_interval=8)
+    return due_frontier(sched, horizon_round=7).orderBy("url")
+
+
+def _recrawl_frontier_oracle_sql() -> str:
+    """The recrawl_schedule oracle's arithmetic, filtered to overdue rows
+    and projected to the frontier shape."""
+    inner = _recrawl_schedule_oracle_sql().replace("ORDER BY url", "")
+    return f"""
+WITH sched AS ({inner})
+SELECT url, CAST(7 - next_due AS BIGINT) AS priority,
+       CAST(7 AS INT) AS discovery_round, n_changes, last_round
+FROM sched WHERE next_due <= 7 ORDER BY url
+"""
+
+
+def cdxj_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Playback-style CDXJ index lookup (operators/cdxj.lookup_cdxj — the
+    cdx-server query over the reference's merged-index file shape): text
+    lines synthesized closed-form from documents (urlkey/ts14/json all
+    printf-derived), then a urlkey-prefix + timestamp-range query through
+    the MODULE's parse+filter path. The DuckDB oracle restates the same
+    lines and predicates independently (LIKE prefix + string range)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.cdxj import lookup_cdxj
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = docs.select(
+        F.format_string(
+            "com,example,host%02d)/page/%d %s {\"url\": \"page-%d\"}",
+            (F.col("doc_id") % 50).cast("int"),
+            F.col("doc_id").cast("int"),
+            F.format_string(
+                "20260101%06d", (F.col("doc_id") % 1000000).cast("int")
+            ),
+            F.col("doc_id").cast("int"),
+        ).alias("value")
+    )
+    return lookup_cdxj(
+        lines, "com,example,host07)", ts_from="20260101000100", ts_to="20260101000500"
+    )
+
+
+def _cdxj_lookup_oracle_sql() -> str:
+    return """
+WITH lines AS (
+  SELECT printf('com,example,host%02d)/page/%d', CAST(doc_id % 50 AS INT),
+                CAST(doc_id AS INT)) AS urlkey,
+         printf('20260101%06d', CAST(doc_id % 1000000 AS INT)) AS ts,
+         printf('{"url": "page-%d"}', CAST(doc_id AS INT)) AS json
+  FROM documents
+)
+SELECT urlkey, ts, json FROM lines
+WHERE urlkey LIKE 'com,example,host07)%'
+  AND ts >= '20260101000100' AND ts <= '20260101000500'
+ORDER BY urlkey, ts
+"""
+
+
+def resolve_revisits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record resolution (operators/sidecar.resolve_revisits)
+    over a closed-form record stream: every doc is a response with
+    digest = md5(text); docs with doc_id % 10 = 3 ALSO emit a revisit
+    row whose digest is the response three ids earlier (a revisit of
+    that content — left-joined, so a missing original resolves to
+    nulls, the archive-boundary case). The module applies the
+    first-occurrence-wins rule of the digest memoization; the oracle
+    restates it as min-by-doc_id SQL."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from warc_metadata_sidecar_spark.operators.sidecar import resolve_revisits
+
+    base = docs.select(
+        "doc_id",
+        F.format_string(
+            "https://host%02d.example.com/page/%d",
+            (F.col("doc_id") % 50).cast("int"),
+            F.col("doc_id").cast("int"),
+        ).alias("url"),
+        F.md5("text").alias("payload_digest"),
+    )
+    responses = base.select(
+        "doc_id", "url", F.lit("response").alias("rec_type"), "payload_digest"
+    )
+    orig = base.select(
+        F.col("doc_id").alias("_oid"), F.col("payload_digest").alias("_od")
+    )
+    revisits = (
+        base.filter(F.col("doc_id") % 10 == 3)
+        .join(orig, F.col("_oid") == F.col("doc_id") - 3, "left")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("url"), F.lit("?revisit")).alias("url"),
+            F.lit("revisit").alias("rec_type"),
+            F.col("_od").alias("payload_digest"),
+        )
+    )
+    records = responses.unionByName(revisits)
+    return resolve_revisits(records).orderBy("doc_id")
+
+
+def _resolve_revisits_oracle_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id,
+         printf('https://host%02d.example.com/page/%d',
+                CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS url,
+         md5(text) AS digest
+  FROM documents
+),
+revisits AS (
+  SELECT b.doc_id + 1000000 AS doc_id, concat(b.url, '?revisit') AS url,
+         o.digest AS digest
+  FROM base b LEFT JOIN base o ON o.doc_id = b.doc_id - 3
+  WHERE b.doc_id % 10 = 3
+),
+originals AS (
+  SELECT digest, MIN(doc_id) AS original_doc_id FROM base GROUP BY digest
+)
+SELECT r.doc_id, r.url,
+       o.original_doc_id,
+       b2.url AS original_url
+FROM revisits r
+LEFT JOIN originals o ON o.digest = r.digest
+LEFT JOIN base b2 ON b2.doc_id = o.original_doc_id
+ORDER BY r.doc_id
+"""
+
+
 def _audio_fp_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form PCM -> mono int sums ->
     windowed stride-band energies -> delta-sign bits -> four little-endian
@@ -4612,6 +4772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["audio_neardup"] = audio_neardup
     out["media_dedup"] = media_dedup
     out["recrawl_schedule"] = recrawl_schedule_q
+    out["recrawl_frontier"] = recrawl_frontier_q
+    out["cdxj_lookup"] = cdxj_lookup
+    out["resolve_revisits"] = resolve_revisits_q
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4687,4 +4850,9 @@ def oracle_sql() -> dict[str, str]:
     # module lag-window schedule vs an independent SQL restatement of the
     # smoothed inverse-change-rate arithmetic (integer-exact both sides)
     oracles["recrawl_schedule"] = _recrawl_schedule_oracle_sql()
+    oracles["recrawl_frontier"] = _recrawl_frontier_oracle_sql()
+    # module parse+sargable-filter lookup vs independent LIKE+range SQL
+    oracles["cdxj_lookup"] = _cdxj_lookup_oracle_sql()
+    # first-occurrence revisit resolution vs min-by-id SQL restatement
+    oracles["resolve_revisits"] = _resolve_revisits_oracle_sql()
     return oracles

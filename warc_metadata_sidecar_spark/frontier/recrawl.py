@@ -66,3 +66,21 @@ def recrawl_schedule(
         (F.col("last_round") + interval).alias("next_due"),
         (F.col("last_round") + interval <= F.lit(horizon_round)).alias("overdue"),
     )
+
+
+def due_frontier(schedule: DataFrame, horizon_round: int) -> DataFrame:
+    """Overdue URLs as a refetch frontier — closes the loop
+    crawl -> change history -> recrawl_schedule -> next crawl's seeds.
+
+    priority = staleness (horizon - next_due; the longer overdue, the
+    higher) so the politeness scheduler's per-host window naturally
+    refetches the most stale first; discovery_round = the horizon (the
+    round that decided to refetch). Pure projection over the schedule —
+    no shuffle beyond recrawl_schedule's single exchange."""
+    return schedule.filter(F.col("next_due") <= F.lit(horizon_round)).select(
+        "url",
+        (F.lit(horizon_round) - F.col("next_due")).cast("long").alias("priority"),
+        F.lit(horizon_round).cast("int").alias("discovery_round"),
+        "n_changes",
+        "last_round",
+    )

@@ -390,6 +390,41 @@ def cdxj_lines(df: DataFrame) -> DataFrame:
     return df.select(F.concat_ws(" ", "urlkey", "ts", "json").alias("value"))
 
 
+def lookup_cdxj(
+    lines: DataFrame,
+    urlkey_prefix: str,
+    ts_from: str | None = None,
+    ts_to: str | None = None,
+) -> DataFrame:
+    """Playback-style index lookup over CDXJ text lines — the cdx-server
+    query shape the reference's merged index feeds (a sorted .cdxj file
+    is binary-searched by pywb; merge_cdxj.py:59-82 produces exactly that
+    file): urlkey-prefix match + optional timestamp-14 range, results in
+    (urlkey, ts) index order.
+
+    Scale shape: over raw text lines the P3 split (parse_cdxj_lines)
+    runs first and the predicates apply post-parse — a full scan, the
+    text file's cost. The production path stores the index PARSED
+    (urlkey/ts/json columns, urlkey-sorted): pass such a frame directly
+    and both predicates are sargable — the prefix reaches the parquet
+    scan as a StringStartsWith PushedFilter and prunes row groups via
+    min/max stats (the sorted text file's binary search re-expressed as
+    a columnar range scan; plan-tested). Nothing shuffles until the
+    final order-by of the (small) match set."""
+    if "urlkey" in lines.columns:
+        parsed = lines.select("urlkey", "ts", "json")
+    else:
+        parsed = parse_cdxj_lines(lines).drop("line_id")  # lookup results
+        # are (urlkey, ts)-keyed; the file-order id is sink plumbing and
+        # nondeterministic across partitionings
+    out = parsed.filter(F.col("urlkey").startswith(urlkey_prefix))
+    if ts_from is not None:
+        out = out.filter(F.col("ts") >= ts_from)
+    if ts_to is not None:
+        out = out.filter(F.col("ts") <= ts_to)
+    return out.orderBy("urlkey", "ts")
+
+
 # --- SNK3: filename derivations (warc_metadata_sidecar.py:182-185,
 # sidecar2cdxj.py:11-15, merge_cdxj.py:96-101) — driver-side naming helpers.
 import re as _re

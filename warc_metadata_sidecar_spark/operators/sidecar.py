@@ -310,3 +310,42 @@ def sidecar_counters(documents: DataFrame, media: DataFrame | None = None) -> Da
             "mime_type_records"
         ),
     )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Revisit-record resolution: a WARC 'revisit' record carries the
+    payload digest of content it re-observed but not the payload itself
+    (WARC 1.1 §6.7.2); playback and training pipelines need the pointer
+    back to the stored original. Each revisit row joins to the FIRST
+    response row sharing its digest — the same first-occurrence-wins
+    rule as the digest memoization above (digest_reps) and the
+    reference's DIGEST_CACHE (warc_metadata_sidecar.py:39,231-246).
+
+    Input: (doc_id, url, rec_type, payload_digest). Output: one row per
+    revisit (doc_id, url, original_doc_id, original_url); a revisit whose
+    digest matches no response resolves to nulls (an archive-boundary
+    revisit — playback would 404 it, and the null is the honest signal).
+
+    Scale: one groupBy(digest) min-struct (map-side combined) + one
+    equi-join on digest — both linear, no windows over the full corpus."""
+    originals = (
+        records.filter(
+            (F.col("rec_type") == "response") & F.col("payload_digest").isNotNull()
+        )
+        .groupBy("payload_digest")
+        .agg(
+            F.min(
+                F.struct(F.col("doc_id").alias("_id"), F.col("url").alias("_url"))
+            ).alias("o")
+        )
+        .select(
+            "payload_digest",
+            F.col("o._id").alias("original_doc_id"),
+            F.col("o._url").alias("original_url"),
+        )
+    )
+    return (
+        records.filter(F.col("rec_type") == "revisit")
+        .join(originals, "payload_digest", "left")
+        .select("doc_id", "url", "original_doc_id", "original_url")
+    )
