@@ -1,0 +1,88 @@
+"""Main-content extraction (operators/extract.py): block segmentation,
+link-density arithmetic, inline-tag handling — hand-computed fixtures
+(the DuckDB oracle `main_content` pins the scoring pipeline; THESE tests
+pin the HTML split the oracle deliberately sidesteps)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+
+from warc_metadata_sidecar_spark.operators.extract import (
+    block_signals,
+    main_content,
+    split_blocks,
+)
+
+PROSE = "this sentence carries enough characters to pass the floor"  # 57
+
+
+def _pages(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_split_and_signals_hand_computed(spark):
+    page = (
+        f"<P>{PROSE}</P>"
+        f'<div class="nav"><a href="/a">home</a> <a href="/b">about page</a></div>'
+        f"<div>{PROSE} <b>bold</b></div>"
+        "<br>tail words beyond the final block tag here ok"
+    )
+    sig = {
+        r["block_idx"]: (r["block_text"], r["n_chars"], r["link_chars"])
+        for r in block_signals(_pages(spark, page)).collect()
+    }
+    # fragments: '', PROSE, '', anchors-html, '', PROSE+' bold', '', tail
+    assert len(sig) == 8
+    assert sig[1] == (PROSE, 57, 0)
+    # anchor inner text: 'home' (4) + 'about page' (10) = 14; visible text
+    # keeps the joining space: 'home about page' = 15
+    assert sig[3] == ("home about page", 15, 14)
+    assert sig[5] == (f"{PROSE} bold", 62, 0)  # inline <b> stripped, uncounted
+    assert sig[7] == ("tail words beyond the final block tag here ok", 45, 0)
+
+
+def test_main_content_density_and_floor(spark):
+    linky = (
+        '<a href="/x">twenty characters link</a> '
+        'plus plenty of surrounding prose here'
+    )
+    page = (
+        f"<p>{PROSE}</p>"
+        f"<div>{linky}</div>"          # 22 link / 60 visible: 110 <= 120 kept
+        f'<ul><li><a href="/1">almost every single char linked</a>!</li></ul>'
+        "<p>tiny</p>"                  # under the 20-char floor
+    )
+    out = main_content(_pages(spark, page)).collect()[0]
+    assert out["main_text"] == (
+        f"{PROSE} twenty characters link plus plenty of surrounding prose here"
+    )
+    assert out["n_kept"] == 2
+    # li block: 31 of 32 chars linked -> 31*5 > 32*2 -> dropped
+    sig = {r["block_idx"]: r for r in block_signals(_pages(spark, page)).collect()}
+    li = [r for r in sig.values() if r["block_text"].endswith("!")][0]
+    assert (li["n_chars"], li["link_chars"]) == (32, 31)
+
+
+def test_main_content_threshold_is_exact_fraction(spark):
+    # exactly at density 2/5: 20 visible chars, 8 linked -> 8*5 == 20*2 kept
+    page = '<p><a href="/x">eightltr</a> elevenchars</p>'
+    out = main_content(
+        _pages(spark, page), min_chars=20, max_link_density=Fraction(2, 5)
+    ).collect()[0]
+    assert out["n_kept"] == 1
+    # one char over: 9 linked of 20 -> dropped
+    page2 = '<p><a href="/x">ninelttrs</a> tenchars10</p>'
+    out2 = main_content(_pages(spark, page2)).collect()[0]
+    assert out2["n_kept"] == 0 and out2["main_text"] == ""
+
+
+def test_case_insensitive_tags_and_empty_page(spark):
+    page = f"<DIV CLASS=X>{PROSE}</DIV>"
+    rows = split_blocks(_pages(spark, page)).collect()
+    assert [r["block"] for r in rows] == ["", PROSE, ""]
+    out = main_content(_pages(spark, "")).collect()[0]
+    assert (out["main_text"], out["n_blocks"], out["n_kept"]) == ("", 1, 0)

@@ -3764,6 +3764,74 @@ ORDER BY r.doc_id
 """
 
 
+def main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style main-content extraction (operators/extract.py) over
+    closed-form pages: each doc's (angle-bracket-sanitized) words build a
+    4-block page — a prose <p> (kept when long enough), an all-anchor
+    nav <div> (dropped by link density), a prose <div> with inline <b>
+    markup (kept; inline tags must not count toward length), and a tiny
+    <p> (dropped by min_chars). The MODULE segments/scores natively; the
+    DuckDB oracle rebuilds every block's text and the integer
+    cross-multiplied density gate straight from the word slices — it
+    never splits HTML (the split is pytest-pinned on hand fixtures)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.extract import main_content
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.split(F.translate(F.coalesce("text", F.lit("")), "<>", "()"), " ")
+    j0 = F.concat_ws(" ", F.slice(ws, 1, 30))
+    j1 = F.concat_ws(" ", F.slice(ws, 31, 10))
+    j2 = F.concat_ws(" ", F.slice(ws, 41, 30))
+    page = F.concat(
+        F.lit("<p>"), j0,
+        F.lit('</p><div><a href="/x">'), j1,
+        F.lit("</a></div><div>"), j2,
+        F.lit(" <b>x</b></div><p>tiny</p>"),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return main_content(pages).orderBy("doc_id")
+
+
+def _main_content_oracle_sql() -> str:
+    """Blocks restated from the word slices: b0 = t0 (no markup), the nav
+    block's link text equals its visible text (dropped unless shorter
+    than min_chars — dropped either way), b2's visible text is t2 plus
+    the stripped inline ' x', the tiny block is constant. The page
+    construction yields exactly 9 split fragments (8 block tags), so
+    n_blocks is structural."""
+    return """
+WITH d AS (
+  SELECT doc_id, replace(replace(coalesce(text, ''), '<', '('), '>', ')') AS t
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+parts AS (
+  SELECT doc_id,
+         -- DuckDB yields NULL (not []) for a fully out-of-range slice;
+         -- Spark's slice() yields [] -> '' after concat_ws
+         coalesce(trim(array_to_string(ws[1:30], ' ')), '') AS t0,
+         coalesce(trim(array_to_string(ws[41:70], ' ')), '') AS t2raw
+  FROM w
+),
+blocks AS (
+  SELECT doc_id, t0,
+         CASE WHEN t2raw = '' THEN 'x' ELSE t2raw || ' x' END AS t2
+  FROM parts
+)
+SELECT doc_id,
+       CASE WHEN length(t0) >= 20 AND length(t2) >= 20
+                 THEN t0 || ' ' || t2
+            WHEN length(t0) >= 20 THEN t0
+            WHEN length(t2) >= 20 THEN t2
+            ELSE '' END AS main_text,
+       CAST(9 AS BIGINT) AS n_blocks,
+       CAST((length(t0) >= 20)::INT + (length(t2) >= 20)::INT AS BIGINT)
+           AS n_kept
+FROM blocks ORDER BY doc_id
+"""
+
+
 def _audio_fp_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form PCM -> mono int sums ->
     windowed stride-band energies -> delta-sign bits -> four little-endian
@@ -4775,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["recrawl_frontier"] = recrawl_frontier_q
     out["cdxj_lookup"] = cdxj_lookup
     out["resolve_revisits"] = resolve_revisits_q
+    out["main_content"] = main_content_q
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4855,4 +4924,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["cdxj_lookup"] = _cdxj_lookup_oracle_sql()
     # first-occurrence revisit resolution vs min-by-id SQL restatement
     oracles["resolve_revisits"] = _resolve_revisits_oracle_sql()
+    # module block segmentation + integer density gate vs word-slice SQL
+    oracles["main_content"] = _main_content_oracle_sql()
     return oracles
