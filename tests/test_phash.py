@@ -182,3 +182,55 @@ def test_duckdb_oracle_parity():
         assert [row[f"a{j}"] for j in range(N_BANDS)] == aref
     pairs = con.sql(dq.oracle_sql()["image_neardup"]).df()
     assert len(pairs) == 5 and pairs["hamming"].max() <= 2
+
+
+def test_box_resize_hand_computed_and_identity(spark):
+    """resize_images: 36x32 -> 8x8 thumbnails equal a scalar SUM//COUNT
+    reference over the closed form (non-integral 4.5-wide boxes mix 4-
+    and 5-pixel columns); identity-size resize returns the raster
+    verbatim (every box is one pixel); undecodable -> null pixels."""
+    from warc_metadata_sidecar_spark import schema
+    from warc_metadata_sidecar_spark.operators.phash import resize_images
+
+    rows = {
+        r["media_ref"]: r
+        for r in resize_images(gen.phash_media(spark), 8, 8).collect()
+    }
+    assert len(rows) == 10
+    for m in (0, 7):
+        ref = [r for r in gen.phash_rows() if r["media_ref"].endswith(f"/{m}")][0]
+        # scalar reference: box sums/counts by floor binning
+        s = {}
+        n = {}
+        for y in range(gen.PHASH_H):
+            for x in range(gen.PHASH_W):
+                for c in range(3):
+                    k = ((y * 8) // gen.PHASH_H, (x * 8) // gen.PHASH_W, c)
+                    s[k] = s.get(k, 0) + gen.phash_pixel(m, y, x, c)
+                    n[k] = n.get(k, 0) + 1
+        want = [
+            s[(oy, ox, c)] // n[(oy, ox, c)]
+            for oy in range(8)
+            for ox in range(8)
+            for c in range(3)
+        ]
+        assert rows[ref["media_ref"]]["pixels"] == want, m
+
+    ident = resize_images(
+        gen.phash_media(spark), gen.PHASH_W, gen.PHASH_H
+    ).filter("media_ref like '%/3'").collect()[0]
+    raw = [
+        gen.phash_pixel(3, y, x, c)
+        for y in range(gen.PHASH_H)
+        for x in range(gen.PHASH_W)
+        for c in range(3)
+    ]
+    assert ident["pixels"] == raw
+
+    bad = spark.createDataFrame(
+        [{"media_ref": "bad://0", "bytes": b"nope",
+          "meta": {"media_type": "image", "width": None, "height": None, "duration_ms": None}}],
+        schema.MEDIA,
+    )
+    out = resize_images(bad).collect()[0]
+    assert out["pixels"] is None

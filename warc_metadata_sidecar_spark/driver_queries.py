@@ -3343,6 +3343,75 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("ref_a", "ref_b")
 
 
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer box-mean resize through the ENGINE path (decode(encode(
+    raster)) -> 8x8 thumbnail): the 36x32 phash fixtures downsample with
+    NON-integral boxes (4.5 x 4), so floor binning mixes 4- and 5-wide
+    boxes — the oracle recomputes every output pixel as SUM // COUNT
+    over the closed-form raster and compares an md5 of the row-major
+    pixel CSV plus the integer pixel sum."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.phash import resize_images
+
+    r = resize_images(gen.phash_media(spark), out_w=8, out_h=8)
+    return r.select(
+        "media_ref",
+        "src_w",
+        "src_h",
+        "out_w",
+        "out_h",
+        F.md5(
+            F.concat_ws(",", F.transform("pixels", lambda x: x.cast("string")))
+        ).alias("px_md5"),
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "px_sum"
+        ),
+    ).orderBy("media_ref")
+
+
+def _image_resize_oracle_sql() -> str:
+    from warc_metadata_sidecar_spark import gen
+
+    refs = ",\n    ".join(
+        f"({i}, '{r['media_ref']}')" for i, r in enumerate(gen.phash_rows())
+    )
+    w, h = gen.PHASH_W, gen.PHASH_H
+    return f"""
+WITH refs(m, media_ref) AS (VALUES
+    {refs}
+),
+px AS (
+    SELECT mm.m, yy.y, xx.x, cc.c,
+           ((mm.m % 5) * 53 + ((mm.m % 5) + 2) * (yy.y*13 + xx.x*7)
+            + yy.y*yy.y*11 + xx.x*xx.x*5 + cc.c*29
+            + CASE WHEN mm.m >= 5 AND yy.y < 4 AND xx.x < 12 THEN 128 ELSE 0 END
+           ) % 256 AS v
+    FROM generate_series(0, 9) mm(m),
+         generate_series(0, {h - 1}) yy(y),
+         generate_series(0, {w - 1}) xx(x),
+         generate_series(0, 2) cc(c)
+),
+boxes AS (
+    SELECT m, (y * 8) // {h} AS oy, (x * 8) // {w} AS ox, c,
+           SUM(v) // COUNT(*) AS val
+    FROM px GROUP BY 1, 2, 3, 4
+),
+agg AS (
+    SELECT m,
+           md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY oy, ox, c))
+               AS px_md5,
+           CAST(SUM(val) AS BIGINT) AS px_sum
+    FROM boxes GROUP BY m
+)
+SELECT refs.media_ref, CAST({w} AS BIGINT) AS src_w, CAST({h} AS BIGINT) AS src_h,
+       CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h, px_md5, px_sum
+FROM agg JOIN refs ON agg.m = refs.m
+ORDER BY media_ref
+"""
+
+
 def _image_phash_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form raster -> integer grayscale ->
     floor-binned box sums -> cross-multiplied bit compares -> four
@@ -4844,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdxj_lookup"] = cdxj_lookup
     out["resolve_revisits"] = resolve_revisits_q
     out["main_content"] = main_content_q
+    out["image_resize"] = image_resize
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4926,4 +4996,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["resolve_revisits"] = _resolve_revisits_oracle_sql()
     # module block segmentation + integer density gate vs word-slice SQL
     oracles["main_content"] = _main_content_oracle_sql()
+    # box-mean thumbnail pixels vs SUM // COUNT closed-form SQL
+    oracles["image_resize"] = _image_resize_oracle_sql()
     return oracles

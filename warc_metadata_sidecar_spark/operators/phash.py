@@ -93,6 +93,68 @@ def hash_pixels(img: np.ndarray) -> tuple[list[int], list[int]]:
     return _pack_bands(dbits), _pack_bands(abits)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("src_w", T.LongType()),
+        T.StructField("src_h", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("pixels", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def box_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Integer box-mean downsample of an HxWx3 uint8 array to
+    out_h x out_w x 3: pixel (y, x) maps to box (y*out_h//H, x*out_w//W)
+    (the floor binning shared with the hashes above); output value =
+    box_sum // box_count — pure integer arithmetic, so a SQL oracle
+    reproduces every output pixel from a closed-form raster."""
+    h, w, _ = img.shape
+    ybin = (np.arange(h) * out_h) // h
+    xbin = (np.arange(w) * out_w) // w
+    idx = ((ybin[:, None] * out_w + xbin[None, :]) * 3)[..., None] + np.arange(3)
+    flat = idx.ravel()
+    sums = np.bincount(flat, weights=img.astype(np.int64).ravel(), minlength=out_h * out_w * 3)
+    counts = np.bincount(flat, minlength=out_h * out_w * 3)
+    return (sums.astype(np.int64) // counts).reshape(out_h, out_w, 3)
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Thumbnail/resize stage of the multimodal pipeline (task brief:
+    decode / feature-extract / RESIZE / frame-sample as pandas UDFs):
+    decode each blob via the real decoders, box-mean downsample to
+    out_w x out_h, return the flattened RGB pixel array (row-major,
+    uint8 range) per image. Undecodable blobs keep a null-pixels row.
+    One mapInPandas scan; at corpus scale this shares the decode pass
+    with feature extraction and hashing."""
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_ref": list(pdf["media_ref"]),
+                "src_w": [], "src_h": [], "out_w": [], "out_h": [], "pixels": [],
+            }
+            for b in pdf["bytes"]:
+                dec = decode_pixels(bytes(b)) if b is not None else None
+                if dec is None:
+                    for k in ("src_w", "src_h", "out_w", "out_h", "pixels"):
+                        out[k].append(None)
+                    continue
+                w, h, _, img = dec
+                small = box_resize(img, out_w, out_h)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["pixels"].append([int(v) for v in small.ravel()])
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "bytes").mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def image_hashes(media: DataFrame) -> DataFrame:
     """media (media_ref, bytes, ...) -> one hash row per DECODABLE image.
 
