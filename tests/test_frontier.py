@@ -1365,3 +1365,36 @@ def test_due_frontier_staleness_priority(spark):
         ).collect()
     }
     assert out == {"u_every": 2}  # 6 - 4; u_static due at 8, not emitted
+
+
+def test_trap_flags_hand_computed_and_zero_shuffle(spark):
+    """frontier/traps.trap_flags: each heuristic fires on its planted
+    shape and nothing else; the whole computation is one projection
+    (NO exchange in the plan — higher-order functions, not explode)."""
+    from warc_metadata_sidecar_spark.frontier.traps import trap_flags
+
+    rows = [
+        ("https://h.com/page/1",),                                 # clean
+        ("https://h.com/cal/9/cal/9/cal/9",),                      # repeat 3
+        ("https://h.com/cal/9/cal/8",),                            # repeat 2 ok
+        ("https://h.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9",),  # 9 params
+        ("https://h.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8",),      # 8 ok
+        ("https://h.com/p?jsessionid=zz",),                        # session
+        ("https://h.com/p?version=2",),  # 'sid=' must NOT match inside 'version'
+        ("https://h.com/" + "/".join("abcdefghijklm"),),           # depth 13
+        ("https://h.com/long?x=" + "y" * 600,),                    # len > 512
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"]: r for r in trap_flags(df).collect()}
+    flags = {u: r["is_trap"] for u, r in got.items()}
+    assert flags == {
+        rows[0][0]: False, rows[1][0]: True, rows[2][0]: False,
+        rows[3][0]: True, rows[4][0]: False, rows[5][0]: True,
+        rows[6][0]: False, rows[7][0]: True, rows[8][0]: True,
+    }
+    r = got[rows[1][0]]
+    assert (r["depth"], r["max_seg_repeat"]) == (6, 3)
+    assert got[rows[3][0]]["n_params"] == 9
+    assert got[rows[6][0]]["has_session_id"] is False
+    plan = trap_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]

@@ -3412,6 +3412,86 @@ ORDER BY media_ref
 """
 
 
+def trap_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap heuristics (frontier/traps.py) over planted URL shapes:
+    doc_id % 10 routes each doc to a normal page URL, a /cal/N/cal/N/
+    repeated-segment maze, a 9-parameter explosion, a jsessionid URL, or
+    a 13-segment-deep path. The MODULE computes every signal in one
+    zero-shuffle projection (higher-order transform/filter, no explode);
+    the DuckDB oracle restates the arithmetic with its own list
+    lambdas."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.traps import trap_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = (F.col("doc_id") % 10).cast("int")
+    d = F.col("doc_id").cast("int")
+    url = (
+        F.when(i == 4, F.format_string(
+            "https://host%02d.example.com/cal/%d/cal/%d/cal/%d",
+            d % 50, d, d, d))
+        .when(i == 6, F.format_string(
+            "https://host%02d.example.com/p?a=%d&b=1&c=2&d=3&e=4&f=5&g=6&h=7&i=8",
+            d % 50, d))
+        .when(i == 8, F.format_string(
+            "https://host%02d.example.com/p/%d?jsessionid=abc%d", d % 50, d, d))
+        .when(i == 2, F.format_string(
+            "https://host%02d.example.com/a/b/c/d/e/f/g/h/i/j/k/l/%d", d % 50, d))
+        .otherwise(F.format_string(
+            "https://host%02d.example.com/page/%d", d % 50, d))
+    )
+    frontier = docs.select(url.alias("url"))
+    return trap_flags(frontier).orderBy("url")
+
+
+def _trap_flags_oracle_sql() -> str:
+    return """
+WITH f AS (
+  SELECT CASE CAST(doc_id % 10 AS INT)
+    WHEN 4 THEN printf('https://host%02d.example.com/cal/%d/cal/%d/cal/%d',
+                       CAST(doc_id % 50 AS INT), CAST(doc_id AS INT),
+                       CAST(doc_id AS INT), CAST(doc_id AS INT))
+    WHEN 6 THEN printf('https://host%02d.example.com/p?a=%d&b=1&c=2&d=3&e=4&f=5&g=6&h=7&i=8',
+                       CAST(doc_id % 50 AS INT), CAST(doc_id AS INT))
+    WHEN 8 THEN printf('https://host%02d.example.com/p/%d?jsessionid=abc%d',
+                       CAST(doc_id % 50 AS INT), CAST(doc_id AS INT),
+                       CAST(doc_id AS INT))
+    WHEN 2 THEN printf('https://host%02d.example.com/a/b/c/d/e/f/g/h/i/j/k/l/%d',
+                       CAST(doc_id % 50 AS INT), CAST(doc_id AS INT))
+    ELSE printf('https://host%02d.example.com/page/%d',
+                CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) END AS url
+  FROM documents
+),
+sig AS (
+  SELECT url,
+         list_filter(string_split(
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '/'), s -> s <> '') AS segs,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM f
+),
+calc AS (
+  SELECT url,
+         CAST(len(segs) AS BIGINT) AS depth,
+         CAST(coalesce(list_max(list_transform(segs,
+              s -> len(list_filter(segs, z -> z = s)))), 0) AS BIGINT)
+             AS max_seg_repeat,
+         CAST(CASE WHEN query = '' THEN 0
+                   ELSE len(string_split(query, '&')) END AS BIGINT) AS n_params,
+         regexp_matches('?' || query,
+             '(?i)(?:^|[?&])(?:phpsessid|jsessionid|sessionid|cfid|sid)=')
+             AS has_session_id,
+         CAST(length(url) AS BIGINT) AS url_len
+  FROM sig
+)
+SELECT url, depth, max_seg_repeat, n_params, has_session_id, url_len,
+       (depth > 12 OR max_seg_repeat >= 3 OR n_params > 8
+        OR url_len > 512 OR has_session_id) AS is_trap
+FROM calc ORDER BY url
+"""
+
+
 def _image_phash_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form raster -> integer grayscale ->
     floor-binned box sums -> cross-multiplied bit compares -> four
@@ -4914,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["resolve_revisits"] = resolve_revisits_q
     out["main_content"] = main_content_q
     out["image_resize"] = image_resize
+    out["trap_flags"] = trap_flags_q
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -4998,4 +5079,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["main_content"] = _main_content_oracle_sql()
     # box-mean thumbnail pixels vs SUM // COUNT closed-form SQL
     oracles["image_resize"] = _image_resize_oracle_sql()
+    # zero-shuffle HOF trap signals vs DuckDB list-lambda restatement
+    oracles["trap_flags"] = _trap_flags_oracle_sql()
     return oracles
