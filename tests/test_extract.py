@@ -86,3 +86,34 @@ def test_case_insensitive_tags_and_empty_page(spark):
     assert [r["block"] for r in rows] == ["", PROSE, ""]
     out = main_content(_pages(spark, "")).collect()[0]
     assert (out["main_text"], out["n_blocks"], out["n_kept"]) == ("", 1, 0)
+
+
+def test_domain_stats_hand_computed(spark):
+    """operators/quality.domain_stats: www-strip + last-two-label domain
+    reduction, integer means, and the majority-short drop rule."""
+    from warc_metadata_sidecar_spark.operators.quality import domain_stats
+
+    long_t = "x" * 300
+    rows = [
+        ("www.a.example.org", long_t),   # -> example.org
+        ("a.example.org", long_t),
+        ("b.example.org", "short"),      # 1 short of 3 -> keep
+        ("www.junk.net", "tiny"),        # -> junk.net, 2 short of 2 -> drop
+        ("junk.net", "small"),
+        ("solo.io", long_t),             # 2-label host stays solo.io
+    ]
+    got = {
+        r["domain"]: r
+        for r in domain_stats(
+            spark.createDataFrame(rows, "host string, text string")
+        ).collect()
+    }
+    assert set(got) == {"example.org", "junk.net", "solo.io"}
+    eo = got["example.org"]
+    assert (eo["n_docs"], eo["sum_chars"], eo["n_short"], eo["keep"]) == (
+        3, 605, 1, True,
+    )
+    assert eo["mean_chars_x1000"] == 605 * 1000 // 3
+    jn = got["junk.net"]
+    assert (jn["n_docs"], jn["n_short"], jn["keep"]) == (2, 2, False)
+    assert got["solo.io"]["n_docs"] == 1

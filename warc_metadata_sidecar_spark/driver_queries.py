@@ -3492,6 +3492,64 @@ FROM calc ORDER BY url
 """
 
 
+def domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality aggregation (operators/quality.domain_stats)
+    over hosts derived from doc_id (50 domains, www. prefix on half to
+    exercise the strip) — integer sums only, so the DuckDB twin is
+    exact without a float-rounding contract."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.quality import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.format_string(
+        "%shost%02d.example.com",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        (F.col("doc_id") % 50).cast("int"),
+    )
+    return domain_stats(
+        docs.select(host.alias("host"), "text")
+    ).orderBy("domain")
+
+
+def _domain_stats_oracle_sql() -> str:
+    """Note the domain rule twin: last two labels of the www-stripped
+    host — every synthesized host reduces to 'example.com', so the whole
+    corpus aggregates into ONE domain row (deliberate: the mega-domain
+    skew case)."""
+    return """
+WITH f AS (
+  SELECT printf('%shost%02d.example.com',
+                CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,
+                CAST(doc_id % 50 AS INT)) AS host,
+         coalesce(text, '') AS t
+  FROM documents
+),
+sig AS (
+  SELECT array_to_string(list_slice(parts, greatest(len(parts) - 1, 1),
+                                    greatest(len(parts) - 1, 1) + 1), '.')
+             AS domain,
+         length(t) AS chars,
+         len(string_split_regex(trim(t), '\\s+')) AS tokens,
+         CASE WHEN length(t) < 200 THEN 1 ELSE 0 END AS short
+  FROM (SELECT string_split(regexp_replace(host, '^www\\.', ''), '.') AS parts,
+               t
+        FROM f)
+),
+agg AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+         CAST(SUM(short) AS BIGINT) AS n_short
+  FROM sig GROUP BY domain
+)
+SELECT domain, n_docs, sum_chars, sum_tokens, n_short,
+       (sum_chars * 1000) // n_docs AS mean_chars_x1000,
+       NOT (n_short * 2 > n_docs) AS keep
+FROM agg ORDER BY domain
+"""
+
+
 def _image_phash_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form raster -> integer grayscale ->
     floor-binned box sums -> cross-multiplied bit compares -> four
@@ -4995,6 +5053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["main_content"] = main_content_q
     out["image_resize"] = image_resize
     out["trap_flags"] = trap_flags_q
+    out["domain_stats"] = domain_stats_q
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -5081,4 +5140,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_resize"] = _image_resize_oracle_sql()
     # zero-shuffle HOF trap signals vs DuckDB list-lambda restatement
     oracles["trap_flags"] = _trap_flags_oracle_sql()
+    # integer-sum domain aggregate vs DuckDB twin (one mega-domain row)
+    oracles["domain_stats"] = _domain_stats_oracle_sql()
     return oracles

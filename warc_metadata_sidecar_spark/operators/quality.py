@@ -422,3 +422,59 @@ def compression_ratio(docs: DataFrame, text_col: str = "text", level: int = 6) -
         "n_bytes",
         F.round(_dlen(F.col("_t")) / F.col("n_bytes"), 6).alias("ratio"),
     )
+
+
+def domain_stats(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    short_chars: int = 200,
+) -> DataFrame:
+    """Per-domain quality aggregation — the domain-level filtering stage
+    of the RefinedWeb/CCNet family (drop whole domains whose pages are
+    mostly junk, instead of re-judging every page). The reference has no
+    cross-record state at all (warc_metadata_sidecar.py is per-record);
+    this is the curation-side aggregate a 100 TB pipeline needs before
+    per-page gates.
+
+    Domain = the host minus a leading 'www.' reduced to its last two
+    labels — a deterministic stand-in for a public-suffix-list lookup
+    (honest simplification: 'example.co.uk' reduces to 'co.uk'; a PSL
+    table would be a broadcast join on the same column).
+
+    INTEGER-exact on purpose: only counts and integer sums aggregate
+    (float sums are partition-order-dependent and would break the
+    oracle); mean_chars_x1000 = sum_chars * 1000 div n_docs. keep =
+    NOT (2 * n_short > n_docs) — a domain mostly under short_chars is
+    dropped wholesale.
+
+    Scale: one map-side-combined groupBy(domain) — a single exchange on
+    a low-cardinality key; AQE handles the skewed mega-domain."""
+    host = F.regexp_replace(F.col(host_col), r"^www\.", "")
+    labels = F.split(host, r"\.")
+    domain = F.concat_ws(
+        ".", F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2)
+    )
+    chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    tokens = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    sig = docs.select(
+        domain.alias("domain"),
+        chars.alias("_chars"),
+        tokens.alias("_tokens"),
+        (chars < short_chars).cast("int").alias("_short"),
+    )
+    agg = sig.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("sum_chars"),
+        F.sum("_tokens").cast("long").alias("sum_tokens"),
+        F.sum("_short").cast("long").alias("n_short"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        "n_short",
+        F.expr("(sum_chars * 1000) div n_docs").alias("mean_chars_x1000"),
+        (~(F.col("n_short") * 2 > F.col("n_docs"))).alias("keep"),
+    )
