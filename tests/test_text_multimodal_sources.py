@@ -2021,3 +2021,105 @@ def test_decode_jpeg_ycck_app14():
     k = np.array(_naive_jpeg_plane(kpl, 2, 2, quant), dtype=np.float64)
     exp = np.clip(np.floor(np.stack([y * k] * 3, axis=2) / 255.0 + 0.5), 0, 255).astype(np.uint8)
     assert (got[3] == exp).all()
+
+
+def _enc_jpeg12_dc(tiles_ycc, w=16, h=16, gray=False):
+    """Test-local 12-BIT extended-sequential encoder (SOF1, precision 12):
+    DC-only flat 8x8 tiles under an all-ones quant table — F(0,0) =
+    8*(v-2048) is integer-exact, so decode recovers v verbatim before
+    the >>4 contract mapping. DC table = 16 categories at 5 bits
+    (canonical codes 0..15; '11111' stays unassigned per T.81 C.2),
+    AC = the 1-bit EOB."""
+    import struct as st
+
+    buf = bytearray()
+    acc = nb = 0
+
+    def put(v, n):
+        nonlocal acc, nb
+        for i in range(n - 1, -1, -1):
+            acc = (acc << 1) | ((v >> i) & 1)
+            nb += 1
+            if nb == 8:
+                buf.append(acc)
+                if acc == 0xFF:
+                    buf.append(0x00)
+                acc = nb = 0
+
+    nc = 1 if gray else 3
+    preds = [0] * nc
+    for tile in tiles_ycc:
+        for ci in range(nc):
+            dc = 8 * (tile[ci] - 2048)
+            diff, preds[ci] = dc - preds[ci], dc
+            s = abs(diff).bit_length()
+            put(s, 5)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            put(0, 1)  # EOB
+    if nb:
+        put((1 << (8 - nb)) - 1, 8 - nb)
+
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    comps = bytes([1, 0x11, 0]) if gray else bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += (
+        b"\xff\xc1" + st.pack(">H", 2 + 6 + 3 * nc)
+        + bytes([12]) + st.pack(">HH", h, w) + bytes([nc]) + comps
+    )
+    out += (
+        b"\xff\xc4" + st.pack(">H", 2 + 17 + 16)
+        + bytes([0x00, 0, 0, 0, 0, 16] + [0] * 11) + bytes(range(16))
+    )
+    out += (
+        b"\xff\xc4" + st.pack(">H", 2 + 17 + 1)
+        + bytes([0x10, 1] + [0] * 15 + [0x00])
+    )
+    sos = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) + bytes([0, 63, 0])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+    return out + bytes(buf) + b"\xff\xd9"
+
+
+def test_decode_jpeg_12bit_dc_tiles_hand_computed():
+    """12-bit SOF1 decode: 0..4095 samples recover exactly, map to the
+    8-bit contract by >>4, then the standard JFIF color convert — all
+    hand-computable. Covers extreme DC categories (values near 0 and
+    4095 -> 15-bit differences) and the grayscale single-component
+    path."""
+    from warc_metadata_sidecar_spark.operators.multimodal import decode_pixels
+
+    tiles = [
+        (10, 2048, 2048),      # near-black, neutral chroma
+        (4090, 2048, 2048),    # near-peak: 15-bit DC swing
+        (2048, 100, 4000),     # saturated chroma
+        (1024, 2048, 2048),
+    ]
+    dec = decode_pixels(_enc_jpeg12_dc(tiles))
+    assert dec is not None
+    w, h, _, img = dec
+    assert (w, h) == (16, 16)
+
+    def jfif(y, cb, cr):
+        import math
+        r = min(255, max(0, math.floor(y + 1.402 * (cr - 128) + 0.5)))
+        g = min(255, max(0, math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+        b = min(255, max(0, math.floor(y + 1.772 * (cb - 128) + 0.5)))
+        return (r, g, b)
+
+    for t, (vy, vcb, vcr) in enumerate(tiles):
+        ty, tx = divmod(t, 2)
+        want = jfif(vy // 16, vcb // 16, vcr // 16)
+        got = tuple(int(v) for v in img[ty * 8, tx * 8])
+        assert got == want, (t, got, want)
+        assert (img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] == want).all()
+
+    gray = decode_pixels(_enc_jpeg12_dc([(4095,), (0,), (2048,), (16,)], gray=True))
+    assert gray is not None
+    gw, gh, _, gimg = gray
+    for t, (v,) in enumerate([(4095,), (0,), (2048,), (16,)]):
+        ty, tx = divmod(t, 2)
+        assert (gimg[ty * 8, tx * 8] == [v // 16] * 3).all(), t
+
+    # baseline marker (C0) with precision 12 is malformed -> None
+    bad = _enc_jpeg12_dc(tiles).replace(b"\xff\xc1", b"\xff\xc0", 1)
+    assert decode_pixels(bad) is None

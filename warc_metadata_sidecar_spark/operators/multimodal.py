@@ -443,9 +443,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
     integer-samples-then-color-convert order libjpeg uses. Grayscale
     replicates to 3 channels like the netpbm path. Progressive (SOF2)
     delegates to _decode_jpeg_progressive (r7); Adobe CMYK/YCCK decodes
-    through _jpeg_finish (r7); arithmetic coding and 12-bit precision
-    return None (those stay behind the PIL seam), as does any structurally
-    corrupt stream."""
+    through _jpeg_finish (r7); 12-BIT extended-sequential (SOF1 with
+    precision 12, T.81 table B.2) decodes natively (r7b): DC difference
+    categories widen to 15, the level shift is 2048, and the 0..4095
+    integer samples map to the engine's 8-bit RGB contract by >>4
+    (floor) BEFORE the standard color convert. Arithmetic coding returns
+    None (the table-constant seam: the spec's Qe table is not available
+    to verify against, and a from-memory table would decode only files
+    this repo itself encoded), as does any structurally corrupt
+    stream."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -484,8 +490,13 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
                 qt[tq] = nat
                 i += n
         elif marker in (0xC0, 0xC1):  # baseline / extended-sequential Huffman
-            if len(body) < 6 or body[0] != 8:
+            # baseline (C0) is 8-bit by definition; extended sequential
+            # (C1) also allows 12-bit (T.81 B.2 sample-precision column)
+            if len(body) < 6 or body[0] not in (8, 12) or (
+                marker == 0xC0 and body[0] != 8
+            ):
                 return None
+            prec = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -496,7 +507,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
                  body[8 + 3 * j])
                 for j in range(nc)
             ]
-            frame = (w, h, comps)
+            frame = (w, h, comps, prec)
         elif marker == 0xC2:  # progressive: the multi-scan decoder (r7)
             return _decode_jpeg_progressive(data)
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
@@ -538,8 +549,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
         pos += 2 + seglen
     if frame is None or scan is None:
         return None
-    w, h, comps = frame
+    w, h, comps, prec = frame
     scomps, entropy_start = scan
+    max_dc_cat = 11 if prec == 8 else 15  # T.81 F.1.2.1.2
 
     # single-component scans form one-block MCUs regardless of declared
     # sampling factors (T.81 A.2.3) — normalize so the geometry below holds
@@ -628,7 +640,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
                         for bx in range(comps[ci][1]):
                             coef = np.zeros(64)
                             s = huffdec(dct)
-                            if s > 11:
+                            if s > max_dc_cat:
                                 raise _JpegErr
                             preds[ci] += receive_extend(s)
                             coef[0] = preds[ci] * q[0]
@@ -661,8 +673,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
 
     # integer component samples first (libjpeg order), then upsample + color
     samples = []
+    center, peak = (128.0, 255) if prec == 8 else (2048.0, 4095)
     for ci, c in enumerate(comps):
-        p = np.clip(np.floor(planes[ci] + 128.0 + 0.5), 0, 255)
+        p = np.clip(np.floor(planes[ci] + center + 0.5), 0, peak)
+        if prec == 12:
+            p = np.floor(p / 16.0)  # 0..4095 -> the 8-bit RGB contract
         p = np.repeat(np.repeat(p, vmax // c[2], axis=0), hmax // c[1], axis=1)
         samples.append(p[:h, :w])
     return _jpeg_finish(samples, w, h, adobe_transform)
@@ -772,7 +787,8 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, np.ndarray] | 
                     for c in comps
                 ):
                     return None
-                frame = (w, h, comps)
+                frame = (w, h, comps)  # progressive stays 8-bit (SOF2 parse
+                # above rejects other precisions)
                 mcux = -(-w // (8 * hmax))
                 mcuy = -(-h // (8 * vmax))
                 # per-component block grids at FULL interleaved size; the
