@@ -860,3 +860,65 @@ def test_signature_tranche_r7():
     xls = ole + b"\x00\x00\x00\x00" + "Workbook".encode("utf-16-le")
     assert sniff_mime(None, xls)[2] == "fmt/61"
     assert sniff_mime(None, ole + b"\x00" * 64)[2] == "fmt/111"
+
+
+def test_language_r7_token_profiles():
+    """r7 tranche: Swahili, Tagalog, Albanian, Azerbaijani (split from
+    Turkish via its ə-bearing forms), Estonian (split from Finnish),
+    Lithuanian + Latvian (mutual 'ir' dropped from both) — and the
+    near-neighbor languages must not flip."""
+    from warc_metadata_sidecar_spark.functions.detectors import detect_language
+
+    cases = [
+        ("sw", "SWAHILI", "lugha ya kiswahili inazungumzwa katika nchi nyingi "
+                          "za afrika mashariki kwa hiyo watu wengi sana "
+                          "wanasema kwamba hii ni lugha ambayo itaendelea "
+                          "kuwa muhimu lakini pia kama wake na yake"),
+        ("tl", "TAGALOG", "ang wikang tagalog ay sinasalita ng mga tao sa "
+                          "pilipinas ito ang batayan ng wikang pambansa hindi "
+                          "lamang siya ginagamit ngayon kundi naman sa "
+                          "kanyang kasaysayan dahil mayroon itong ating diwa"),
+        ("sq", "ALBANIAN", "gjuha shqipe është një gjuhë që flitet nga shumë "
+                           "njerëz dhe për këtë arsye janë bërë studime duke "
+                           "treguar se kjo gjuhë sipas historisë nëse shihet "
+                           "megjithatë mbetet e veçantë në ballkan të gjithë"),
+        ("az", "AZERBAIJANI", "azərbaycan dili haqqında məlumat dövlət "
+                              "tərəfindən verilir və bu dil müxtəlif "
+                              "bölgələrdə istifadə olunur həmçinin qonşu "
+                              "ölkələrdə yayılmışdır ilə görə qəbul "
+                              "edilmişdir"),
+        ("et", "ESTONIAN", "eesti keel on soome keele sugulane kuid nende "
+                           "vahel on palju erinevusi ning pärast pikka aega "
+                           "arenes ta omaette selle tõttu räägib rohkem kui "
+                           "miljon inimest seda oma emakeelena üle maa kõik "
+                           "ka aasta jooksul seoses sellega"),
+        ("lt", "LITHUANIAN", "lietuvių kalba yra viena seniausių kalbų nes "
+                             "buvo išlaikyta per amžius tačiau pagal "
+                             "kalbininkus labai daug formų išliko iš senovės "
+                             "savo struktūra kad apie tai kalbama dažnai "
+                             "taip pat mokslo metu"),
+        ("lv", "LATVIAN", "latviešu valoda tiek runāta latvijā un arī citur "
+                          "pasaulē pēc neatkarības atjaunošanas tikai tā "
+                          "kļuva par valsts valodu starp citu vairāk nekā "
+                          "miljons cilvēku kurā katru gada dienu lieto savu "
+                          "valodu kas varētu būt vai ne"),
+    ]
+    for code, name, text in cases:
+        got = detect_language(text)
+        assert got is not None, code
+        top = got["languages"][0]
+        assert (top["code"], top["name"]) == (code, name), (code, got["languages"][:2])
+    # neighbors stay put: Turkish (bir/bu/daha core Azerbaijani avoids),
+    # Finnish (ja/on/ei core Estonian avoids), Indonesian (its yang/dan
+    # core is deliberately NOT split into a Malay profile), Croatian
+    # ('na' kept out of Swahili/Tagalog)
+    tr = ("türkçe bir dil ve bu dil için ile birlikte olarak daha çok "
+          "insan gibi ancak sonra kadar olan ama değil")
+    assert detect_language(tr)["languages"][0]["code"] == "tr"
+    fi = ("suomen kieli ja sen puhujat on täällä ei vain suomessa että se "
+          "hän oli mutta myös kuin niin jos ovat sekä muualla")
+    assert detect_language(fi)["languages"][0]["code"] == "fi"
+    hr = ("hrvatski jezik što se govori u hrvatskoj ili koji također ima "
+          "povijest nakon mnogo godina zbog toga između prema tijekom "
+          "stoljeća gdje su svoje oblike bio sačuvao")
+    assert detect_language(hr)["languages"][0]["code"] == "hr"

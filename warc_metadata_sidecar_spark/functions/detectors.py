@@ -864,6 +864,22 @@ _LANG_PROFILES: dict[str, tuple[str, frozenset[str]]] = {
     "id": ("INDONESIAN", frozenset("yang dan di dengan untuk tidak dari ini itu adalah pada akan juga telah".split())),
     "bg": ("BULGARIAN", frozenset("ще са това като който също след което между би беше през върху".split())),
     "sk": ("SLOVAK", frozenset("sú aj ako bol ktoré tiež podľa medzi alebo keď pretože môže".split())),
+    # r7 tranche: seven more token profiles, distinctive-only markers
+    # (the Dutch lesson throughout). Swahili/Tagalog avoid 'na' (Croatian);
+    # Azerbaijani keys on its ə-bearing forms, never the bir/bu/daha core
+    # shared with Turkish; Estonian avoids Finnish's ja/on/ei core;
+    # Lithuanian and Latvian BOTH drop 'ir' (lt 'and' vs lv 'is' — a
+    # mutual-dilution token) and key on disjoint function words (savo vs
+    # savu). Malay is deliberately ABSENT: its function-word core is the
+    # Indonesian profile (yang/dan/di/untuk...), and a marker table cannot
+    # honestly split ms from id — cld2 uses distribution statistics there.
+    "sw": ("SWAHILI", frozenset("kwa katika kwamba ambayo lakini sana kuwa wake yake hii hiyo pia watu kama".split())),
+    "tl": ("TAGALOG", frozenset("ang mga ito hindi siya kanyang dahil ngayon lamang naman ating mayroon".split())),
+    "sq": ("ALBANIAN", frozenset("të për është janë shumë kjo duke nëse sipas megjithatë nga".split())),
+    "az": ("AZERBAIJANI", frozenset("və həmçinin müxtəlif olunur dövlət məlumat haqqında edilmişdir ilə görə".split())),
+    "et": ("ESTONIAN", frozenset("ning kuid pärast vahel seoses üle rohkem aasta selle kõik oma ka".split())),
+    "lt": ("LITHUANIAN", frozenset("yra kad iš buvo tačiau labai pagal savo metu dažnai apie taip".split())),
+    "lv": ("LATVIAN", frozenset("arī tikai pēc starp gada tiek vairāk savu kurā varētu kas vai".split())),
     # ...and SCRIPT-keyed languages (cld2 is script-first for these):
     # kana/hangul (r4) and the r5 additions — Arabic, Hebrew, Greek,
     # Devanagari->Hindi, Thai — where the characters are themselves the
