@@ -3550,6 +3550,91 @@ FROM agg ORDER BY domain
 """
 
 
+def unigram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (operators/unigram.py, the
+    SentencePiece apply path) over the documents corpus with the shared
+    literal piece table: the MODULE memoizes Viterbi per DISTINCT word
+    (Python cost O(vocabulary)); the oracle is the sequential Python
+    twin — same DP, same scan order, same literal float64 adds —
+    rendered as VALUES."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.unigram import unigram_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_token_counts(docs, gen.unigram_pieces()).orderBy("piece")
+
+
+def _twin_viterbi(word: str, pieces: dict[str, float], max_len: int = 8) -> list[str]:
+    """INDEPENDENT re-implementation of the segmentation spec (candidate
+    list + explicit max / smallest-i tie pick, vs the engine's in-place
+    strict-> update loop): equal results iff both honor the contract."""
+    n = len(word)
+    best = {0: 0.0}
+    back: dict[int, tuple[int, str]] = {}
+    for j in range(1, n + 1):
+        cands = []
+        for i in range(max(0, j - max_len), j):
+            pc = word[i:j]
+            lp = pieces.get(pc)
+            if lp is None and j - i == 1:
+                lp = -20.0  # UNK_LOGP by value, not by import
+            if lp is None:
+                continue
+            cands.append((best[i] + lp, i, pc))
+        top = max(c[0] for c in cands)
+        _, i, pc = min(c for c in cands if c[0] == top)  # smallest i on ties
+        best[j] = top
+        back[j] = (i, pc)
+    out, j = [], n
+    while j > 0:
+        i, pc = back[j]
+        out.append(pc)
+        j = i
+    out.reverse()
+    return out
+
+
+def _unigram_counts_oracle_sql(sf_dir: str | None = None) -> str:
+    """Sequential twin: independent Python re-segmentation of every
+    distinct word (ASCII [^a-zA-Z0-9_]+ split — Java regex \\w is
+    ASCII-only, unlike Python's, so the twin spells the class out)
+    rendered as VALUES."""
+    import duckdb
+
+    from warc_metadata_sidecar_spark import gen
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    texts = [
+        r[0] or ""
+        for r in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    import re as _re
+
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in _re.split(r"[^a-zA-Z0-9_]+", t.lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    pieces = gen.unigram_pieces()
+    counts: dict[str, int] = {}
+    for w, c in wc.items():
+        for piece in _twin_viterbi(w, pieces):
+            counts[piece] = counts.get(piece, 0) + c
+    rows = ",\n    ".join(
+        f"('{p}', {n})" for p, n in sorted(counts.items())
+    )
+    return f"""
+WITH t(piece, n) AS (VALUES
+    {rows}
+)
+SELECT piece, CAST(n AS BIGINT) AS n FROM t ORDER BY piece
+"""
+
+
 def _image_phash_oracle_cte() -> str:
     """Shared DuckDB CTE chain: closed-form raster -> integer grayscale ->
     floor-binned box sums -> cross-multiplied bit compares -> four
@@ -5054,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["image_resize"] = image_resize
     out["trap_flags"] = trap_flags_q
     out["domain_stats"] = domain_stats_q
+    out["unigram_counts"] = unigram_counts_q
     # least-recently-driver-checked first (see _driver_check_rounds): the
     # driver's 50-entry sample then rotates the full inventory across rounds
     try:
@@ -5142,4 +5228,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["trap_flags"] = _trap_flags_oracle_sql()
     # integer-sum domain aggregate vs DuckDB twin (one mega-domain row)
     oracles["domain_stats"] = _domain_stats_oracle_sql()
+    # distinct-word-memoized Viterbi segmentation vs the independent
+    # sequential DP twin rendered as VALUES
+    oracles["unigram_counts"] = _unigram_counts_oracle_sql()
     return oracles

@@ -1004,6 +1004,29 @@ def afp_media(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(afp_rows(), schema.MEDIA)
 
 
+def unigram_pieces() -> dict[str, float]:
+    """Deterministic unigram piece table for the segmentation fixtures:
+    every lowercase letter/digit (distinct log-probs so DP ties are
+    structural, not accidental) plus common English subwords. Shared by
+    the engine query and the sequential oracle twin — the same literal
+    float64 values add in the same order on both sides."""
+    pieces: dict[str, float] = {}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        pieces[ch] = -8.0 - i * 0.01
+    for i, ch in enumerate("0123456789_"):
+        pieces[ch] = -9.0 - i * 0.01
+    pieces.update(
+        {
+            "th": -3.2, "he": -3.5, "in": -3.4, "er": -3.6, "an": -3.55,
+            "re": -3.7, "on": -3.65, "at": -3.75, "es": -3.8, "ed": -3.85,
+            "or": -3.9, "ar": -3.95, "st": -3.97, "le": -3.99, "is": -4.01,
+            "ing": -3.0, "ion": -3.1, "ent": -3.2, "ati": -3.3, "ter": -3.35,
+            "the": -2.5, "and": -2.6, "for": -2.7, "with": -2.8, "data": -2.9,
+        }
+    )
+    return pieces
+
+
 def seed_rows(n_seeds: int = 20) -> list[dict]:
     """Pure-Python seed frontier rows (no Spark) — shared by seed_frontier
     and the simulator-backed crawl_rounds oracle."""
