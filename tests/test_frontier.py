@@ -1305,6 +1305,34 @@ def test_pagerank_dangling_and_partition_invariance(spark):
     assert r2 == r  # bit-identical, not approximately
 
 
+def test_hits_scores_and_partition_invariance(spark):
+    """frontier/graph.hits: authorities L1-normalize to 1, the node every
+    hub points at is the top authority, the node linking to the most
+    authorities is the top hub, and exact mode is BIT-identical under a
+    different input partitioning (sorted folds)."""
+    from warc_metadata_sidecar_spark.frontier.graph import hits
+
+    # 0,1,2 all point at 3; 0 matches 2's weight there AND fans out to
+    # 1 and 4, so hub(0) = hub(2) + a(1) + a(4) strictly dominates
+    edges = spark.createDataFrame(
+        [(0, 3, 2), (1, 3, 1), (2, 3, 2), (0, 1, 1), (0, 4, 1)],
+        "src: long, dst: long, weight: long",
+    )
+    rows = {x["node"]: (x["hub"], x["authority"]) for x in hits(edges, iters=4).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert abs(sum(a for _, a in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(h for h, _ in rows.values()) - 1.0) < 1e-9
+    assert rows[3][1] == max(a for _, a in rows.values())
+    assert rows[0][0] == max(h for h, _ in rows.values())
+    assert rows[3][0] == 0.0  # node 3 has no out-edges: zero hub
+    assert rows[4][0] == 0.0
+    rows2 = {
+        x["node"]: (x["hub"], x["authority"])
+        for x in hits(edges.repartition(7), iters=4).collect()
+    }
+    assert rows2 == rows  # bit-identical, not approximately
+
+
 def test_recrawl_schedule_hand_computed_and_single_exchange(spark):
     """frontier/recrawl.recrawl_schedule: smoothed inverse-change-rate
     intervals against a hand-computed table, first-observation null lag

@@ -2463,6 +2463,16 @@ def _ivf_centroid_twin(sf_dir: str | None = None) -> list[tuple[int, int, float,
     return rows
 
 
+def _dbl(x: float) -> str:
+    """Render a double for a VALUES oracle WITHOUT the last-ulp loss:
+    DuckDB types a bare `0.018173914520975658` literal DECIMAL(19,18)
+    and the decimal->double cast can land one ulp off the Python value,
+    while CAST('<shortest-repr>' AS DOUBLE) goes through strtod and
+    round-trips exactly. Only needed by the bit-exact (unrounded)
+    twins — the _spark_round6-style twins are decimal-exact already."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def _sorted_mean(xs: list[float]) -> float:
     """Mean via the sorted sequential fold — the twin of the engine's
     aggregate(array_sort(collect_list(x)), 0.0, +) / count."""
@@ -2717,10 +2727,101 @@ def _pagerank_twin(sf_dir: str | None = None) -> list[tuple[int, float]]:
 
 
 def _pagerank_oracle_sql(sf_dir: str | None = None) -> str:
-    values = ",\n    ".join(f"({v}, {r!r})" for v, r in _pagerank_twin(sf_dir))
+    values = ",\n    ".join(
+        f"({v}, {_dbl(r)})" for v, r in _pagerank_twin(sf_dir)
+    )
     return (
         "SELECT CAST(host AS BIGINT) AS host, CAST(rank AS DOUBLE) AS rank\n"
         f"FROM (VALUES\n    {values}) AS t(host, rank)\n"
+        "ORDER BY host"
+    )
+
+
+def hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the synthetic host graph
+    (frontier/graph.hits, r7): edges derived deterministically from
+    doc_id (src = doc_id % 40, dst = (doc_id*11+5) % 40, weight =
+    multiplicity), 4 L1-normalized rounds. BIT-EXACT against the
+    sequential twin (_hits_twin): sorted-fold contributions and norms,
+    fixed hub*w multiply / raw/norm divide order — no rounding."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.graph import hits
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(
+        "SELECT CAST(doc_id % 40 AS BIGINT) AS src, "
+        "CAST((doc_id * 11 + 5) % 40 AS BIGINT) AS dst FROM documents"
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    return (
+        hits(edges, iters=4)
+        .select(
+            F.col("node").cast("long").alias("host"),
+            F.col("hub").cast("double").alias("hub"),
+            F.col("authority").cast("double").alias("authority"),
+        )
+        .orderBy("host")
+    )
+
+
+def _hits_twin(sf_dir: str | None = None) -> list[tuple[int, float, float]]:
+    """Sequential twin of hits_hosts: same edge derivation, same hub*w
+    contribution multiply, ascending-sorted per-endpoint folds, ONE
+    ascending-sorted fold for each L1 norm, raw/norm divide — doubles
+    bit-identical to frontier/graph.hits(exact=True)."""
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    wt: dict[tuple[int, int], float] = {}
+    for i in ids:
+        k = (i % 40, (i * 11 + 5) % 40)
+        wt[k] = wt.get(k, 0.0) + 1.0
+    nodes = sorted({s for s, _ in wt} | {t for _, t in wt})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {v: 1.0 / n for v in nodes}
+
+    def _half(scores: dict[int, float], join_is_src: bool) -> dict[int, float]:
+        contribs: dict[int, list[float]] = {}
+        for (src, dst), w in wt.items():
+            join_end, out_end = (src, dst) if join_is_src else (dst, src)
+            contribs.setdefault(out_end, []).append(scores[join_end] * w)
+        raw: dict[int, float] = {}
+        for v, vals in contribs.items():
+            acc = 0.0
+            for c in sorted(vals):
+                acc += c
+            raw[v] = acc
+        norm = 0.0
+        for r in sorted(raw.values()):
+            norm += r
+        if not norm:
+            return dict(scores)
+        return {v: raw.get(v, 0.0) / norm for v in nodes}
+
+    for _ in range(4):
+        auth = _half(hub, True)
+        hub = _half(auth, False)
+    return [(v, hub[v], auth[v]) for v in nodes]
+
+
+def _hits_oracle_sql(sf_dir: str | None = None) -> str:
+    values = ",\n    ".join(
+        f"({v}, {_dbl(h)}, {_dbl(a)})" for v, h, a in _hits_twin(sf_dir)
+    )
+    return (
+        "SELECT CAST(host AS BIGINT) AS host, CAST(hub AS DOUBLE) AS hub,\n"
+        "       CAST(authority AS DOUBLE) AS authority\n"
+        f"FROM (VALUES\n    {values}) AS t(host, hub, authority)\n"
         "ORDER BY host"
     )
 
@@ -2980,7 +3081,9 @@ def _classifier_train_twin(sf_dir: str | None = None) -> list[tuple[int, float]]
 
 def _classifier_train_oracle_sql() -> str:
     rows = _classifier_train_twin()
-    values = ",\n    ".join("({}, {!r})".format(b, x) for b, x in rows)
+    values = ",\n    ".join(
+        "({}, {})".format(b, _dbl(x)) for b, x in rows
+    )
     return f"""
 SELECT CAST(bucket AS INT) AS bucket, CAST(weight AS DOUBLE) AS weight
 FROM (VALUES
@@ -4252,8 +4355,9 @@ def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
         schedule_detail=detail,
     )
     values = ",\n    ".join(
-        "({}, '{}', '{}', '{}', {!r}, {})".format(
-            d["round"], d["canonical_url"], d["host"], d["url"], d["priority"], d["rnk"]
+        "({}, '{}', '{}', '{}', {}, {})".format(
+            d["round"], d["canonical_url"], d["host"], d["url"],
+            _dbl(d["priority"]), d["rnk"]
         )
         for d in detail
     )
@@ -5110,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_score"] = bm25_score_q
     out["hard_negatives"] = hard_negatives_q
     out["pagerank_hosts"] = pagerank_hosts
+    out["hits_hosts"] = hits_hosts
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5200,6 +5305,7 @@ def oracle_sql() -> dict[str, str]:
     # PageRank over the synthetic host graph vs the bit-exact sequential
     # twin rendered as VALUES (sorted-fold arithmetic on both sides)
     oracles["pagerank_hosts"] = _pagerank_oracle_sql()
+    oracles["hits_hosts"] = _hits_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

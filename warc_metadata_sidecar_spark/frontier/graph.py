@@ -94,3 +94,86 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    exact: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities over the host graph: returns
+    (node, hub, authority). Per round (Kleinberg's update, L1-normalized
+    so the twin needs no sqrt):
+
+        raw_a(v) = sum_{u->v} hub(u) * w(u,v);   a = raw_a / sum(raw_a)
+        raw_h(u) = sum_{u->v} a(v)   * w(u,v);   h = raw_h / sum(raw_h)
+
+    Crawl schedulers use the authority side as a discovery prior the
+    same way pagerank() is used above; hubs rank link-farm-ish pages for
+    trap demotion. The reference has no graph stage (its loop is
+    per-record, warc_metadata_sidecar.py:205) — this extends SURVEY §2's
+    N-ops frontier family.
+
+    Determinism contract (exact=True): per-node contributions fold in
+    ascending sorted order, each contribution computed as hub*w (ONE
+    multiply), the L1 norm folds the per-node raw scores sorted
+    ascending, and each normalized score is raw/norm (ONE divide) — the
+    sequential twin (driver_queries._hits_twin) replays bit-for-bit.
+
+    Scale shape (10^9-host graphs): same two-exchange-per-half-round as
+    pagerank — scores join edges on the score key, contributions
+    aggregate on the other endpoint (both map-side-combinable in
+    exact=False mode); the L1 norm is ONE collected scalar per
+    half-round (a sorted fold over node-cardinality raw scores); score
+    frames are node-cardinality and localCheckpoint-ed per round to keep
+    lineage flat (persist(DISK) on a real cluster)."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    agg_fold = _sorted_sum if exact else (lambda c: F.sum(c))
+    hubs = nodes.withColumn("h", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    auth = nodes.withColumn("a", F.lit(1.0 / n)).localCheckpoint(eager=True)
+
+    def _half(scores: DataFrame, score_col: str, join_end: str, out_end: str,
+              out_col: str) -> DataFrame:
+        contrib = (
+            e.join(scores, e[join_end] == scores["node"])
+            .select(
+                F.col(out_end).alias("endp"),
+                (F.col(score_col) * F.col("w")).alias("c"),
+            )
+        )
+        raw = contrib.groupBy("endp").agg(agg_fold("c").alias("raw"))
+        norm = raw.agg(_sorted_sum("raw").alias("s")).collect()[0]["s"]
+        if not norm:  # edgeless graph: scores stay at their prior
+            return scores.select("node", F.col(score_col).alias(out_col))
+        return (
+            nodes.join(raw, nodes["node"] == raw["endp"], "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(norm)).alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        auth = _half(hubs, "h", "src", "dst", "a")
+        hubs = _half(auth, "a", "dst", "src", "h")
+    return (
+        hubs.join(auth.withColumnRenamed("node", "anode"),
+                  hubs["node"] == F.col("anode"))
+        .select("node", "h", F.col("a").alias("authority"))
+        .withColumnRenamed("h", "hub")
+    )
