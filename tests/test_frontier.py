@@ -1333,6 +1333,60 @@ def test_hits_scores_and_partition_invariance(spark):
     assert rows2 == rows  # bit-identical, not approximately
 
 
+def test_url_blocklist_semantics_modes_and_mapside_plan(spark):
+    """frontier/urlfilter.blocklist_filter: registrable-suffix matching
+    (exact host, dotted suffix, most-specific entry wins, NO substring
+    leak like notbadads.net), port/userinfo stripping, ASCII
+    word-boundary keywords ('casinos'/'mixxxed' do NOT match), shuffle
+    mode equals broadcast mode, and the broadcast plan is map-side —
+    zero exchanges."""
+    from warc_metadata_sidecar_spark.frontier.urlfilter import blocklist_filter
+
+    urls = [
+        "https://badads.net/a",                      # exact match
+        "https://x.badads.net/a",                    # suffix match
+        "https://a.tracker.badads.net/a",            # two entries match -> deeper
+        "https://notbadads.net/a",                   # substring must NOT match
+        "https://user:pw@shop.spam-casino.com:8080/i",  # userinfo+port strip
+        "https://clean.org/go/casino-now",           # keyword hit
+        "https://clean.org/casinos",                 # boundary: no match
+        "https://clean.org/read?x=mixxxed",          # boundary: no match
+        "https://clean.org/watch?q=XXX",             # case-insensitive hit
+        "https://fine.example.org/page",             # clean
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    bl = spark.createDataFrame(
+        [("badads.net",), ("tracker.badads.net",), ("spam-casino.com",)],
+        "domain: string",
+    )
+    out = blocklist_filter(df, bl, ("casino", "xxx"))
+    got = {r["url"]: (r["blocked_domain"], r["blocked_word"], r["keep"])
+           for r in out.collect()}
+    assert got[urls[0]] == ("badads.net", None, False)
+    assert got[urls[1]] == ("badads.net", None, False)
+    assert got[urls[2]] == ("tracker.badads.net", None, False)
+    assert got[urls[3]] == (None, None, True)
+    assert got[urls[4]] == ("spam-casino.com", None, False)
+    assert got[urls[5]] == (None, "casino", False)
+    assert got[urls[6]] == (None, None, True)
+    assert got[urls[7]] == (None, None, True)
+    assert got[urls[8]] == (None, "xxx", False)
+    assert got[urls[9]] == (None, None, True)
+    got_sh = {
+        r["url"]: (r["blocked_domain"], r["blocked_word"], r["keep"])
+        for r in blocklist_filter(df, bl, ("casino", "xxx"), mode="shuffle").collect()
+    }
+    assert got_sh == got
+    # map-side contract: every domain join broadcasts; the ONLY shuffle
+    # is the blocklist's own dedup (list-sized, build side) — the corpus
+    # never exchanges
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert final.count("BroadcastHashJoin") == 8
+    assert final.count("Exchange hashpartitioning") <= 1
+
+
 def test_recrawl_schedule_hand_computed_and_single_exchange(spark):
     """frontier/recrawl.recrawl_schedule: smoothed inverse-change-rate
     intervals against a hand-computed table, first-observation null lag

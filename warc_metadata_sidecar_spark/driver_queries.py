@@ -2826,6 +2826,98 @@ def _hits_oracle_sql(sf_dir: str | None = None) -> str:
     )
 
 
+# URL-blocklist fixture: five URL shapes from doc_id — clean hosts, a
+# suffix-blocked host at two depths (exercising most-specific-match),
+# an exact-blocked host WITH a port, and planted path keywords.
+_URLFIX_CTE = """
+ufix AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN @PRINTF('https://www.news%d.example.org/art/%d/clean',
+                          CAST(doc_id % 7 AS INT), CAST(doc_id AS INT))
+      WHEN 1 THEN @PRINTF('https://sub%d.badads.net/page/%d',
+                          CAST(doc_id % 3 AS INT), CAST(doc_id AS INT))
+      WHEN 2 THEN @PRINTF('http://shop.spam-casino.com:8080/item/%d',
+                          CAST(doc_id AS INT))
+      WHEN 3 THEN @PRINTF('https://h%d.clean.io/%d%s',
+                          CAST(doc_id % 11 AS INT), CAST(doc_id AS INT),
+                          CASE WHEN doc_id % 7 = 0 THEN '/casino-bonus'
+                               WHEN doc_id % 13 = 0 THEN '?q=XXX-stream'
+                               ELSE '/article' END)
+      ELSE @PRINTF('https://deep.sub%d.tracker.badads.net/x/%d',
+                   CAST(doc_id % 2 AS INT), CAST(doc_id AS INT))
+    END AS url
+  FROM documents
+)
+"""
+
+_URLFIX_DOMAINS = ("badads.net", "spam-casino.com", "tracker.badads.net")
+_URLFIX_WORDS = ("casino", "xxx")
+
+
+def url_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style URL filtering (frontier/urlfilter.blocklist_filter, r7)
+    over the planted URL fixture: registrable-suffix domain gate (most
+    specific of badads.net / tracker.badads.net wins on the deep hosts),
+    ASCII word-boundary path keywords, port-stripped host extraction.
+    Broadcast mode: the whole domain gate is map-side (plan-pinned in
+    tests/test_frontier.py)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.urlfilter import blocklist_filter
+
+    register_views(spark, sf_dir)
+    fix = spark.sql(
+        "WITH " + _render(_URLFIX_CTE, SPARK) + " SELECT doc_id, url FROM ufix"
+    )
+    bl = spark.createDataFrame([(d,) for d in _URLFIX_DOMAINS], "domain: string")
+    return (
+        blocklist_filter(fix, bl, _URLFIX_WORDS)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "host",
+            "blocked_domain",
+            "blocked_word",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _url_blocklist_oracle_sql() -> str:
+    domains = ", ".join(f"('{d}')" for d in _URLFIX_DOMAINS)
+    words = "|".join(sorted(_URLFIX_WORDS))
+    return f"""
+WITH {_render(_URLFIX_CTE, DUCK)},
+hosted AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           ':[0-9]+$', '') AS host,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS path
+  FROM ufix
+),
+bl(domain) AS (VALUES {domains}),
+dm AS (
+  SELECT h.doc_id,
+         max_by(b.domain,
+                len(b.domain) - len(replace(b.domain, '.', ''))) AS blocked_domain
+  FROM hosted h JOIN bl b
+    ON h.host = b.domain OR h.host LIKE '%.' || b.domain
+  GROUP BY h.doc_id
+)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id, h.host,
+       dm.blocked_domain,
+       nullif(lower(regexp_extract(h.path, '(?i)\\b({words})\\b', 1)), '')
+         AS blocked_word,
+       (dm.blocked_domain IS NULL
+        AND nullif(lower(regexp_extract(h.path, '(?i)\\b({words})\\b', 1)), '')
+            IS NULL) AS keep
+FROM hosted h LEFT JOIN dm ON h.doc_id = dm.doc_id
+ORDER BY doc_id
+"""
+
+
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment MODULE path over the planted quote-inclusion fixture —
     same rows as the dual-dialect SQL twin, planned as the operator's
@@ -5215,6 +5307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hard_negatives"] = hard_negatives_q
     out["pagerank_hosts"] = pagerank_hosts
     out["hits_hosts"] = hits_hosts
+    out["url_blocklist"] = url_blocklist_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5306,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
     # twin rendered as VALUES (sorted-fold arithmetic on both sides)
     oracles["pagerank_hosts"] = _pagerank_oracle_sql()
     oracles["hits_hosts"] = _hits_oracle_sql()
+    oracles["url_blocklist"] = _url_blocklist_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)
