@@ -1348,6 +1348,35 @@ def test_probe_meta_rejects_garbage_and_truncation():
     assert probe_audio_meta(noise) is None
 
 
+def test_probe_video_meta_hand_computed():
+    """MP4 mvhd v0/v1 offsets, tkhd 16.16 dims, EBML TimestampScale
+    default + DocType routing, truncation rejection."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_video_meta
+
+    assert probe_video_meta(gen._enc_mp4(320, 180, 600, 2700)) == (
+        "mp4", 320, 180, 4.5, 0,
+    )
+    assert probe_video_meta(gen._enc_mp4(640, 360, 90000, 630000, version=1)) == (
+        "mp4", 640, 360, 7.0, 0,
+    )
+    assert probe_video_meta(gen._enc_mkv(427, 240, 4500.0)) == (
+        "webm", 427, 240, 4.5, 0,
+    )
+    # matroska DocType (not webm) routes to fmt="mkv"
+    mkv = gen._enc_mkv(64, 48, 1000.0).replace(b"webm", b"matr")
+    assert probe_video_meta(mkv) == ("mkv", 64, 48, 1.0, 0)
+    # truncations / corruption reject, never raise
+    full = gen._enc_mp4(320, 180, 600, 2700)
+    for cut in (10, 30, 120):
+        assert probe_video_meta(full[:cut]) is None
+    assert probe_video_meta(gen._enc_mkv(4, 4, 2000.0)[:20]) is None
+    assert probe_video_meta(b"\x00" * 64) is None
+    # an mp4 whose moov carries no mvhd has no duration -> None
+    no_mvhd = full.replace(b"mvhd", b"xxhd")
+    assert probe_video_meta(no_mvhd) is None
+
+
 def test_probe_media_meta_dataframe(spark):
     from warc_metadata_sidecar_spark import gen
     from warc_metadata_sidecar_spark.operators.multimodal import probe_media_meta
@@ -1361,6 +1390,10 @@ def test_probe_media_meta_dataframe(spark):
     assert abs(m.duration_s - 26 * 1152 / 44100) < 1e-9
     o = got["probe://opus/10"]
     assert (o.fmt, o.duration_s, o.sample_rate) == ("opus", 2.0, 48000)
+    v = got["probe://mp4/14"]
+    assert (v.fmt, v.width, v.height, v.duration_s) == ("mp4", 640, 360, 7.0)
+    w = got["probe://webm/15"]
+    assert (w.fmt, w.width, w.height, w.duration_s) == ("webm", 427, 240, 4.5)
 
 
 # ---------------------------------------------------------------------------

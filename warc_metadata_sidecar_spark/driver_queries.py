@@ -3299,11 +3299,23 @@ def _multimodal_probe_meta_oracle_sql() -> str:
         # wav m=11: 64 frames @ 8000 stereo 16-bit; byte_rate 32000
         "SELECT 'probe://wav/11', 'wav', CAST(64 AS DOUBLE) / 8000, 8000, 2, CAST(round(32000 * 8 / 1000.0) AS INT)",
     ]
+    vid = [
+        # mp4 m=13: mvhd v0 duration 2700 @ timescale 600 = 4.5 s; the
+        # v0 layout totals 232 B (ftyp 16 + moov 8+108+100)
+        "SELECT 'probe://mp4/13' AS media_ref, 'mp4' AS fmt, 320 AS width, 180 AS height, CAST(2700 AS DOUBLE) / 600 AS duration_s, CAST(round(232 * 8 / (CAST(2700 AS DOUBLE) / 600) / 1000) AS INT) AS bitrate_kbps",
+        # mp4 m=14: mvhd v1 duration 630000 @ 90000 = 7 s; v1 totals 256 B
+        "SELECT 'probe://mp4/14', 'mp4', 640, 360, CAST(630000 AS DOUBLE) / 90000, CAST(round(256 * 8 / (CAST(630000 AS DOUBLE) / 90000) / 1000) AS INT)",
+        # webm m=15: float64 Duration 4500 x TimestampScale 10^6 ns = 4.5 s;
+        # the 1-byte-varint EBML layout totals 60 B
+        "SELECT 'probe://webm/15', 'webm', 427, 240, CAST(4500 AS DOUBLE) * 1000000 / 1000000000, CAST(round(60 * 8 / (CAST(4500 AS DOUBLE) * 1000000 / 1000000000) / 1000) AS INT)",
+    ]
     return (
         "WITH img AS ("
         + " UNION ALL ".join(img)
         + "), aud AS ("
         + " UNION ALL ".join(aud)
+        + "), vid AS ("
+        + " UNION ALL ".join(vid)
         + """)
 SELECT media_ref, fmt, width, height,
        CAST(NULL AS DOUBLE) AS duration_s, CAST(NULL AS INT) AS sample_rate,
@@ -3313,6 +3325,11 @@ UNION ALL
 SELECT media_ref, fmt, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
        duration_s, sample_rate, channels, bitrate_kbps
 FROM aud
+UNION ALL
+SELECT media_ref, fmt, width, height, duration_s,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS channels,
+       bitrate_kbps
+FROM vid
 ORDER BY media_ref
 """
     )

@@ -747,6 +747,64 @@ def _enc_ogg(codec: str, rate: int, nch: int, granule: int, preskip: int = 0) ->
     return page(0x02, 0, 0, ident) + page(0x04, granule, 1, b"\x00")
 
 
+def _enc_mp4(w: int, h: int, timescale: int, duration: int, version: int = 0) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)) with real field
+    layouts (ISO/IEC 14496-12): mvhd v0/v1 timescale+duration, tkhd
+    16.16 fixed-point dims. v0 totals 232 bytes, v1 totals 256 —
+    structural constants the probe-oracle bitrate slots divide out."""
+    import struct as st
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return st.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + st.pack(">I", 0))
+    if version:
+        mvhd_t = st.pack(">BxxxQQIQ", 1, 0, 0, timescale, duration)
+        tkhd_t = st.pack(">BxxxQQI4xQ", 1, 0, 0, 1, duration)
+    else:
+        mvhd_t = st.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        tkhd_t = st.pack(">BxxxIII4xI", 0, 0, 0, 1, duration)
+    tail = st.pack(">IH10x", 0x00010000, 0x0100) + _MP4_MATRIX + bytes(24) + st.pack(">I", 2)
+    mvhd = box(b"mvhd", mvhd_t + tail)
+    tkhd = box(
+        b"tkhd",
+        tkhd_t + bytes(8) + st.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+        + st.pack(">II", w << 16, h << 16),
+    )
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+_MP4_MATRIX = (
+    b"\x00\x01\x00\x00" + bytes(12) + b"\x00\x01\x00\x00" + bytes(12)
+    + b"\x40\x00\x00\x00"
+)
+
+
+def _enc_mkv(w: int, h: int, dur_scaled: float, scale_ns: int = 1_000_000) -> bytes:
+    """Minimal Matroska/WebM EBML: header(DocType webm) + Segment(
+    Info(TimestampScale, float64 Duration) + Tracks(TrackEntry(
+    TrackType video, Video(PixelWidth, PixelHeight)))). All sizes are
+    1-byte varints (bodies < 127 B); duration_s = dur_scaled * scale_ns
+    / 1e9."""
+    import struct as st
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        return eid + bytes([0x80 | len(body)]) + body
+
+    header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", scale_ns.to_bytes(3, "big"))
+        + el(b"\x44\x89", st.pack(">d", dur_scaled)),
+    )
+    video = el(
+        b"\xe0",
+        el(b"\xb0", w.to_bytes(2, "big")) + el(b"\xba", h.to_bytes(2, "big")),
+    )
+    tracks = el(b"\x16\x54\xae\x6b", el(b"\xae", el(b"\x83", b"\x01") + video))
+    return header + el(b"\x18\x53\x80\x67", info + tracks)
+
+
 def probe_rows() -> list[dict]:
     """Deterministic blobs for the container-metadata probe oracle: every
     compressed-container family whose PAYLOAD decode is stubbed but whose
@@ -778,6 +836,9 @@ def probe_rows() -> list[dict]:
     add("opus", 10, _enc_ogg("opus", 48000, 2, 96312, preskip=312), "audio")
     add("wav", 11, _enc_wav(11), "audio")
     add("png", 12, _enc_png(_rgb_raster(12)), "image")
+    add("mp4", 13, _enc_mp4(320, 180, 600, 2700, version=0), "video")
+    add("mp4", 14, _enc_mp4(640, 360, 90000, 630000, version=1), "video")
+    add("webm", 15, _enc_mkv(427, 240, 4500.0), "video")
     return rows
 
 

@@ -1671,6 +1671,135 @@ def probe_audio_meta(data: bytes) -> tuple[str, float, int, int, int] | None:
         return None
 
 
+def _mp4_children(data: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    data[pos:end] — 64-bit largesize (size==1) and to-EOF (size==0)
+    handled per ISO/IEC 14496-12 §4.2."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def probe_video_meta(data: bytes) -> tuple[str, int, int, float, int] | None:
+    """(fmt, width, height, duration_s, bitrate_kbps) from VIDEO container
+    headers only — no sample decode (the frame grab stays the honest
+    decode seam; frame_sample_plan consumes this metadata):
+
+      mp4   ISO-BMFF box walk: moov/mvhd (v0/v1) timescale+duration,
+            moov/trak/tkhd 16.16 fixed-point dims — first track with
+            nonzero dims wins (audio tracks carry 0x0)
+      webm/mkv  EBML walk: Segment/Info TimestampScale (default 10^6 ns)
+            + float Duration, Segment/Tracks/TrackEntry/Video
+            PixelWidth/PixelHeight; fmt from the EBML DocType
+
+    Returns None for unrecognized/corrupt blobs — never raises."""
+    try:
+        if len(data) < 12:
+            return None
+        if data[4:8] == b"ftyp":
+            timescale = duration = None
+            w = h = 0
+            for btype, b0, b1 in _mp4_children(data, 0, len(data)):
+                if btype != b"moov":
+                    continue
+                for ctype, c0, c1 in _mp4_children(data, b0, b1):
+                    if ctype == b"mvhd" and c0 + 4 <= c1:
+                        ver = data[c0]
+                        if ver == 1 and c0 + 28 <= c1:
+                            timescale = struct.unpack_from(">I", data, c0 + 20)[0]
+                            duration = struct.unpack_from(">Q", data, c0 + 24)[0]
+                        elif ver == 0 and c0 + 20 <= c1:
+                            timescale = struct.unpack_from(">I", data, c0 + 12)[0]
+                            duration = struct.unpack_from(">I", data, c0 + 16)[0]
+                    elif ctype == b"trak" and not (w and h):
+                        for ttype, t0, t1 in _mp4_children(data, c0, c1):
+                            if ttype != b"tkhd":
+                                continue
+                            off = t0 + (88 if data[t0] == 1 else 76)
+                            if off + 8 <= t1:
+                                tw, th = struct.unpack_from(">II", data, off)
+                                if tw >> 16 and th >> 16:
+                                    w, h = tw >> 16, th >> 16
+            if timescale is None or not timescale or duration is None:
+                return None
+            dur = duration / timescale
+            kbps = round(len(data) * 8 / dur / 1000) if dur > 0 else 0
+            return ("mp4", w or None, h or None, dur, kbps)
+        if data[:4] == b"\x1a\x45\xdf\xa3":
+            def varint(pos: int, keep_marker: bool) -> tuple[int, int] | None:
+                if pos >= len(data):
+                    return None
+                first = data[pos]
+                if first == 0:
+                    return None
+                n = 8 - first.bit_length() + 1  # leading zeros + 1
+                if pos + n > len(data):
+                    return None
+                v = first if keep_marker else first & ((1 << (8 - n)) - 1)
+                for i in range(1, n):
+                    v = (v << 8) | data[pos + i]
+                return v, pos + n
+
+            _CONTAINERS = {
+                0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0,
+            }
+
+            def walk(pos: int, end: int, st: dict) -> None:
+                while pos < end:
+                    r = varint(pos, True)
+                    if r is None:
+                        return
+                    eid, pos = r
+                    r = varint(pos, False)
+                    if r is None:
+                        return
+                    esize, pos = r
+                    if pos + esize > end:
+                        return
+                    if eid in _CONTAINERS:
+                        walk(pos, pos + esize, st)
+                    elif eid == 0x4282:  # DocType
+                        st["doctype"] = data[pos : pos + esize].decode(
+                            "ascii", "replace"
+                        )
+                    elif eid == 0x2AD7B1:
+                        st["scale"] = int.from_bytes(data[pos : pos + esize], "big")
+                    elif eid == 0x4489:
+                        if esize == 4:
+                            st["dur"] = struct.unpack_from(">f", data, pos)[0]
+                        elif esize == 8:
+                            st["dur"] = struct.unpack_from(">d", data, pos)[0]
+                    elif eid == 0xB0 and "w" not in st:
+                        st["w"] = int.from_bytes(data[pos : pos + esize], "big")
+                    elif eid == 0xBA and "h" not in st:
+                        st["h"] = int.from_bytes(data[pos : pos + esize], "big")
+                    pos += esize
+
+            st: dict = {}
+            walk(0, len(data), st)
+            if "dur" not in st:
+                return None
+            dur = st["dur"] * st.get("scale", 1_000_000) / 1e9
+            fmt = "webm" if st.get("doctype") == "webm" else "mkv"
+            kbps = round(len(data) * 8 / dur / 1000) if dur > 0 else 0
+            return (fmt, st.get("w"), st.get("h"), dur, kbps)
+        return None
+    except Exception:
+        return None
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
@@ -1706,6 +1835,11 @@ def probe_media_meta(media: DataFrame) -> DataFrame:
                 if aud is not None:
                     fmt, dur, rate, nch, kbps = aud
                     rows.append((ref, fmt, None, None, dur, rate, nch, kbps))
+                    continue
+                vid = probe_video_meta(raw)
+                if vid is not None:
+                    fmt, w, h, dur, kbps = vid
+                    rows.append((ref, fmt, w, h, dur, None, None, kbps))
                     continue
                 rows.append((ref, None, None, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
