@@ -222,3 +222,42 @@ def test_duckdb_oracle_parity():
         assert [row[f"b{j}"] for j in range(N_BANDS)] == _ref_fp(m)
     pairs = con.sql(dq.oracle_sql()["audio_neardup"]).df()
     assert len(pairs) == 8 and pairs["hamming"].max() <= 1
+
+
+def test_resample_audio_hand_computed_floor_and_identity(spark):
+    """afp.resample_audio: 4-frame box means with FLOOR division on a
+    hand-built stereo WAV (negative window sums exercise floor-vs-trunc:
+    floor(-7/4) = -2), factor=1 identity round-trip, tail-window drop,
+    undecodable nulls, and WAV == FLAC on identical samples."""
+    from warc_metadata_sidecar_spark.operators.afp import resample_audio
+
+    # 9 frames: one full window of +, one of - (sum -7 -> floor -2),
+    # and a 1-frame tail that must drop
+    ch0 = [1, 2, 3, 1, -1, -2, -3, -1, 99]
+    ch1 = [4, 4, 4, 4, -5, -5, -5, -6, 99]
+    wav = gen._enc_wav_pcm([ch0, ch1], 8000)
+    rows = spark.createDataFrame(
+        [("a://wav", bytearray(wav)), ("a://junk", bytearray(b"\x00" * 32))],
+        "media_ref: string, bytes: binary",
+    )
+    got = {r["media_ref"]: r for r in resample_audio(rows, factor=4).collect()}
+    a = got["a://wav"]
+    assert (a["rate_in"], a["rate_out"], a["n_in"], a["n_out"]) == (8000, 2000, 9, 2)
+    assert a["samples"] == [1, 4, -2, -6]  # floor(-7/4) = -2, floor(-21/4) = -6
+    j = got["a://junk"]
+    assert j["samples"] is None and j["n_out"] is None
+    # identity: factor=1 returns the exact 16-bit samples, interleaved
+    ident = {
+        r["media_ref"]: r
+        for r in resample_audio(rows, factor=1).collect()
+    }["a://wav"]
+    assert ident["samples"] == [v for pair in zip(ch0, ch1) for v in pair]
+    # cross-codec: FLAC of the afp base PCM decimates identically to WAV
+    m = gen.afp_rows()
+    wav0, flac0 = m[0]["bytes"], m[8]["bytes"]
+    both = spark.createDataFrame(
+        [("w", bytearray(wav0)), ("f", bytearray(flac0))],
+        "media_ref: string, bytes: binary",
+    )
+    out = {r["media_ref"]: r["samples"] for r in resample_audio(both, factor=4).collect()}
+    assert out["w"] == out["f"]

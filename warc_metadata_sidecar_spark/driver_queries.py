@@ -4420,6 +4420,80 @@ ORDER BY ref_a, ref_b
     )
 
 
+def audio_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-factor audio decimation through the ENGINE path
+    (afp.resample_audio over decode(encode(pcm)) for WAV and FLAC):
+    box-mean each channel over 4-frame windows with floor division —
+    all-integer, so the oracle recomputes every output sample from the
+    closed-form fixture PCM and compares an md5 of the frame-major
+    interleaved sample CSV plus the integer sample sum."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.afp import resample_audio
+
+    r = resample_audio(gen.afp_media(spark), factor=4)
+    return r.select(
+        "media_ref",
+        "rate_in",
+        "rate_out",
+        "n_in",
+        "n_out",
+        F.md5(
+            F.concat_ws(",", F.transform("samples", lambda x: x.cast("string")))
+        ).alias("pcm_md5"),
+        F.aggregate("samples", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "pcm_sum"
+        ),
+    ).orderBy("media_ref")
+
+
+def _audio_resample_oracle_sql() -> str:
+    """DuckDB twin of audio_resample: closed-form PCM -> 4-frame
+    floor-divided box means (explicit floor(): DuckDB's // truncates
+    toward zero on negatives while numpy floors). The sums fit double
+    exactly, so floor() is exact."""
+    from warc_metadata_sidecar_spark import gen
+
+    refs = ",\n    ".join(
+        f"({i}, '{r['media_ref']}')" for i, r in enumerate(gen.afp_rows())
+    )
+    n = gen.AFP_FRAMES
+    return f"""
+WITH refs(m, media_ref) AS (VALUES
+    {refs}
+),
+px AS (
+    SELECT mm.m, ii.i, cc.c,
+           ((mm.m % 4) * 91 + ii.i*37 + cc.c*17 + (mm.m % 4)*ii.i*5) % 4001
+           - 2000
+           + CASE WHEN mm.m BETWEEN 4 AND 7 AND ii.i < 16 AND ii.i % 4 = 0
+                  THEN 900 ELSE 0 END AS v
+    FROM generate_series(0, 9) mm(m),
+         generate_series(0, {n - 1}) ii(i),
+         generate_series(0, 1) cc(c)
+),
+dsamp AS (
+    SELECT m, i // 4 AS j, c, CAST(floor(SUM(v) / 4.0) AS BIGINT) AS val
+    FROM px GROUP BY m, i // 4, c
+),
+agg AS (
+    SELECT m,
+           md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY j, c)) AS pcm_md5,
+           CAST(SUM(val) AS BIGINT) AS pcm_sum
+    FROM dsamp GROUP BY m
+)
+SELECT refs.media_ref,
+       CAST({gen.AFP_RATE} AS BIGINT) AS rate_in,
+       CAST({gen.AFP_RATE} // 4 AS BIGINT) AS rate_out,
+       CAST({n} AS BIGINT) AS n_in,
+       CAST({n} // 4 AS BIGINT) AS n_out,
+       agg.pcm_md5, agg.pcm_sum
+FROM agg JOIN refs ON agg.m = refs.m
+ORDER BY media_ref
+"""
+
+
 def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB VALUES oracle for crawl_rounds (VERDICT r3 #3): the
     single-threaded pure-Python simulator — an INDEPENDENT implementation
@@ -5325,6 +5399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pagerank_hosts"] = pagerank_hosts
     out["hits_hosts"] = hits_hosts
     out["url_blocklist"] = url_blocklist_q
+    out["audio_resample"] = audio_resample_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5417,6 +5492,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pagerank_hosts"] = _pagerank_oracle_sql()
     oracles["hits_hosts"] = _hits_oracle_sql()
     oracles["url_blocklist"] = _url_blocklist_oracle_sql()
+    oracles["audio_resample"] = _audio_resample_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

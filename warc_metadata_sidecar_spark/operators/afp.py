@@ -179,3 +179,71 @@ def audio_neardup_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFr
         "media_ref", *[F.col(f"b{j}").alias(f"d{j}") for j in range(N_BANDS)]
     )
     return neardup_pairs(renamed, max_hamming=max_hamming)
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("rate_in", T.LongType()),
+        T.StructField("rate_out", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Integer-factor audio decimation (the audio twin of
+    phash.resize_images, completing the brief's decode / feature /
+    resize / frame-sample quartet for the audio families): decode each
+    blob via the real WAV/FLAC decoders, re-quantize to exact 16-bit
+    integers (q = rint(x * 32768), lossless for both PCM widths), then
+    box-mean each channel over `factor`-frame windows with FLOOR
+    division — pure integer arithmetic, so the DuckDB oracle recomputes
+    every output sample from the closed-form fixture PCM. The trailing
+    partial window is dropped (n_out = n_in // factor); output samples
+    are frame-major interleaved (frame j, channel c). Undecodable blobs
+    keep a null-samples row. One mapInPandas scan over (media_ref,
+    bytes) — blobs never shuffle, and at corpus scale this shares the
+    decode pass with fingerprinting/feature extraction."""
+    from warc_metadata_sidecar_spark.operators.multimodal import (
+        decode_flac,
+        decode_wav,
+    )
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_ref": list(pdf["media_ref"]),
+                "rate_in": [], "rate_out": [], "n_in": [], "n_out": [],
+                "samples": [],
+            }
+            for b in pdf["bytes"]:
+                dec = None
+                if b is not None:
+                    raw = bytes(b)
+                    dec = decode_wav(raw) or decode_flac(raw)
+                n_out = dec[2].shape[0] // factor if dec is not None else 0
+                if dec is None or n_out == 0:
+                    for k in ("rate_in", "rate_out", "n_in", "n_out", "samples"):
+                        out[k].append(None)
+                    continue
+                rate, _, x = dec
+                q = np.rint(x * 32768.0).astype(np.int64)
+                trimmed = q[: n_out * factor]
+                dec_q = (
+                    trimmed.reshape(n_out, factor, q.shape[1]).sum(axis=1)
+                    // factor  # numpy floor division, mirrored by the oracle
+                )
+                out["rate_in"].append(rate)
+                out["rate_out"].append(rate // factor)
+                out["n_in"].append(q.shape[0])
+                out["n_out"].append(n_out)
+                out["samples"].append([int(v) for v in dec_q.ravel()])
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "bytes").mapInPandas(batches, RESAMPLE_SCHEMA)
