@@ -117,3 +117,31 @@ def test_domain_stats_hand_computed(spark):
     jn = got["junk.net"]
     assert (jn["n_docs"], jn["n_short"], jn["keep"]) == (2, 2, False)
     assert got["solo.io"]["n_docs"] == 1
+
+
+def test_normalize_dedup_key_collapses_variants(spark):
+    """functions/text.normalize_dedup_key_col: NFC composes decomposed
+    accents, zero-width/control characters strip, all whitespace (incl.
+    NBSP/tab) collapses, case folds — so the three surface variants land
+    on ONE key and the decomposed accent pair lands on the precomposed
+    key, while a lookalike with an extra letter stays distinct."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.functions.text import normalize_dedup_key_col
+
+    rows = [
+        ("a", "Hello World"),
+        ("b", "hello \t  WORLD "),
+        ("c", "Hello​  World­\x7f"),
+        ("d", "Café Déjà Vu"),                  # precomposed
+        ("e", "Café Déjà Vu"),               # decomposed
+        ("f", "Helloo World"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r["key"]
+        for r in df.select("id", normalize_dedup_key_col(F.col("text")).alias("key")).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "hello world"
+    assert got["d"] == got["e"] == "café déjà vu"
+    assert got["f"] == "helloo world"

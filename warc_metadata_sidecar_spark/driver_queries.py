@@ -4494,6 +4494,68 @@ ORDER BY media_ref
 """
 
 
+# dedup-key canonicalization fixture: six text shapes from doc_id — three
+# that must COLLAPSE to one key (case/whitespace variant, zero-width +
+# NBSP variant) and a precomposed-vs-DECOMPOSED NFC pair. The combining
+# marks and zero-width characters are embedded as real UTF-8 in the SQL
+# literal (both parsers take them verbatim).
+_NORMFIX_CASE = (
+    "CASE CAST(doc_id % 6 AS INT)"
+    " WHEN 0 THEN 'Hello World'"
+    " WHEN 1 THEN 'hello \t  WORLD '"
+    " WHEN 2 THEN 'Hello​  World­\x7f'"
+    " WHEN 3 THEN 'Café Déjà Vu'"
+    " WHEN 4 THEN 'Café Déjà Vu'"
+    " ELSE @PRINTF('Unique Text %d', CAST(doc_id AS INT)) END"
+)
+
+
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-key text canonicalization (functions/text.
+    normalize_dedup_key_col, r7): NFC -> lower -> zero-width/control
+    strip -> whitespace collapse. Shapes 0/1/2 and 3/4 of the planted
+    fixture must land on identical keys (n_same counts them); the NFC
+    step rides ONE Arrow-batched pandas UDF, everything else is native."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.functions.text import normalize_dedup_key_col
+
+    register_views(spark, sf_dir)
+    fix = spark.sql(
+        "SELECT doc_id, "
+        + _render(_NORMFIX_CASE, SPARK)
+        + " AS raw FROM documents"
+    )
+    out = fix.withColumn("key", normalize_dedup_key_col(F.col("raw")))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "key",
+        F.count(F.lit(1)).over(Window.partitionBy("key")).cast("long").alias("n_same"),
+    ).orderBy("doc_id")
+
+
+def _text_normalize_oracle_sql() -> str:
+    zw = r"[\x{200b}\x{200c}\x{200d}\x{feff}\x{ad}\x{00}-\x{08}\x{0e}-\x{1f}\x{7f}]"
+    ws = "[ \t\n\r\\x{0b}\\x{0c} ]+"
+    return f"""
+WITH fix AS (
+  SELECT doc_id, {_render(_NORMFIX_CASE, DUCK)} AS raw FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(nfc_normalize(raw)),
+                                            '{zw}', '', 'g'),
+                             '{ws}', ' ', 'g')) AS key
+  FROM fix
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, key,
+       CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_same
+FROM norm
+ORDER BY doc_id
+"""
+
+
 def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB VALUES oracle for crawl_rounds (VERDICT r3 #3): the
     single-threaded pure-Python simulator — an INDEPENDENT implementation
@@ -5400,6 +5462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hits_hosts"] = hits_hosts
     out["url_blocklist"] = url_blocklist_q
     out["audio_resample"] = audio_resample_q
+    out["text_normalize"] = text_normalize_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5493,6 +5556,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["hits_hosts"] = _hits_oracle_sql()
     oracles["url_blocklist"] = _url_blocklist_oracle_sql()
     oracles["audio_resample"] = _audio_resample_oracle_sql()
+    oracles["text_normalize"] = _text_normalize_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

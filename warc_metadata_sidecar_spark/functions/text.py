@@ -120,3 +120,43 @@ def pii_counts_col(text: Column) -> tuple[Column, Column, Column]:
     after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, PII_IP, "<IP>")
     return n(text, PII_EMAIL), n(after_email, PII_IP), n(after_ip, PII_PHONE)
+
+
+# --- dedup-key text canonicalization (r7) -----------------------------------
+#
+# The normalize-before-hash stage every exact/near dedup pass runs first
+# (CCNet/Dolma normalize text before MinHashing; the reference sidecar
+# hands text through verbatim — warc_metadata_sidecar.py:205 — so this
+# extends the dedup family, not the sidecar parity surface):
+#   1. Unicode NFC (precomposed form, so "e" + U+0301 == "é")
+#   2. default Unicode lowercasing
+#   3. zero-width / BOM / control characters stripped
+#   4. all whitespace (incl. NBSP) collapsed to single spaces, trimmed
+# Steps 2-4 are native JVM expressions; NFC has no Catalyst builtin, so
+# it rides ONE Arrow-batched pandas UDF (unicodedata.normalize — the
+# same UAX #15 algorithm DuckDB's nfc_normalize implements, which is
+# what makes the oracle twin expressible).
+
+_ZW_CONTROL = "[​‌‍﻿­\x00-\x08\x0e-\x1f\x7f]"
+_WS_CLASS = "[ \t\n\r\x0b\x0c ]+"
+
+
+def _nfc_udf():
+    import pandas as pd  # noqa: F401 — annotation type for the UDF
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return nfc
+
+
+def normalize_dedup_key_col(text: Column) -> Column:
+    """Canonical dedup-key form of `text` (see block comment above)."""
+    nfc = _nfc_udf()
+    lowered = F.lower(nfc(text))
+    stripped = F.regexp_replace(lowered, _ZW_CONTROL, "")
+    return F.trim(F.regexp_replace(stripped, _WS_CLASS, " "))
