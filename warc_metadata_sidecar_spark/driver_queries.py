@@ -4556,6 +4556,115 @@ ORDER BY doc_id
 """
 
 
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking through the ENGINE path (operators/
+    cdc.cdc_chunks over gen.cdc_rows(): four blobs sharing closed-form
+    segments): gear-hash boundaries in the Arrow worker, JVM-native md5
+    over the chunk bytes. The oracle replays the fully-specified gear
+    loop sequentially and hashes with hashlib (an INDEPENDENT md5
+    implementation from Spark's commons-codec)."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.cdc import cdc_chunks
+
+    return (
+        cdc_chunks(gen.cdc_media(spark))
+        .select(
+            "media_ref",
+            F.col("idx").cast("long").alias("idx"),
+            F.col("offset").cast("long").alias("chunk_off"),
+            F.col("length").cast("long").alias("length"),
+            "chunk_md5",
+        )
+        .orderBy("media_ref", "idx")
+    )
+
+
+def cdc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup accounting over the same fixture (operators/
+    cdc.cdc_dedup_stats): 14 of 26 distinct chunks are shared across
+    blobs, so dedup_ratio > 1 while every whole-blob digest is unique.
+    The oracle recomputes the accounting in SQL over the twin's chunk
+    VALUES — the aggregation logic is independently restated."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    return cdc_dedup_stats(cdc_chunks(gen.cdc_media(spark)))
+
+
+def _cdc_twin() -> list[tuple[str, int, int, int, str]]:
+    """Sequential replay of the module gear spec (splitmix64 table,
+    h = (h<<1) + gear[b], boundary at (h & mask) == 0 past min_size,
+    force-close at max_size, reset at boundaries) over the closed-form
+    fixture bytes, hashed with hashlib.md5."""
+    import hashlib
+
+    from warc_metadata_sidecar_spark import gen
+
+    def mix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    gear = [mix(b + 1) for b in range(256)]
+    rows = []
+    for r in gen.cdc_rows():
+        raw, ref = r["bytes"], r["media_ref"]
+        h, start, idx = 0, 0, 0
+        for i, b in enumerate(raw):
+            h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+            size = i - start + 1
+            if (size >= 32 and (h & 63) == 0) or size >= 512:
+                rows.append(
+                    (ref, idx, start, size, hashlib.md5(raw[start : i + 1]).hexdigest())
+                )
+                start, h, idx = i + 1, 0, idx + 1
+        if start < len(raw):
+            rows.append(
+                (ref, idx, start, len(raw) - start,
+                 hashlib.md5(raw[start:]).hexdigest())
+            )
+    return rows
+
+
+def _cdc_values() -> str:
+    return ",\n    ".join(
+        f"('{ref}', {idx}, {off}, {ln}, '{md5}')"
+        for ref, idx, off, ln, md5 in _cdc_twin()
+    )
+
+
+def _cdc_chunks_oracle_sql() -> str:
+    return f"""
+SELECT media_ref, CAST(idx AS BIGINT) AS idx,
+       CAST(chunk_off AS BIGINT) AS chunk_off,
+       CAST(length AS BIGINT) AS length, chunk_md5
+FROM (VALUES
+    {_cdc_values()}) AS t(media_ref, idx, chunk_off, length, chunk_md5)
+ORDER BY media_ref, idx
+"""
+
+
+def _cdc_dedup_oracle_sql() -> str:
+    return f"""
+WITH chunks(media_ref, idx, chunk_off, length, chunk_md5) AS (VALUES
+    {_cdc_values()}),
+per AS (
+  SELECT chunk_md5, COUNT(*) AS n_copies, MAX(length) AS length
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(n_copies * length) AS BIGINT) AS bytes_total,
+       CAST(SUM(length) AS BIGINT) AS bytes_distinct,
+       CAST(SUM(n_copies * length) AS DOUBLE) / SUM(length) AS dedup_ratio
+FROM per
+"""
+
+
 def _crawl_rounds_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB VALUES oracle for crawl_rounds (VERDICT r3 #3): the
     single-threaded pure-Python simulator — an INDEPENDENT implementation
@@ -5463,6 +5572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["url_blocklist"] = url_blocklist_q
     out["audio_resample"] = audio_resample_q
     out["text_normalize"] = text_normalize_q
+    out["cdc_chunks"] = cdc_chunks_q
+    out["cdc_dedup"] = cdc_dedup_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5557,6 +5668,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["url_blocklist"] = _url_blocklist_oracle_sql()
     oracles["audio_resample"] = _audio_resample_oracle_sql()
     oracles["text_normalize"] = _text_normalize_oracle_sql()
+    oracles["cdc_chunks"] = _cdc_chunks_oracle_sql()
+    oracles["cdc_dedup"] = _cdc_dedup_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

@@ -1422,3 +1422,39 @@ def _enc_webp_pixels(
         body += b"\x00"
     chunk = b"VP8L" + st.pack("<I", len(body)) + body
     return b"RIFF" + st.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def cdc_segment(k: int) -> bytes:
+    """Closed-form byte segment for the CDC fixtures (also replayed by
+    the oracle twin): length 600 + 97*k, byte i = (k*37 + i*11 + i*i mod
+    17) mod 256."""
+    return bytes(
+        (k * 37 + i * 11 + (i * i) % 17) % 256 for i in range(600 + 97 * k)
+    )
+
+
+def cdc_rows() -> list[dict]:
+    """Four blobs over shared closed-form segments: blob0 = s0+s1,
+    blob1 = s0+s2, blob2 = s1+s2+s0, blob3 = s3 — cross-blob duplication
+    at SUB-blob granularity (whole-blob digests all differ), which
+    content-defined chunking must recover after each segment joint."""
+    segs = [cdc_segment(k) for k in range(4)]
+    blobs = [
+        segs[0] + segs[1],
+        segs[0] + segs[2],
+        segs[1] + segs[2] + segs[0],
+        segs[3],
+    ]
+    return [
+        {
+            "media_ref": f"cdc://blob/{m}",
+            "bytes": b,
+            "meta": {"media_type": "binary", "width": None, "height": None,
+                     "duration_ms": None},
+        }
+        for m, b in enumerate(blobs)
+    ]
+
+
+def cdc_media(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(cdc_rows(), schema.MEDIA)
