@@ -434,3 +434,38 @@ def test_lookup_cdxj_text_and_parsed_paths(spark, tmp_path):
     ]
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "StringStartsWith(urlkey,com,example,a))" in plan  # pushed to scan
+
+
+def test_snapshot_diff_hand_computed_latest_wins(spark):
+    """operators/cdxj.snapshot_diff: the four statuses on a hand fixture,
+    multi-capture sides resolved latest-first, and the scale claim — the
+    final plan carries at most one urlkey exchange per side (agg and
+    join share them)."""
+    from warc_metadata_sidecar_spark.operators.cdxj import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            ("a)", "20250101000000", "d1"),
+            ("b)", "20250101000000", "d2"),
+            ("c)", "20250101000000", "d3"),          # gone (not in new)
+            ("d)", "20250101000000", "stale"),       # two captures: later wins
+            ("d)", "20250301000000", "d4"),
+        ],
+        "urlkey string, ts string, digest string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a)", "20260101000000", "d1"),          # same
+            ("b)", "20260101000000", "dX"),          # changed
+            ("d)", "20260101000000", "d4"),          # same (old latest = d4)
+            ("e)", "20260101000000", "d5"),          # new
+        ],
+        "urlkey string, ts string, digest string",
+    )
+    out = snapshot_diff(old, new)
+    got = {r["urlkey"]: r["status"] for r in out.collect()}
+    assert got == {"a)": "same", "b)": "changed", "c)": "gone",
+                   "d)": "same", "e)": "new"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2

@@ -4197,6 +4197,71 @@ ORDER BY urlkey, ts
 """
 
 
+# two-snapshot diff fixture, closed-form from doc_id: the OLD side skips
+# doc_id%10==3 (those become 'new'), the NEW side skips %10==6 ('gone'),
+# %5==0 flips the digest ('changed'), everything else is 'same'; %11==0
+# adds a LATER second capture on the new side whose digest must win.
+_DIFF_OLD_CTE = """
+snap_old AS (
+  SELECT @PRINTF('com,example,host%02d)/page/%d',
+                 CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS urlkey,
+         '20250101000000' AS ts,
+         @PRINTF('sha1:%d', CAST(doc_id % 7 AS INT)) AS digest
+  FROM documents WHERE doc_id % 10 <> 3
+)
+"""
+_DIFF_NEW_CTE = """
+snap_new AS (
+  SELECT @PRINTF('com,example,host%02d)/page/%d',
+                 CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS urlkey,
+         '20260101000000' AS ts,
+         @PRINTF('sha1:%d', CAST(doc_id % 7 AS INT)
+                 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS digest
+  FROM documents WHERE doc_id % 10 <> 6
+  UNION ALL
+  SELECT @PRINTF('com,example,host%02d)/page/%d',
+                 CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)),
+         '20260202000000',
+         @PRINTF('sha1:late%d', CAST(doc_id AS INT))
+  FROM documents WHERE doc_id % 10 <> 6 AND doc_id % 11 = 0
+)
+"""
+
+
+def crawl_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff through the ENGINE path (operators/cdxj.
+    snapshot_diff): latest-capture-wins per side, full-outer classify
+    into new/changed/same/gone. The %11 rows pin the max(struct(ts,
+    digest)) latest rule; the oracle restates everything with max_by +
+    FULL OUTER JOIN independently."""
+    register_views(spark, sf_dir)
+    old = spark.sql(
+        "WITH " + _render(_DIFF_OLD_CTE, SPARK) + " SELECT * FROM snap_old"
+    )
+    new = spark.sql(
+        "WITH " + _render(_DIFF_NEW_CTE, SPARK) + " SELECT * FROM snap_new"
+    )
+    from warc_metadata_sidecar_spark.operators.cdxj import snapshot_diff
+
+    return snapshot_diff(old, new).orderBy("urlkey")
+
+
+def _crawl_diff_oracle_sql() -> str:
+    return f"""
+WITH {_render(_DIFF_OLD_CTE, DUCK)},
+{_render(_DIFF_NEW_CTE, DUCK)},
+o AS (SELECT urlkey, max_by(digest, ts) AS old_digest FROM snap_old GROUP BY urlkey),
+n AS (SELECT urlkey, max_by(digest, ts) AS new_digest FROM snap_new GROUP BY urlkey)
+SELECT COALESCE(o.urlkey, n.urlkey) AS urlkey, o.old_digest, n.new_digest,
+       CASE WHEN n.new_digest IS NULL THEN 'gone'
+            WHEN o.old_digest IS NULL THEN 'new'
+            WHEN o.old_digest = n.new_digest THEN 'same'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.urlkey = n.urlkey
+ORDER BY urlkey
+"""
+
+
 def resolve_revisits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC revisit-record resolution (operators/sidecar.resolve_revisits)
     over a closed-form record stream: every doc is a response with
@@ -5574,6 +5639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_normalize"] = text_normalize_q
     out["cdc_chunks"] = cdc_chunks_q
     out["cdc_dedup"] = cdc_dedup_q
+    out["crawl_diff"] = crawl_diff_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5670,6 +5736,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["text_normalize"] = _text_normalize_oracle_sql()
     oracles["cdc_chunks"] = _cdc_chunks_oracle_sql()
     oracles["cdc_dedup"] = _cdc_dedup_oracle_sql()
+    oracles["crawl_diff"] = _crawl_diff_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

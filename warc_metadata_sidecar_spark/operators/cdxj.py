@@ -451,3 +451,51 @@ def cdxj_filename(sidecar_file: str) -> str:
 
 def merged_cdxj_filename(warc_cdxj: str) -> str:
     return _re.sub(r"\.cdxj$", "_merged.cdxj", warc_cdxj)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "urlkey",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Crawl snapshot diff — the recrawl planner's NEW / CHANGED / SAME /
+    GONE classification between two CDXJ-style capture sets (the
+    reference's merged index is exactly this shape, merge_cdxj.py:59-82;
+    the diff is the operation a recrawl pipeline runs BETWEEN two of its
+    outputs and feeds frontier/recrawl.py's change history).
+
+    Each side may carry multiple captures per urlkey: the LATEST capture
+    (max ts) represents the side — resolved with ONE map-side-combinable
+    max(struct(ts, digest)) aggregation per side, then a single
+    full-outer equi-join on urlkey classifies:
+
+        old only            -> gone
+        new only            -> new
+        digests equal       -> same
+        digests differ      -> changed
+
+    Scale shape: one shuffle per side on urlkey (both the agg and the
+    join share it — AQE reuses the exchange); on urlkey-bucketed CDXJ
+    parquet (the cdxj_lookup layout) the whole diff is exchange-free."""
+    def latest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(key_col).alias("urlkey")).agg(
+            F.max(F.struct(F.col(ts_col).alias("ts"), F.col(digest_col).alias("d")))[
+                "d"
+            ].alias(f"{tag}_digest")
+        )
+
+    o = latest(old, "old")
+    n = latest(new, "new")
+    joined = o.join(n, "urlkey", "full_outer")
+    return joined.select(
+        "urlkey",
+        "old_digest",
+        "new_digest",
+        F.when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
