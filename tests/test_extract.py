@@ -145,3 +145,42 @@ def test_normalize_dedup_key_collapses_variants(spark):
     assert got["a"] == got["b"] == got["c"] == "hello world"
     assert got["d"] == got["e"] == "café déjà vu"
     assert got["f"] == "helloo world"
+
+
+def test_build_postings_hand_computed_and_plan(spark):
+    """operators/invindex.build_postings: tf/df on a hand corpus, df
+    bounds prune, impact ordering with doc_id tie-break, max_postings
+    truncation — and the single-repartition claim (every exchange keys
+    on term)."""
+    from warc_metadata_sidecar_spark.operators.invindex import build_postings
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "apple banana banana common"),
+        (3, "apple common"),
+        (4, "cherry common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_postings(docs, min_df=2, max_df=3, max_postings=2)
+    got = sorted(
+        (r["term"], r["doc_id"], r["tf"], r["df"], r["impact_rank"])
+        for r in out.collect()
+    )
+    # 'common' (df 4) pruned by max_df; 'cherry' (df 1) by min_df;
+    # apple truncates to 2 of 3 postings: tf-2 doc 1, then tf-1 doc 2
+    assert got == [
+        ("apple", 1, 2, 3, 1), ("apple", 2, 1, 3, 2),
+        ("banana", 1, 1, 2, 2), ("banana", 2, 2, 2, 1),
+    ]
+    # plan AFTER execution (AQE exchange reuse is a runtime decision)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the single-repartition claim: ONE real term exchange feeds the tf
+    # groupBy (subset rule), df agg (ReusedExchange), broadcast join,
+    # and impact window — ReusedExchange lines echo the text, so count
+    # only non-reused nodes
+    real = [
+        ln for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1, final

@@ -4262,6 +4262,47 @@ ORDER BY urlkey
 """
 
 
+def postings_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered inverted-index build (operators/invindex.
+    build_postings) over the documents table: whitespace terms, df-bound
+    [3, 4000] stopword/hapax prune, top-10 postings per term by (tf
+    desc, doc_id asc). The oracle restates the build as independent SQL
+    (groupBys + ROW_NUMBER window)."""
+    from warc_metadata_sidecar_spark.operators.invindex import build_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        build_postings(docs, min_df=3, max_df=4000, max_postings=10)
+        .orderBy("term", "impact_rank")
+    )
+
+
+def _postings_build_oracle_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY term, doc_id
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) BETWEEN 3 AND 4000
+),
+ranked AS (
+  SELECT tf.term, tf.doc_id, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.term
+                            ORDER BY tf.tf DESC, tf.doc_id ASC) AS impact_rank
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT term, CAST(doc_id AS BIGINT) AS doc_id, tf, df,
+       CAST(impact_rank AS INT) AS impact_rank
+FROM ranked WHERE impact_rank <= 10
+ORDER BY term, impact_rank
+"""
+
+
 def resolve_revisits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC revisit-record resolution (operators/sidecar.resolve_revisits)
     over a closed-form record stream: every doc is a response with
@@ -5640,6 +5681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_chunks"] = cdc_chunks_q
     out["cdc_dedup"] = cdc_dedup_q
     out["crawl_diff"] = crawl_diff_q
+    out["postings_build"] = postings_build_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5737,6 +5779,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cdc_chunks"] = _cdc_chunks_oracle_sql()
     oracles["cdc_dedup"] = _cdc_dedup_oracle_sql()
     oracles["crawl_diff"] = _crawl_diff_oracle_sql()
+    oracles["postings_build"] = _postings_build_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)
