@@ -86,7 +86,7 @@ def main() -> None:
     wall = round(time.time() - t0, 1)
     out = proc.stdout.replace("\r", "\n")
     stage = re.search(
-        r"read=(\d+) after_dedup=(\d+) after_quality=(\d+) written=(\d+) tokens=(\d+)",
+        r"read=(\d+) after_blocklist=\d+ after_dedup=(\d+) after_quality=(\d+) written=(\d+) tokens=(\d+)",
         out,
     )
     shards = re.findall(r"shard=(\d+) docs=(\d+) tokens=(\d+) checksum=(-?\d+)", out)

@@ -191,7 +191,7 @@ def test_cli_curate(spark, tmp_path, capsys, monkeypatch):
         ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "4",
          "--budget", "200"],
     )
-    assert "read=301 after_dedup=300" in out
+    assert "read=301 after_blocklist=301 after_dedup=300" in out
     written = spark.read.parquet(f"{out_dir}/curated")
     manifest = {r.shard: r for r in spark.read.parquet(f"{out_dir}/manifest").collect()}
     assert len(manifest) == 4
@@ -336,7 +336,7 @@ def test_cli_curate_full_compose_stage_counts(spark, tmp_path, capsys, monkeypat
     # 24 read; 20 after exact dedup; paragraph dedup keeps all 20 docs
     # non-empty (each has unique lines); gates keep all 20 (compliant
     # prose); dsir keeps 12; budget samples <= 8
-    assert "read=24 after_dedup=20 after_quality=20" in out
+    assert "read=24 after_blocklist=24 after_dedup=20 after_quality=20" in out
     m = re.search(r"written=(\d+)", out)
     assert m and int(m.group(1)) <= 8
     written = spark.read.parquet(f"{out_dir}/curated")
@@ -346,3 +346,49 @@ def test_cli_curate_full_compose_stage_counts(spark, tmp_path, capsys, monkeypat
         F.col("text").contains("shared boilerplate line")
     ).count()
     assert boiler <= 1
+
+
+def test_cli_curate_blocklist_and_normalize_keys(spark, tmp_path, capsys, monkeypatch):
+    """--blocklist drops suffix-matched hosts and keyword paths before
+    any content work; --normalize-keys dedups NFC/zero-width surface
+    variants that the (already case/whitespace-folding) raw fingerprint
+    keeps apart."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        # precomposed vs DECOMPOSED-with-zero-width: fingerprint_col
+        # already folds case/whitespace, so the --normalize-keys delta
+        # is exactly NFC + zero-width stripping
+        (0, "https://good.example.org/a", "Café Déjà Vu"),
+        (1, "https://sub.badads.net/x", "spam one"),          # suffix block
+        (2, "https://clean.io/go/casino-night", "spam two"),  # keyword block
+        (3, "https://fine.org/b", "Café​ Déjà Vu"),
+        (4, "https://fine.org/c", "Totally Different"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, url: string, text: string")
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    blfile = tmp_path / "blocked.txt"
+    blfile.write_text("badads.net\n\n")
+    out_dir = str(tmp_path / "cur")
+    out = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, out_dir, "--shards", "1",
+         "--blocklist", str(blfile), "--block-words", "casino,xxx",
+         "--normalize-keys"],
+    )
+    # 5 read; blocklist drops 1 (suffix) + 1 (keyword) = 3 left;
+    # normalized dedup folds doc 3 into doc 0 -> 2 written
+    assert "read=5 after_blocklist=3 after_dedup=2" in out
+    kept = spark.read.parquet(f"{out_dir}/curated")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 4]
+    # without --normalize-keys (and no keyword list) the NFC variant
+    # and the keyword URL both survive
+    out2 = _run(
+        monkeypatch,
+        capsys,
+        ["--cpus", "4", "curate", docs_path, str(tmp_path / "cur2"),
+         "--shards", "1", "--blocklist", str(blfile)],
+    )
+    assert "read=5 after_blocklist=4 after_dedup=4" in out2

@@ -220,12 +220,43 @@ def cmd_curate(args) -> None:
     n_read = docs.count()
     log.info("Curating %s (%d documents)", args.documents_path, n_read)
 
+    cur = docs
+    n_block = n_read
+    if args.blocklist:
+        # URL gate FIRST — cheapest filter, runs before any content work
+        # (frontier/urlfilter: per-depth broadcast suffix joins, corpus
+        # stays map-side)
+        from warc_metadata_sidecar_spark.frontier.urlfilter import blocklist_filter
+
+        if "url" not in cur.columns:
+            raise SystemExit("--blocklist needs a url column in the input")
+        bl = spark.read.text(args.blocklist).select(
+            F.trim(F.col("value")).alias("domain")
+        ).where(F.col("domain") != "")
+        words = tuple(w for w in (args.block_words or "").split(",") if w)
+        cur = (
+            blocklist_filter(cur, bl, words)
+            .where("keep")
+            .drop("host", "blocked_domain", "blocked_word", "keep")
+        )
+        n_block = cur.count()
+        log.info("Blocklist kept %d of %d", n_block, n_read)
+
     # exact dedup: first occurrence per normalized fingerprint (window on
     # the content hash — uniform key, one exchange; same discipline as
-    # operators/dedup.paragraph_dedup)
+    # operators/dedup.paragraph_dedup). --normalize-keys canonicalizes
+    # (NFC/case/zero-width/whitespace) BEFORE hashing, so surface
+    # variants of the same text dedup together.
+    key = F.col("text")
+    if args.normalize_keys:
+        from warc_metadata_sidecar_spark.functions.text import (
+            normalize_dedup_key_col,
+        )
+
+        key = normalize_dedup_key_col(key)
     w = Window.partitionBy("_fp").orderBy("doc_id")
     cur = (
-        docs.withColumn("_fp", fingerprint_col(F.col("text")))
+        cur.withColumn("_fp", fingerprint_col(key))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_fp", "_rn")
@@ -283,8 +314,8 @@ def cmd_curate(args) -> None:
             f"checksum={r.checksum}"
         )
     print(
-        f"read={n_read} after_dedup={n_dedup} after_quality={n_quality} "
-        f"written={n_out} tokens={n_tokens}"
+        f"read={n_read} after_blocklist={n_block} after_dedup={n_dedup} "
+        f"after_quality={n_quality} written={n_out} tokens={n_tokens}"
     )
     log.info(
         "Wrote %d docs (%d tokens) in %d shards to %s", n_out, n_tokens,
@@ -430,6 +461,20 @@ def main() -> None:
         "--paragraph-dedup",
         action="store_true",
         help="also run corpus-wide paragraph-level exact dedup (rewrites text)",
+    )
+    cu.add_argument(
+        "--blocklist", default=None,
+        help="text file of blocked registrable domain suffixes (UT1 "
+        "shape); needs a url column in the input",
+    )
+    cu.add_argument(
+        "--block-words", default=None,
+        help="comma list of blocked path keywords (with --blocklist)",
+    )
+    cu.add_argument(
+        "--normalize-keys", action="store_true",
+        help="canonicalize text (NFC/case/zero-width/whitespace) before "
+        "the exact-dedup fingerprint",
     )
     cu.add_argument("--gopher", action="store_true", help="Gopher document gate")
     cu.add_argument("--c4", action="store_true", help="C4 page gate")
