@@ -2156,3 +2156,19 @@ def test_decode_jpeg_12bit_dc_tiles_hand_computed():
     # baseline marker (C0) with precision 12 is malformed -> None
     bad = _enc_jpeg12_dc(tiles).replace(b"\xff\xc1", b"\xff\xc0", 1)
     assert decode_pixels(bad) is None
+
+
+def test_probe_frame_plan_from_real_headers(spark):
+    """probe_frame_plan: the frame plan derives from PROBED MP4/EBML
+    durations — 4.5 s -> 5 one-per-second frames, 7 s -> 7 — and only
+    rows the probe recognized as video (dims AND duration) fan out."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_frame_plan
+
+    got: dict[str, list[int]] = {}
+    for r in probe_frame_plan(gen.probe_media(spark), every_ms=1000).collect():
+        got.setdefault(r["media_ref"], []).append(r["frame_ms"])
+    assert set(got) == {"probe://mp4/13", "probe://mp4/14", "probe://webm/15"}
+    assert sorted(got["probe://mp4/13"]) == [0, 1000, 2000, 3000, 4000]
+    assert sorted(got["probe://mp4/14"]) == [0, 1000, 2000, 3000, 4000, 5000, 6000]
+    assert sorted(got["probe://webm/15"]) == [0, 1000, 2000, 3000, 4000]

@@ -3335,6 +3335,41 @@ ORDER BY media_ref
     )
 
 
+def video_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-driven frame sampling (operators/multimodal.probe_frame_plan,
+    r7): durations come from the REAL MP4 mvhd / Matroska Duration walks
+    over the probe fixtures — not stored metadata — then the native
+    sequence explode plans one row per second. The oracle recomputes the
+    plan as pure arithmetic (duration closed forms x generate_series)."""
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.operators.multimodal import probe_frame_plan
+
+    return probe_frame_plan(gen.probe_media(spark), every_ms=1000).orderBy(
+        "media_ref", "frame_ms"
+    )
+
+
+def _video_frame_plan_oracle_sql() -> str:
+    # (ref, fmt, w, h, duration_ms) closed forms for the three video
+    # probe fixtures; frames = 0 .. dur_ms-1 step 1000
+    return """
+WITH vids(media_ref, fmt, width, height, dur_ms) AS (VALUES
+    ('probe://mp4/13', 'mp4', 320, 180, 4500),
+    ('probe://mp4/14', 'mp4', 640, 360, 7000),
+    ('probe://webm/15', 'webm', 427, 240, 4500)),
+frames AS (
+  SELECT v.media_ref, v.fmt, v.width, v.height, g.frame_ms
+  FROM vids v, LATERAL (
+    SELECT unnest(generate_series(0, v.dur_ms - 1, 1000)) AS frame_ms
+  ) g
+)
+SELECT media_ref, fmt, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(frame_ms AS BIGINT) AS frame_ms
+FROM frames
+ORDER BY media_ref, frame_ms
+"""
+
+
 def _multimodal_decode_real_oracle_sql() -> str:
     """DuckDB twin of multimodal_decode_real — features from the closed
     forms only. Exactness notes: pixel sums are integer-exact in float64,
@@ -5682,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_dedup"] = cdc_dedup_q
     out["crawl_diff"] = crawl_diff_q
     out["postings_build"] = postings_build_q
+    out["video_frame_plan"] = video_frame_plan_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5780,6 +5816,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cdc_dedup"] = _cdc_dedup_oracle_sql()
     oracles["crawl_diff"] = _crawl_diff_oracle_sql()
     oracles["postings_build"] = _postings_build_oracle_sql()
+    oracles["video_frame_plan"] = _video_frame_plan_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

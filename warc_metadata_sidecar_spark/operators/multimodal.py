@@ -1916,3 +1916,26 @@ def media_span_features(documents: DataFrame, media: DataFrame) -> DataFrame:
     )
     features = extract_media_features(media).select("media_ref", "sniffed_mime", "features")
     return spans.join(features, "media_ref", "left")
+
+
+def probe_frame_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sample plan driven by the PROBED container duration (r7):
+    the stored-metadata variant above trusts `meta.duration_ms`; this one
+    derives it from the real MP4/Matroska headers via probe_media_meta —
+    the actual pipeline shape (crawled blobs carry no trusted metadata).
+    One probe scan -> native sequence explode; video rows are those the
+    probe returned BOTH dims and a duration for. Frame grab stays the
+    honest decode seam."""
+    probed = probe_media_meta(media)
+    vids = probed.filter(
+        F.col("duration_s").isNotNull() & F.col("width").isNotNull()
+    )
+    dur_ms = F.floor(F.col("duration_s") * 1000).cast("long")
+    frames = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(dur_ms - 1, F.lit(0).cast("long")),
+            F.lit(int(every_ms)).cast("long"),
+        )
+    )
+    return vids.select("media_ref", "fmt", "width", "height", frames.alias("frame_ms"))
