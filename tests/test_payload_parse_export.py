@@ -326,3 +326,61 @@ def test_stream_sink_reference_golden_bytes(spark, tmp_path):
     stats = stream_sidecar_warc_files(df, str(tmp_path), gzip=False)
     assert [s.sidecar_file for s in stats] == ["warc.warc.meta.gz"]
     assert (tmp_path / "warc.warc.meta.gz").read_bytes() == golden
+
+
+def test_export_wet_conversion_records_roundtrip(spark):
+    """sources/warc_export.export_wet: conversion records carry the
+    offset-ordered text-span concatenation, warcinfo leads each file,
+    only nonempty responses convert, names follow the .warc.wet.gz
+    convention, and the gzipped bytes re-parse with our own WARC record
+    splitter (multi-member, one member per record). Deterministic:
+    two exports are byte-identical."""
+    import gzip as _gzip
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.sources.warc_export import export_wet, wet_filename
+    from warc_metadata_sidecar_spark.sources.warc_ingest import _warc_records
+
+    docs = gen.documents(spark, 40)
+    blobs = {b.wet_file: b for b in export_wet(docs).collect()}
+    assert set(blobs) == {
+        wet_filename(r["source_file"])
+        for r in docs.select("source_file").distinct().collect()
+    }
+    assert all(f.endswith(".wet.gz") for f in blobs)
+    b = next(x for f, x in sorted(blobs.items()) if f.endswith(".warc.wet.gz"))
+    assert wet_filename("crawl-00001.warc.gz") == "crawl-00001.warc.wet.gz"
+    assert wet_filename("crawl-00001.arc.gz") == "crawl-00001.arc.wet.gz"
+    data = _gzip.decompress(bytes(b.warc_bytes))
+    recs = _warc_records(data)
+    assert recs[0][0].get("WARC-Type") == "warcinfo"
+    conv = [(h, p) for h, p in recs if h.get("WARC-Type") == "conversion"]
+    assert len(conv) == b.n_records
+    # spot-check one record against the engine-side span concatenation
+    rows = {
+        r["doc_id"]: r
+        for r in docs.filter("rec_type = 'response'").collect()
+    }
+    h, payload = conv[0]
+    src = rows[h["WARC-Refers-To"]]
+    expect = "".join(
+        s["text"] or ""
+        for s in sorted(
+            (s for s in src["spans"] if s["kind"] == "text"),
+            key=lambda s: s["offset"],
+        )
+    )
+    assert payload.decode() == expect
+    assert h["WARC-Target-URI"] == src["url"]
+    assert h["Content-Type"] == "text/plain"
+    # empty/dns/revisit rows never convert; totals match the rule
+    want_n = sum(
+        1
+        for r in rows.values()
+        if r["source_file"] == b.source_file
+        and any((s["kind"] == "text" and (s["text"] or "")) for s in r["spans"])
+    )
+    assert b.n_records == want_n
+    # byte determinism
+    again = {x.wet_file: bytes(x.warc_bytes) for x in export_wet(docs).collect()}
+    assert again[b.wet_file] == bytes(b.warc_bytes)

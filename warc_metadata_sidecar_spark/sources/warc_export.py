@@ -383,3 +383,116 @@ def write_sidecar_warc_files(exported: DataFrame, out_dir: str) -> None:
                 fh.write(bytes(r.warc_bytes))
 
     named.foreachPartition(write_part)
+
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("wet_file", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("text_bytes", T.LongType()),
+        T.StructField("warc_bytes", T.BinaryType()),
+    ]
+)
+
+
+def wet_filename(warc_file: str) -> str:
+    """crawl-x.warc.gz -> crawl-x.warc.wet.gz (the Common Crawl WET
+    derivative naming convention, mirroring cdxj.sidecar_filename);
+    ARC sources map the same way (crawl-x.arc.gz -> crawl-x.arc.wet.gz)."""
+    import re as _re
+
+    return _re.sub(r"\.(warc|arc)(\.gz)?$", r".\1.wet.gz", warc_file)
+
+
+def export_wet(documents: DataFrame, gzip: bool = True) -> DataFrame:
+    """WET-style extracted-text export: one gzipped WARC of `conversion`
+    records per source file — the Common Crawl WET derivative shape, the
+    text handoff format for training-data pipelines downstream of the
+    sidecar. The reference emits metadata records only
+    (warc_metadata_sidecar.py:238-245); this extends the same SNK1
+    framing machinery (_frame/_sha1_b32/render_warcinfo, warcio-exact
+    byte layout, deterministic uuid5 ids, mtime=0 gzip members) with the
+    conversion record type.
+
+    Per document: text = its text-kind spans concatenated in offset
+    order (the span-sequence invariant); only `response` records with
+    nonempty text convert (the WET rule — dns/revisit/empty rows have no
+    extracted text). Headers: WARC-Type conversion, WARC-Refers-To =
+    the source record's doc_id, Content-Type text/plain.
+
+    Scale shape: same one-file-per-task groupBy(source_file) +
+    applyInPandas as export_sidecar_warcs — the TEXT (not raw payload)
+    is projected before the shuffle."""
+    # array_sort on the raw span struct would order by its FIRST field
+    # (kind); project to (offset, text) so the sort key is the offset —
+    # the span-sequence order invariant
+    pairs = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+        lambda s: F.struct(
+            s["offset"].alias("o"), F.coalesce(s["text"], F.lit("")).alias("t")
+        ),
+    )
+    txt = F.array_join(F.transform(F.array_sort(pairs), lambda p: p["t"]), "")
+    rows = (
+        documents.filter(F.col("rec_type") == "response")
+        .select(
+            "source_file",
+            "doc_id",
+            "url",
+            "warc_date",
+            txt.alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["warc_date", "doc_id"])
+        src = pdf["source_file"].iloc[0]
+        name = wet_filename(src)
+        dates = pdf["warc_date"].dropna()
+        blocks = [
+            render_warcinfo(
+                name,
+                payload_fields={
+                    "software": "warc-metadata-sidecar-spark",
+                    "format": "WARC File Format 1.0",
+                    "description": f"Extracted-text conversion records for {src}",
+                },
+                warc_date=dates.max() if len(dates) else 0,
+            )
+        ]
+        text_bytes = 0
+        for _, r in pdf.iterrows():
+            payload = (r["text"] or "").encode()
+            text_bytes += len(payload)
+            digest = _sha1_b32(payload)
+            record_id = "<urn:uuid:%s>" % uuid.uuid5(
+                _UUID_NS, "wet:" + digest + (r["url"] or "") + (r["doc_id"] or "")
+            )
+            headers = [
+                ("WARC-Type", "conversion"),
+                ("WARC-Record-ID", record_id),
+                ("WARC-Refers-To", r["doc_id"]),
+                ("WARC-Target-URI", r["url"]),
+                ("WARC-Date", _warc_ts(r["warc_date"])),
+                ("WARC-Block-Digest", digest),
+                ("Content-Type", "text/plain"),
+                ("Content-Length", str(len(payload))),
+            ]
+            blocks.append(_frame(headers, payload))
+        if gzip:
+            blob = b"".join(_gzip.compress(b, mtime=0) for b in blocks)
+        else:
+            blob = b"".join(blocks)
+        return pd.DataFrame(
+            {
+                "source_file": [src],
+                "wet_file": [name],
+                "n_records": [len(pdf)],
+                "text_bytes": [text_bytes],
+                "warc_bytes": [blob],
+            }
+        )
+
+    return rows.groupBy("source_file").applyInPandas(render, WET_SCHEMA)
