@@ -392,3 +392,29 @@ def test_cli_curate_blocklist_and_normalize_keys(spark, tmp_path, capsys, monkey
          "--shards", "1", "--blocklist", str(blfile)],
     )
     assert "read=5 after_blocklist=4 after_dedup=4" in out2
+
+
+def test_cli_wet(spark, tmp_path, capsys, monkeypatch):
+    """`wet` subcommand writes one parseable .wet.gz per source file and
+    prints per-file + total counts."""
+    import gzip as _gzip
+    import os
+
+    from warc_metadata_sidecar_spark import gen
+    from warc_metadata_sidecar_spark.sources.warc_ingest import _warc_records
+
+    docs_path = str(tmp_path / "docs")
+    gen.documents(spark, 30).write.mode("overwrite").parquet(docs_path)
+    out_dir = str(tmp_path / "wet")
+    out = _run(monkeypatch, capsys, ["--cpus", "4", "wet", docs_path, out_dir])
+    files = [f for f in os.listdir(out_dir) if f.endswith(".wet.gz")]
+    assert files
+    m = re.search(r"files=(\d+) records=(\d+)", out)
+    assert m and int(m.group(1)) == len(files)
+    total = 0
+    for f in files:
+        data = _gzip.decompress(open(os.path.join(out_dir, f), "rb").read())
+        recs = _warc_records(data)
+        assert recs[0][0].get("WARC-Type") == "warcinfo"
+        total += sum(1 for h, _ in recs if h.get("WARC-Type") == "conversion")
+    assert total == int(m.group(2))

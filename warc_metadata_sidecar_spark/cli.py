@@ -324,6 +324,33 @@ def cmd_curate(args) -> None:
     log.info("Processed in %f seconds.", time.time() - t0)
 
 
+def cmd_wet(args) -> None:
+    """Extracted-text WET export: documents parquet -> one .wet.gz of
+    conversion records per source file (sources/warc_export.export_wet),
+    written executor-side."""
+    from warc_metadata_sidecar_spark.sources.warc_export import (
+        export_wet,
+        write_wet_files,
+    )
+
+    log = _run_log(args.out_dir, "wet")
+    t0 = time.time()
+    spark = build_session("wet-cli", cpus=args.cpus)
+    docs = spark.read.parquet(args.documents_path)
+    exported = export_wet(docs).localCheckpoint(eager=True)
+    write_wet_files(exported, args.out_dir)
+    rows = sorted(exported.drop("warc_bytes").collect(), key=lambda r: r.wet_file)
+    for r in rows:
+        print(
+            f"wet={r.wet_file} records={r.n_records} text_bytes={r.text_bytes}"
+        )
+    print(
+        f"files={len(rows)} records={sum(r.n_records for r in rows)} "
+        f"text_bytes={sum(r.text_bytes for r in rows)}"
+    )
+    log.info("Processed in %f seconds.", time.time() - t0)
+
+
 def cmd_curate_media(args) -> None:
     """Media-side curation: fingerprint every blob in ONE decode scan
     (image dHash or audio energy bands, operators/afp.media_hashes),
@@ -502,6 +529,11 @@ def main() -> None:
         "(solid-color/silent masses; None-equivalent: a huge value)",
     )
     cm.set_defaults(fn=cmd_curate_media)
+
+    we = sub.add_parser("wet")
+    we.add_argument("documents_path")
+    we.add_argument("out_dir")
+    we.set_defaults(fn=cmd_wet)
 
     args = p.parse_args()
     args.fn(args)

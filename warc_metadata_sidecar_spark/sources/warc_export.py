@@ -496,3 +496,20 @@ def export_wet(documents: DataFrame, gzip: bool = True) -> DataFrame:
         )
 
     return rows.groupBy("source_file").applyInPandas(render, WET_SCHEMA)
+
+
+def write_wet_files(exported: DataFrame, out_dir: str) -> None:
+    """WET file sink: one <name>.wet.gz per source file, written by the
+    executor that holds the blob (the write_sidecar_warc_files
+    discipline; wet_filename's .warc/.arc split cannot collide, so no
+    fallback rename is needed)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, r.wet_file), "wb") as fh:
+                fh.write(bytes(r.warc_bytes))
+
+    exported.select("wet_file", "warc_bytes").foreachPartition(write_part)
