@@ -2918,6 +2918,85 @@ ORDER BY doc_id
 """
 
 
+def authority_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-authority-boosted frontier scheduling (r7): the OPIC/
+    PageRank-prior composition real schedulers run — pagerank over the
+    host graph (the pagerank_hosts fixture edges, so the bit-exact twin
+    is shared), rank broadcast onto the frontier (50 rows), priority
+    boosted by 10x rank, then the N3 per-host budget window (top 2 per
+    host by boosted priority). One corpus exchange total (the host
+    window); the rank join broadcasts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.graph import pagerank
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(
+        "SELECT CAST(doc_id % 50 AS BIGINT) AS src, "
+        "CAST((doc_id * 7 + 3) % 50 AS BIGINT) AS dst FROM documents"
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    frontier = spark.sql(
+        "SELECT CAST(doc_id % 50 AS BIGINT) AS host_n, "
+        "printf('host%02d.example.com', CAST(doc_id % 50 AS INT)) AS host, "
+        "printf('https://host%02d.example.com/page/%d', "
+        "CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS url, "
+        "CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0 AS priority "
+        "FROM documents"
+    )
+    joined = frontier.join(
+        F.broadcast(ranks), frontier["host_n"] == ranks["node"]
+    ).withColumn("boosted", F.round(F.col("priority") + 10.0 * F.col("rank"), 6))
+    w = Window.partitionBy("host").orderBy(F.col("boosted").desc(), F.col("url"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "host",
+            "url",
+            F.col("rank").cast("double").alias("rank"),
+            F.col("boosted").cast("double").alias("boosted"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("host", "rnk")
+    )
+
+
+def _authority_schedule_oracle_sql() -> str:
+    values = ",\n    ".join(
+        f"({v}, {_dbl(r)})" for v, r in _pagerank_twin()
+    )
+    return f"""
+WITH ranks(node, rank) AS (VALUES
+    {values}),
+frontier AS (
+  SELECT CAST(doc_id % 50 AS BIGINT) AS host_n,
+         printf('host%02d.example.com', CAST(doc_id % 50 AS INT)) AS host,
+         printf('https://host%02d.example.com/page/%d',
+                CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS url,
+         CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0 AS priority
+  FROM documents
+),
+b AS (
+  SELECT f.host, f.url, r.rank,
+         round(f.priority + 10.0 * r.rank, 6) AS boosted
+  FROM frontier f JOIN ranks r ON f.host_n = r.node
+),
+ranked AS (
+  SELECT host, url, rank, boosted,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY boosted DESC, url) AS rnk
+  FROM b
+)
+SELECT host, url, CAST(rank AS DOUBLE) AS rank,
+       CAST(boosted AS DOUBLE) AS boosted, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 2
+ORDER BY host, rnk
+"""
+
+
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment MODULE path over the planted quote-inclusion fixture —
     same rows as the dual-dialect SQL twin, planned as the operator's
@@ -5718,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_diff"] = crawl_diff_q
     out["postings_build"] = postings_build_q
     out["video_frame_plan"] = video_frame_plan_q
+    out["authority_schedule"] = authority_schedule_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5817,6 +5897,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_diff"] = _crawl_diff_oracle_sql()
     oracles["postings_build"] = _postings_build_oracle_sql()
     oracles["video_frame_plan"] = _video_frame_plan_oracle_sql()
+    oracles["authority_schedule"] = _authority_schedule_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)
