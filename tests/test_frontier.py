@@ -1480,3 +1480,65 @@ def test_trap_flags_hand_computed_and_zero_shuffle(spark):
     assert got[rows[6][0]]["has_session_id"] is False
     plan = trap_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_extract_feed_urls_and_items(spark):
+    """frontier/feeds: endpoint discovery (<link type=rss/atom+xml> in
+    any attribute order, base-tag + RFC 3986 resolution, non-feed links
+    ignored) and item extraction (RSS <item><link> text form, Atom
+    <entry><link href> with the rel-alternate default, rel=self drops,
+    relative item URLs resolve against the feed URL)."""
+    from warc_metadata_sidecar_spark.frontier.feeds import (
+        extract_feed_items,
+        extract_feed_urls,
+    )
+
+    html = (
+        "<html><head>"
+        '<base href="https://ex.org/sub/">'
+        '<link rel="alternate" type="application/rss+xml" href="feed.xml">'
+        '<link href="/atom.xml" type="application/atom+xml" rel="alternate">'
+        '<link rel="stylesheet" type="text/css" href="style.css">'
+        "</head><body></body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://ex.org/page.html", html)], "url string, html string"
+    )
+    got = {
+        (r["url"], r["feed_kind"])
+        for r in extract_feed_urls(pages).collect()
+    }
+    assert got == {
+        ("https://ex.org/sub/feed.xml", "rss"),     # base-relative
+        ("https://ex.org/atom.xml", "atom"),        # root-relative
+    }
+
+    rss = (
+        "<?xml version='1.0'?><rss><channel>"
+        "<item><title>a</title><link> https://ex.org/a1 </link></item>"
+        "<item><link>/rel/a2</link></item>"
+        "<item><title>no link</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        "<feed xmlns='http://www.w3.org/2005/Atom'>"
+        '<link rel="self" href="https://ex.org/atom.xml"/>'
+        '<entry><link href="https://ex.org/e1"/></entry>'
+        '<entry><link rel="self" href="https://ex.org/atom.xml"/>'
+        '<link rel="alternate" href="https://ex.org/e2"/></entry>'
+        "</feed>"
+    )
+    feeds = spark.createDataFrame(
+        [("https://ex.org/feed.xml", rss), ("https://ex.org/atom.xml", atom)],
+        "url string, xml string",
+    )
+    items = {
+        (r["feed_url"], r["url"], r["feed_kind"])
+        for r in extract_feed_items(feeds).collect()
+    }
+    assert items == {
+        ("https://ex.org/feed.xml", "https://ex.org/a1", "rss"),
+        ("https://ex.org/feed.xml", "https://ex.org/rel/a2", "rss"),
+        ("https://ex.org/atom.xml", "https://ex.org/e1", "atom"),
+        ("https://ex.org/atom.xml", "https://ex.org/e2", "atom"),
+    }

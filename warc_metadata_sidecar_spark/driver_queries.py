@@ -2997,6 +2997,71 @@ ORDER BY host, rnk
 """
 
 
+# feed fixture: even docs serve RSS (item/link text form, one absolute +
+# one feed-relative), odd docs serve Atom (entry/link href, a rel=self
+# that must drop + a default-rel relative). The oracle states the
+# EXPECTED urls closed-form — independent of the extraction machinery.
+_FEED_CTE = """
+feeds AS (
+  SELECT @PRINTF('https://h%02d.example.com/feed.xml',
+                 CAST(doc_id % 50 AS INT)) AS url,
+         CASE WHEN doc_id % 2 = 0 THEN
+           @PRINTF('<rss><channel><item><title>t</title><link> https://h%02d.example.com/art/%d </link></item><item><link>/rel/%d</link></item><item><title>bare</title></item></channel></rss>',
+                   CAST(doc_id % 50 AS INT), CAST(doc_id AS INT),
+                   CAST(doc_id AS INT))
+         ELSE
+           @PRINTF('<feed><entry><link href="https://h%02d.example.com/art/%d"/></entry><entry><link rel="self" href="https://h%02d.example.com/feed.xml"/><link href="/rel/%d"/></entry></feed>',
+                   CAST(doc_id % 50 AS INT), CAST(doc_id AS INT),
+                   CAST(doc_id % 50 AS INT), CAST(doc_id AS INT))
+         END AS xml,
+         doc_id
+  FROM documents
+)
+"""
+
+
+def feed_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication item discovery through the ENGINE path (frontier/
+    feeds.extract_feed_items over the planted RSS/Atom fixture):
+    element-text RSS links, attribute-form Atom links with the
+    rel-alternate default (rel=self drops), feed-relative resolution
+    through the shared RFC 3986 machinery."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.frontier.feeds import extract_feed_items
+
+    register_views(spark, sf_dir)
+    feeds = spark.sql(
+        "WITH " + _render(_FEED_CTE, SPARK) + " SELECT url, xml FROM feeds"
+    )
+    return (
+        extract_feed_items(feeds)
+        .select("feed_url", "url", "feed_kind")
+        .orderBy("feed_url", "url", "feed_kind")
+    )
+
+
+def _feed_items_oracle_sql() -> str:
+    return f"""
+WITH {_render(_FEED_CTE, DUCK)},
+expected AS (
+  SELECT f.url AS feed_url,
+         printf('https://h%02d.example.com/art/%d',
+                CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)) AS url,
+         CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind
+  FROM feeds f
+  UNION ALL
+  SELECT f.url,
+         printf('https://h%02d.example.com/rel/%d',
+                CAST(doc_id % 50 AS INT), CAST(doc_id AS INT)),
+         CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+  FROM feeds f
+)
+SELECT feed_url, url, feed_kind FROM expected
+ORDER BY feed_url, url, feed_kind
+"""
+
+
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment MODULE path over the planted quote-inclusion fixture —
     same rows as the dual-dialect SQL twin, planned as the operator's
@@ -5798,6 +5863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["postings_build"] = postings_build_q
     out["video_frame_plan"] = video_frame_plan_q
     out["authority_schedule"] = authority_schedule_q
+    out["feed_items"] = feed_items_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5898,6 +5964,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["postings_build"] = _postings_build_oracle_sql()
     oracles["video_frame_plan"] = _video_frame_plan_oracle_sql()
     oracles["authority_schedule"] = _authority_schedule_oracle_sql()
+    oracles["feed_items"] = _feed_items_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)
