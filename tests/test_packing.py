@@ -118,3 +118,41 @@ def test_chunked_single_exchange(spark, docs):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_plan_batches_and_balanced_shards_hand_computed(spark):
+    """operators/batching: bucket boundaries (15->0, 16->1, 31->1,
+    32->2), batch fill order + cross-bucket unique batch ids, pad-waste
+    bound (a batch's members differ by <= bucket width), and the
+    round-robin token balance of balanced_shards."""
+    from warc_metadata_sidecar_spark.operators.batching import (
+        balanced_shards,
+        plan_batches,
+    )
+
+    rows = [(i, t) for i, t in enumerate([3, 15, 16, 17, 31, 32, 40, 200, 18, 19])]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["batch_id"], r["pos"])
+        for r in plan_batches(docs, batch_size=2).collect()
+    }
+    assert got[0][0] == 0 and got[1][0] == 0          # <16 -> bucket 0
+    assert got[2][0] == 1 and got[4][0] == 1          # [16,32) -> bucket 1
+    assert got[5][0] == 2 and got[6][0] == 2          # [32,64) -> bucket 2
+    assert got[7][0] == 4                             # 200 in [128,256)
+    # bucket 1 holds 16,17,18,19,31: batches (16,17), (18,19), (31)
+    b1 = sorted((t, got[i]) for i, t in rows if got[i][0] == 1)
+    assert [x[1][2] for x in b1] == [0, 1, 0, 1, 0]
+    assert b1[0][1][1] == b1[1][1][1] != b1[2][1][1]
+    # batch ids are globally unique across buckets
+    ids = {}
+    for i, _t in rows:
+        ids.setdefault(got[i][1], set()).add(got[i][0])
+    assert all(len(v) == 1 for v in ids.values())
+
+    sh = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(docs, n_shards=2).collect()
+    }
+    # bucket 1 by tokens desc: 31,19,18,17,16 -> shards 0,1,0,1,0
+    assert [sh[i] for i in (4, 9, 8, 3, 2)] == [0, 1, 0, 1, 0]

@@ -4441,6 +4441,106 @@ ORDER BY urlkey
 """
 
 
+def batch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length-bucketed batch planning (operators/batching.
+    plan_batches) over documents' whitespace token counts: floor-log2
+    buckets, fixed-count batches filled in (n_tokens, doc_id) order —
+    per-bucket windows, never a global sort. Oracle restates the plan
+    as independent SQL."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.batching import plan_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        plan_batches(docs, batch_size=4)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "pos",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _batch_plan_oracle_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens < 16 THEN 0
+              ELSE CAST(floor(log2(CAST(n_tokens AS DOUBLE) / 16)) AS INT) + 1
+         END AS bucket
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY n_tokens, doc_id) - 1 AS rn
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(bucket AS INT) AS bucket,
+       CAST(bucket * (1::BIGINT << 40) + rn // 4 AS BIGINT) AS batch_id,
+       CAST(rn % 4 AS INT) AS pos
+FROM r
+ORDER BY doc_id
+"""
+
+
+def balanced_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (operators/batching.
+    balanced_shards): per-bucket size-ranked round-robin across 8
+    shards — bounded per-shard token skew vs hash sharding."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.batching import balanced_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        balanced_shards(docs, n_shards=8)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("shard").cast("int").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _balanced_shards_oracle_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens < 16 THEN 0
+              ELSE CAST(floor(log2(CAST(n_tokens AS DOUBLE) / 16)) AS INT) + 1
+         END AS bucket
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(bucket AS INT) AS bucket,
+       CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY n_tokens DESC, doc_id) - 1) % 8
+            AS INT) AS shard
+FROM b
+ORDER BY doc_id
+"""
+
+
 def postings_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact-ordered inverted-index build (operators/invindex.
     build_postings) over the documents table: whitespace terms, df-bound
@@ -5864,6 +5964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["video_frame_plan"] = video_frame_plan_q
     out["authority_schedule"] = authority_schedule_q
     out["feed_items"] = feed_items_q
+    out["batch_plan"] = batch_plan_q
+    out["balanced_shards"] = balanced_shards_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -5965,6 +6067,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["video_frame_plan"] = _video_frame_plan_oracle_sql()
     oracles["authority_schedule"] = _authority_schedule_oracle_sql()
     oracles["feed_items"] = _feed_items_oracle_sql()
+    oracles["batch_plan"] = _batch_plan_oracle_sql()
+    oracles["balanced_shards"] = _balanced_shards_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)
