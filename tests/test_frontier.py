@@ -1542,3 +1542,30 @@ def test_extract_feed_urls_and_items(spark):
         ("https://ex.org/atom.xml", "https://ex.org/e1", "atom"),
         ("https://ex.org/atom.xml", "https://ex.org/e2", "atom"),
     }
+
+
+def test_mirror_groups_hand_computed_cap_and_threshold(spark):
+    """frontier/graph.mirror_groups: transitive closure through a chain
+    (A~B, B~C without A-C support still one group), the min_shared
+    threshold, and the max_hosts_per_digest cap (a digest on every host
+    must NOT merge the world)."""
+    from warc_metadata_sidecar_spark.frontier.graph import mirror_groups
+
+    rows = []
+    # A and B share d1-d3; B and C share e1-e3; A and C share nothing
+    for d in ("d1", "d2", "d3"):
+        rows += [("A", d), ("B", d)]
+    for d in ("e1", "e2", "e3"):
+        rows += [("B", d), ("C", d)]
+    # D and E share only 2 digests -> below min_shared, no group
+    for d in ("f1", "f2"):
+        rows += [("D", d), ("E", d)]
+    # boilerplate digest on EVERY host -> capped out
+    for h in "ABCDE":
+        rows.append((h, "common"))
+    caps = spark.createDataFrame(rows, "host string, digest string")
+    got = {
+        r["host"]: (r["group_id"], r["group_size"])
+        for r in mirror_groups(caps, min_shared=3, max_hosts_per_digest=4).collect()
+    }
+    assert got == {"a": ("a", 3), "b": ("a", 3), "c": ("a", 3)}

@@ -2997,6 +2997,46 @@ ORDER BY host, rnk
 """
 
 
+def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (frontier/graph.mirror_groups) over a
+    planted capture fixture: hosts m0-m2 share one digest pool, m3-m4
+    another, m5-m9 are unique, and a 'common' digest on ALL hosts must
+    be capped out by max_hosts_per_digest (else everything would merge).
+    The oracle states the expected groups as static VALUES — fully
+    independent of the pairing/clustering machinery."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from warc_metadata_sidecar_spark.frontier.graph import mirror_groups
+
+    register_views(spark, sf_dir)
+    caps = spark.sql(
+        "SELECT printf('m%d.example.com', CAST(doc_id % 10 AS INT)) AS host, "
+        "CASE WHEN doc_id % 13 = 0 THEN 'common' "
+        "     WHEN doc_id % 10 <= 2 THEN printf('d%d', CAST((doc_id DIV 10) % 40 AS INT)) "
+        "     WHEN doc_id % 10 <= 4 THEN printf('e%d', CAST((doc_id DIV 10) % 40 AS INT)) "
+        "     ELSE printf('u%d', CAST(doc_id AS INT)) END AS digest "
+        "FROM documents"
+    )
+    return (
+        mirror_groups(caps, min_shared=3, max_hosts_per_digest=5)
+        .orderBy("host")
+    )
+
+
+def _mirror_hosts_oracle_sql() -> str:
+    return """
+SELECT host, group_id, CAST(group_size AS BIGINT) AS group_size
+FROM (VALUES
+    ('m0.example.com', 'm0.example.com', 3),
+    ('m1.example.com', 'm0.example.com', 3),
+    ('m2.example.com', 'm0.example.com', 3),
+    ('m3.example.com', 'm3.example.com', 2),
+    ('m4.example.com', 'm3.example.com', 2)
+) AS t(host, group_id, group_size)
+ORDER BY host
+"""
+
+
 # feed fixture: even docs serve RSS (item/link text form, one absolute +
 # one feed-relative), odd docs serve Atom (entry/link href, a rel=self
 # that must drop + a default-rel relative). The oracle states the
@@ -5966,6 +6006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["feed_items"] = feed_items_q
     out["batch_plan"] = batch_plan_q
     out["balanced_shards"] = balanced_shards_q
+    out["mirror_hosts"] = mirror_hosts_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -6069,6 +6110,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["feed_items"] = _feed_items_oracle_sql()
     oracles["batch_plan"] = _batch_plan_oracle_sql()
     oracles["balanced_shards"] = _balanced_shards_oracle_sql()
+    oracles["mirror_hosts"] = _mirror_hosts_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

@@ -177,3 +177,64 @@ def hits(
         .select("node", "h", F.col("a").alias("authority"))
         .withColumnRenamed("h", "hub")
     )
+
+
+def mirror_groups(
+    captures: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    min_shared: int = 3,
+    max_hosts_per_digest: int = 50,
+) -> DataFrame:
+    """Mirror-site detection: (host, group_id, group_size) for every
+    host that belongs to a mirror group — hosts serving >= `min_shared`
+    identical payload digests close into connected components (the
+    large-star/small-star rounds of operators/dedup.dup_clusters on
+    string hosts). Crawlers demote mirrors the way they demote traps:
+    fetching the same corpus from three hostnames is budget burned.
+    Builds directly on the reference's payload-digest column (its D1
+    memo, warc_metadata_sidecar.py:170-186) — the host-level rollup of
+    the same signal.
+
+    Scale shape (10^9 captures):
+      * (host, digest) dedups with ONE map-side-combinable distinct;
+      * digests on > `max_hosts_per_digest` hosts drop BEFORE the
+        per-digest self-join (boilerplate/empty-page digests are the
+        quadratic mass — the max_bucket discipline from LSH pairing);
+        the self-join is then bounded by cap^2 per digest;
+      * pair support aggregates map-side on (host_a, host_b);
+      * components run on the (few) qualifying host pairs, not
+        captures. Hosts in no pair are absent (not mirrors)."""
+    per = (
+        captures.select(
+            F.lower(F.col(host_col)).alias("host"),
+            F.col(digest_col).alias("digest"),
+        )
+        .where(F.col("host").isNotNull() & F.col("digest").isNotNull())
+        .distinct()
+    )
+    deg = per.groupBy("digest").agg(F.count(F.lit(1)).alias("n_hosts"))
+    kept = per.join(
+        deg.filter(
+            (F.col("n_hosts") >= 2) & (F.col("n_hosts") <= max_hosts_per_digest)
+        ).select("digest"),
+        "digest",
+        "left_semi",
+    )
+    b = kept.select(
+        F.col("digest").alias("digest2"), F.col("host").alias("host_b")
+    )
+    pairs = (
+        kept.join(b, (kept["digest"] == b["digest2"]) & (kept["host"] < b["host_b"]))
+        .groupBy(F.col("host").alias("host_a"), "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    from warc_metadata_sidecar_spark.operators.dedup import dup_clusters
+
+    comps = dup_clusters(pairs.select("host_a", "host_b"), cast=None)
+    return comps.select(
+        F.col(comps.columns[0]).alias("host"),
+        F.col("cluster_id").alias("group_id"),
+        F.col("cluster_size").cast("long").alias("group_size"),
+    )
