@@ -184,3 +184,27 @@ def test_build_postings_hand_computed_and_plan(spark):
         if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
     ]
     assert len(real) == 1, final
+
+
+def test_language_mix_hand_computed(spark):
+    """operators/quality.language_mix: pure-English doc is unmixed,
+    en+es doc is mixed with the count-majority, an und-only doc reports
+    majority 'und', blank paragraphs drop, and a 1-1 tie breaks to the
+    lexicographically larger language."""
+    from warc_metadata_sidecar_spark.operators.quality import language_mix
+
+    rows = [
+        (1, "the cat and dog\nthis is the end"),
+        (2, "the cat and dog\nel perro la casa\n\nel gato la mesa"),
+        (3, "12345 67890\n99999"),
+        (4, "the cat and dog\nel perro la casa"),  # 1-1 tie -> 'es'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_langs"], r["majority_lang"], r["mixed"])
+        for r in language_mix(docs).collect()
+    }
+    assert got[1] == (2, 1, "en", False)
+    assert got[2] == (3, 2, "es", True)   # blank para dropped; es 2-1 en
+    assert got[3] == (2, 0, "und", False)
+    assert got[4] == (2, 2, "es", True)

@@ -2997,6 +2997,100 @@ ORDER BY host, rnk
 """
 
 
+# paragraph fixture for language_mix: para 1 always English, para 2
+# Spanish on %3==0, para 3 unidentifiable on %5==0 — so docs cycle
+# through pure-English, mixed, and und-carrying shapes deterministically
+_LANGMIX_CASE = (
+    "concat("
+    "@PRINTF('the cat and dog number %d', CAST(doc_id AS INT)), @CHR10, "
+    "CASE WHEN doc_id % 3 = 0 "
+    "     THEN @PRINTF('el perro la casa %d', CAST(doc_id AS INT)) "
+    "     ELSE @PRINTF('more of the words %d', CAST(doc_id AS INT)) END, @CHR10, "
+    "CASE WHEN doc_id % 5 = 0 THEN '12345 67890' "
+    "     ELSE @PRINTF('this is the end %d', CAST(doc_id AS INT)) END)"
+)
+
+
+def language_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph language mixing (operators/quality.language_mix)
+    over the planted three-paragraph fixture. The oracle restates the
+    marker-argmax per paragraph (list_intersect counts, the
+    lang_guess_col first-wins tie rule as a CASE ladder) and the
+    majority/mixing rollup independently in SQL."""
+    register_views(spark, sf_dir)
+    from warc_metadata_sidecar_spark.operators.quality import language_mix
+
+    fix = spark.sql(
+        "SELECT doc_id, " + _render(_LANGMIX_CASE, SPARK) + " AS text FROM documents"
+    )
+    return language_mix(fix).orderBy("doc_id")
+
+
+def _language_mix_oracle_sql() -> str:
+    markers = {
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "la", "que", "los", "una"],
+        "fr": ["le", "les", "des", "une", "est"],
+        "de": ["der", "die", "und", "nicht", "ein"],
+    }
+
+    def score(code: str) -> str:
+        lst = ", ".join(f"'{m}'" for m in markers[code])
+        return (
+            "len(list_intersect(list_distinct(string_split(lower(p), ' ')), "
+            f"[{lst}]))"
+        )
+
+    case_fix = _render(_LANGMIX_CASE, DUCK)
+    return f"""
+WITH fix AS (
+  SELECT doc_id, {case_fix} AS text FROM documents
+),
+paras AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS p FROM fix
+),
+scored AS (
+  SELECT doc_id, p,
+         {score('en')} AS se, {score('es')} AS ss,
+         {score('fr')} AS sf, {score('de')} AS sd
+  FROM paras WHERE trim(p) <> ''
+),
+guessed AS (
+  SELECT doc_id,
+         CASE WHEN sd > greatest(se, ss, sf) THEN 'de'
+              WHEN sf > greatest(se, ss) THEN 'fr'
+              WHEN ss > se THEN 'es'
+              WHEN se > 0 THEN 'en'
+              ELSE 'und' END AS lang
+  FROM scored
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_paras FROM guessed GROUP BY doc_id),
+counts AS (
+  SELECT doc_id, lang, COUNT(*) AS c FROM guessed
+  WHERE lang <> 'und' GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT doc_id, lang, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang DESC) AS rn
+  FROM counts
+),
+major AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
+         COUNT(*) AS n_langs
+  FROM ranked GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.n_paras AS BIGINT) AS n_paras,
+       CAST(COALESCE(m.n_langs, 0) AS BIGINT) AS n_langs,
+       COALESCE(m.majority_lang, 'und') AS majority_lang,
+       (COALESCE(m.n_langs, 0) >= 2) AS mixed
+FROM per_doc p LEFT JOIN major m ON p.doc_id = m.doc_id
+ORDER BY doc_id
+"""
+
+
 def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (frontier/graph.mirror_groups) over a
     planted capture fixture: hosts m0-m2 share one digest pool, m3-m4
@@ -6007,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["batch_plan"] = batch_plan_q
     out["balanced_shards"] = balanced_shards_q
     out["mirror_hosts"] = mirror_hosts_q
+    out["language_mix"] = language_mix_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -6111,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["batch_plan"] = _batch_plan_oracle_sql()
     oracles["balanced_shards"] = _balanced_shards_oracle_sql()
     oracles["mirror_hosts"] = _mirror_hosts_oracle_sql()
+    oracles["language_mix"] = _language_mix_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

@@ -478,3 +478,54 @@ def domain_stats(
         F.expr("(sum_chars * 1000) div n_docs").alias("mean_chars_x1000"),
         (~(F.col("n_short") * 2 > F.col("n_docs"))).alias("keep"),
     )
+
+
+def language_mix(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-paragraph language mixing profile: (doc_id, n_paras, n_langs,
+    majority_lang, mixed) — the multilingual-contamination gate (CCNet
+    splits documents by paragraph language; a doc whose paragraphs
+    identify as two+ languages is boilerplate-glued or machine-mixed and
+    pollutes per-language corpora). Paragraphs = newline splits with
+    blank lines dropped; per-paragraph lang-id is the marker argmax
+    (functions/text.lang_guess_col — first-wins on score ties, 'und'
+    when nothing fires); n_langs counts DISTINCT identified languages
+    ('und' excluded), majority_lang is the most frequent identified
+    language (count desc, lang desc tie-break; 'und' when none
+    identify), mixed = n_langs >= 2.
+
+    Scale: explode + projection per paragraph, then ONE map-side-
+    combinable (doc, lang) count and a doc-keyed window — two exchanges
+    sharing the doc_id key."""
+    from pyspark.sql import Window
+
+    from warc_metadata_sidecar_spark.functions.text import lang_guess_col
+
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_p"),
+        )
+        .filter(F.trim("_p") != "")
+        .withColumn("_lang", lang_guess_col(F.col("_p")))
+    )
+    per_doc = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    ident = paras.filter(F.col("_lang") != "und")
+    counts = ident.groupBy("doc_id", "_lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("_lang").desc())
+    major = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_lang"))).alias("majority_lang"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+        )
+    )
+    return per_doc.join(major, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+        F.coalesce("majority_lang", F.lit("und")).alias("majority_lang"),
+        (F.coalesce("n_langs", F.lit(0)) >= 2).alias("mixed"),
+    )
