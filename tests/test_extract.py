@@ -208,3 +208,35 @@ def test_language_mix_hand_computed(spark):
     assert got[2] == (3, 2, "es", True)   # blank para dropped; es 2-1 en
     assert got[3] == (2, 0, "und", False)
     assert got[4] == (2, 2, "es", True)
+
+
+def test_adaptive_quality_gate_hand_computed_and_approx(spark):
+    """operators/quality.adaptive_quality_gate: each stratum keeps its
+    own top fraction (a global cutoff would drop ALL of the low stratum),
+    exact thresholds interpolate, and the approx=True scale path agrees
+    on this well-separated fixture."""
+    from warc_metadata_sidecar_spark.operators.quality import adaptive_quality_gate
+
+    rows = [("hi", i, 0.5 + i / 100.0) for i in range(10)] + [
+        ("lo", i, 0.0 + i / 100.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(s, i, v) for s, i, v in rows], "lang string, doc_id long, score double"
+    )
+    out = adaptive_quality_gate(df, keep_frac=0.5)
+    got = {(r["lang"], r["doc_id"]): r["keep"] for r in out.collect()}
+    # exact percentile(0.5) over 0..9/100 interpolates to 4.5/100: keep i>=5
+    for i in range(10):
+        assert got[("hi", i)] == (i >= 5)
+        assert got[("lo", i)] == (i >= 5)  # per-stratum: lo keeps its own top half
+    thr = {r["lang"]: r["thr"] for r in out.select("lang", "thr").distinct().collect()}
+    assert abs(thr["hi"] - 0.545) < 1e-9 and abs(thr["lo"] - 0.045) < 1e-9
+    ap = {
+        (r["lang"], r["doc_id"]): r["keep"]
+        for r in adaptive_quality_gate(df, keep_frac=0.5, approx=True).collect()
+    }
+    # percentile_approx returns an actual data value; on this fixture the
+    # kept sets still match per stratum within one boundary element
+    for lang in ("hi", "lo"):
+        kept = {i for (s, i), k in ap.items() if s == lang and k}
+        assert {6, 7, 8, 9} <= kept <= {4, 5, 6, 7, 8, 9}

@@ -3091,6 +3091,52 @@ ORDER BY doc_id
 """
 
 
+def adaptive_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality thresholds (operators/quality.
+    adaptive_quality_gate, exact-percentile oracle shape) over a
+    closed-form score: each lang keeps its own top 70%. The oracle
+    restates with quantile_cont + the same >= gate."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.quality import adaptive_quality_gate
+
+    register_views(spark, sf_dir)
+    scored = spark.sql(
+        "SELECT doc_id, lang, "
+        "CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0 AS score FROM documents"
+    )
+    return (
+        adaptive_quality_gate(scored, keep_frac=0.7)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.round("score", 6).cast("double").alias("score"),
+            F.round("thr", 6).cast("double").alias("thr"),
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _adaptive_quality_oracle_sql() -> str:
+    return """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0 AS score
+  FROM documents
+),
+thr AS (
+  SELECT lang, quantile_cont(score, 0.3) AS thr FROM scored GROUP BY lang
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.lang,
+       CAST(round(s.score, 6) AS DOUBLE) AS score,
+       CAST(round(t.thr, 6) AS DOUBLE) AS thr,
+       (s.score >= t.thr) AS keep
+FROM scored s LEFT JOIN thr t ON s.lang = t.lang
+ORDER BY doc_id
+"""
+
+
 def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (frontier/graph.mirror_groups) over a
     planted capture fixture: hosts m0-m2 share one digest pool, m3-m4
@@ -6102,6 +6148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["balanced_shards"] = balanced_shards_q
     out["mirror_hosts"] = mirror_hosts_q
     out["language_mix"] = language_mix_q
+    out["adaptive_quality"] = adaptive_quality_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -6207,6 +6254,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["balanced_shards"] = _balanced_shards_oracle_sql()
     oracles["mirror_hosts"] = _mirror_hosts_oracle_sql()
     oracles["language_mix"] = _language_mix_oracle_sql()
+    oracles["adaptive_quality"] = _adaptive_quality_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

@@ -529,3 +529,43 @@ def language_mix(
         F.coalesce("majority_lang", F.lit("und")).alias("majority_lang"),
         (F.coalesce("n_langs", F.lit(0)) >= 2).alias("mixed"),
     )
+
+
+def adaptive_quality_gate(
+    scored: DataFrame,
+    stratum_col: str = "lang",
+    score_col: str = "score",
+    keep_frac: float = 0.7,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-stratum adaptive quality thresholding (the FineWeb
+    per-language discipline: a fixed global cutoff over-filters
+    low-resource strata, so each stratum keeps its own top
+    `keep_frac`): thr(stratum) = the (1 - keep_frac) quantile of the
+    stratum's scores; keep = score >= thr.
+
+    approx=False (default, the oracle shape) uses the EXACT linear-
+    interpolation percentile — per-group state is the group's value
+    buffer, fine at fixture scale and restatable as DuckDB
+    quantile_cont. approx=True is the 100 TB path: percentile_approx's
+    bounded sketch (the ccnet_buckets approx discipline) — same plan,
+    O(1) state per stratum. Thresholds are a strata-cardinality table
+    broadcast back onto the corpus; ONE stratum-keyed exchange total.
+
+    Boundary exactness (oracle contract): when the quantile index lands
+    between two data values, the interpolated threshold sits strictly
+    inside a gap far wider than an ulp, and when it lands ON a value the
+    interpolation degenerates to that value bit-exactly in both engines
+    — so keep = score >= thr cannot flip across engines."""
+    fn = "percentile_approx" if approx else "percentile"
+    q = 1.0 - keep_frac
+    thr = scored.groupBy(F.col(stratum_col).alias("_st")).agg(
+        F.expr(f"{fn}({score_col}, {q!r})").alias("thr")
+    )
+    return (
+        scored.join(
+            F.broadcast(thr), scored[stratum_col] == thr["_st"], "left"
+        )
+        .drop("_st")
+        .withColumn("keep", F.col(score_col) >= F.col("thr"))
+    )
