@@ -240,3 +240,36 @@ def test_adaptive_quality_gate_hand_computed_and_approx(spark):
     for lang in ("hi", "lo"):
         kept = {i for (s, i), k in ap.items() if s == lang and k}
         assert {6, 7, 8, 9} <= kept <= {4, 5, 6, 7, 8, 9}
+
+
+def test_cms_sketch_properties(spark):
+    """operators/sketch: est >= true for every token (collisions only
+    add), absent tokens estimate 0 when their buckets are clean, the
+    sketch is merge-by-addition (two halves' sketches sum to the whole's),
+    and sketch size is bounded by depth x width."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.sketch import cms_build, cms_estimate
+
+    words = [f"w{i}" for i in range(50) for _ in range(i % 5 + 1)]
+    toks = spark.createDataFrame([(w,) for w in words], "token: string")
+    sketch = cms_build(toks, depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+    probes = spark.createDataFrame(
+        [(f"w{i}",) for i in range(50)] + [("absent",)], "token: string"
+    )
+    est = {r["token"]: r["est"] for r in cms_estimate(sketch, probes, depth=4, width=64).collect()}
+    true = {f"w{i}": i % 5 + 1 for i in range(50)}
+    assert all(est[w] >= c for w, c in true.items())
+    # merge = counter addition: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = cms_build(toks.limit(60), depth=4, width=64)
+    h2 = cms_build(
+        spark.createDataFrame([(w,) for w in words[60:]], "token: string"),
+        depth=4, width=64,
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    )
+    a = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
+    b = {(r["d"], r["bucket"]): r["c"] for r in sketch.collect()}
+    assert a == b

@@ -3137,6 +3137,74 @@ ORDER BY doc_id
 """
 
 
+_CMS_PROBES = ("table", "row", "key", "spark", "zz-absent-token")
+
+
+def cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch, depth 4 x width 512) over the
+    documents token stream, probed for four present tokens + one absent:
+    (token, est, exact, overestimate). The oracle rebuilds the sketch in
+    SQL from the shared md5-bucket contract and recomputes the exact
+    counts independently — est >= exact must hold everywhere."""
+    from pyspark.sql import functions as F
+
+    from warc_metadata_sidecar_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_build(toks, depth=4, width=512)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token: string")
+    est = cms_estimate(sketch, probes, depth=4, width=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            "est",
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            (F.col("est") >= F.coalesce("exact", F.lit(0))).alias("overestimate_ok"),
+        )
+        .orderBy("token")
+    )
+
+
+def _cms_counts_oracle_sql() -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+seeds(d) AS (VALUES (0), (1), (2), (3)),
+sketch AS (
+  SELECT s.d,
+         CAST(('0x' || substr(md5(s.d || ':' || t.token), 1, 15))::BIGINT % 512
+              AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok t, seeds s GROUP BY 1, 2
+),
+probes(token) AS (VALUES {probes}),
+keys AS (
+  SELECT p.token, s.d,
+         CAST(('0x' || substr(md5(s.d || ':' || p.token), 1, 15))::BIGINT % 512
+              AS INT) AS bucket
+  FROM probes p, seeds s
+),
+est AS (
+  SELECT k.token, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est
+  FROM keys k LEFT JOIN sketch sk ON k.d = sk.d AND k.bucket = sk.bucket
+  GROUP BY k.token
+),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY token)
+SELECT e.token, e.est, CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+       (e.est >= COALESCE(x.exact, 0)) AS overestimate_ok
+FROM est e LEFT JOIN exact x ON e.token = x.token
+ORDER BY e.token
+"""
+
+
 def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (frontier/graph.mirror_groups) over a
     planted capture fixture: hosts m0-m2 share one digest pool, m3-m4
@@ -6149,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["mirror_hosts"] = mirror_hosts_q
     out["language_mix"] = language_mix_q
     out["adaptive_quality"] = adaptive_quality_q
+    out["cms_counts"] = cms_counts_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -6255,6 +6324,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["mirror_hosts"] = _mirror_hosts_oracle_sql()
     oracles["language_mix"] = _language_mix_oracle_sql()
     oracles["adaptive_quality"] = _adaptive_quality_oracle_sql()
+    oracles["cms_counts"] = _cms_counts_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)
