@@ -273,3 +273,39 @@ def test_cms_sketch_properties(spark):
     a = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
     b = {(r["d"], r["bucket"]): r["c"] for r in sketch.collect()}
     assert a == b
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """operators/quality.pmi_collocations: a pair that always co-occurs
+    outranks pairs with a common member (and the 2-of-2x2 perfect pairs
+    outrank IT — PMI's rare-pair bias), min_count prunes, and a
+    single-word doc contributes no bigrams (the sequence(1,0) guard)."""
+    import math
+
+    from warc_metadata_sidecar_spark.operators.quality import pmi_collocations
+
+    # 'new york' always adjacent (4x); 'the cat/dog/car...' common words
+    rows = [
+        (1, "new york is big and the cat sat on the mat"),
+        (2, "new york is old and the dog sat on the mat"),
+        (3, "new york is far and the cat ran to the car"),
+        (4, "new york is near and the dog ran to the car"),
+        (5, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    n = sum(len(t.split()) for _, t in rows)
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    # PMI's textbook rare-pair bias: a 2-of-2x2 perfect pair (ln(N/2))
+    # outranks the 4-of-4x4 'new york' (ln(N/4)), which in turn beats
+    # any pair with a common member like ('the','cat') (ln(N/8))
+    assert abs(out[0]["pmi"] - round(math.log(n / 2), 4)) < 1e-9
+    ny = by_pair[("new", "york")]
+    assert ny["c12"] == 4
+    assert abs(ny["pmi"] - round(math.log(n * 4 / 16), 4)) < 1e-9
+    tc = by_pair.get(("the", "cat"))
+    if tc is not None:
+        assert tc["pmi"] < ny["pmi"]
+    # every returned pair met min_count; nothing from the 1-word doc
+    assert all(r["c12"] >= 2 for r in out)
+    assert not [r for r in out if "solo" in (r["w1"], r["w2"])]

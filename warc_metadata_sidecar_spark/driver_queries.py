@@ -3205,6 +3205,51 @@ ORDER BY e.token
 """
 
 
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/quality.pmi_collocations) over
+    the documents token stream: top 25 adjacent pairs with support >= 5
+    by rounded PMI (lexicographic tie-break — engine-stable ranking).
+    The oracle restates bigram/unigram counting and the PMI formula
+    independently in SQL."""
+    from warc_metadata_sidecar_spark.operators.quality import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, min_count=5, top_k=25)
+
+
+def _pmi_collocations_oracle_sql() -> str:
+    return """
+WITH arr AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+big AS (
+  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+  FROM arr, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+  ) g
+  WHERE len(ws) >= 2 AND ws[g.i] <> '' AND ws[g.i + 1] <> ''
+),
+uni AS (
+  SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM arr) u
+  WHERE u.w <> '' GROUP BY u.w
+),
+n_tok AS (SELECT SUM(c) AS n FROM uni),
+b AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM big GROUP BY w1, w2 HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         CAST(round(ln(CAST((SELECT n FROM n_tok) * b.c12 AS DOUBLE)
+                       / CAST(u1.c * u2.c AS DOUBLE)), 4) AS DOUBLE) AS pmi
+  FROM b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+)
+SELECT w1, w2, c12, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT 25
+"""
+
+
 def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (frontier/graph.mirror_groups) over a
     planted capture fixture: hosts m0-m2 share one digest pool, m3-m4
@@ -6218,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["language_mix"] = language_mix_q
     out["adaptive_quality"] = adaptive_quality_q
     out["cms_counts"] = cms_counts_q
+    out["pmi_collocations"] = pmi_collocations_q
     out["containment_pairs"] = containment_pairs_q
     out["tfidf_keywords"] = tfidf_keywords_q
     out["top_ngrams"] = top_ngrams_q
@@ -6325,6 +6371,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["language_mix"] = _language_mix_oracle_sql()
     oracles["adaptive_quality"] = _adaptive_quality_oracle_sql()
     oracles["cms_counts"] = _cms_counts_oracle_sql()
+    oracles["pmi_collocations"] = _pmi_collocations_oracle_sql()
     # decode(encode(raster)) perceptual hashes vs closed-form integer
     # arithmetic; banded near-dup vs brute-force xor-popcount (exact for
     # max_hamming < n_bands by pigeonhole)

@@ -569,3 +569,72 @@ def adaptive_quality_gate(
         .drop("_st")
         .withColumn("keep", F.col(score_col) >= F.col("thr"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    word pairs (the word2vec/phrase-detection preprocessing pass):
+    pmi(w1, w2) = ln(N * c12 / (c1 * c2)), rounded half-even to 4
+    (the bm25 discipline — ln is the one op without a cross-engine
+    correct-rounding guarantee; ranking uses the ROUNDED value with a
+    lexicographic tie-break, so top-k is engine-stable). Returns the
+    top_k (w1, w2, c12, pmi) with c12 >= min_count.
+
+    Scale shape: bigram and unigram counts are both map-side-combinable
+    groupBys; the min_count prune lands BEFORE the joins (the df-prune
+    discipline), so only qualifying bigrams join the unigram table
+    (word-keyed shuffle joins; at fixture scale AQE broadcasts); N is
+    ONE collected scalar; top-k is a TakeOrdered, never a global sort."""
+    ws = F.split(F.col(text_col), " ")
+    # guard: F.sequence(1, 0) generates DESCENDING [1, 0] — wrap short rows
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+            f"i -> struct(element_at(split({text_col}, ' '), i) AS w1, "
+            f"element_at(split({text_col}, ' '), i + 1) AS w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        docs.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c")).collect()[0][0]
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.lit(int(n_tokens)) * F.col("c12")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c12", "pmi")
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
