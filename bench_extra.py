@@ -1,0 +1,80 @@
+"""Per-query isolation harness for the r08 optimization round (guide §1).
+
+NOT the driver bench (bench.py is frozen): this file exists to
+  - time individual queries with the noop sink (guide §1.4) so the
+    computation is measured, not the sink or the driver collect;
+  - dump .explain("formatted") into plans/r08/<query>_{before,after}.txt;
+  - run A/B comparisons while iterating.
+
+Usage:
+  python bench_extra.py time  <query> [query...]   # noop-sink wall, 3 reps
+  python bench_extra.py plan  <query> <suffix>     # write plans/r08/<q>_<suffix>.txt
+  python bench_extra.py sweep                      # noop-sink wall for all bench queries
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from warc_metadata_sidecar_spark import driver_queries  # noqa: E402
+from warc_metadata_sidecar_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sweep"
+    spark = build_session(app_name="bench_extra", cpus=CPUS, shuffle_partitions=CPUS)
+    qs = driver_queries.queries()
+    driver_queries.register_views(spark, SF_DIR)
+
+    if mode == "plan":
+        name, suffix = sys.argv[2], sys.argv[3]
+        os.makedirs("plans/r08", exist_ok=True)
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = f"plans/r08/{name}_{suffix}.txt"
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    elif mode == "time":
+        for name in sys.argv[2:]:
+            fn = qs[name]
+            walls = []
+            for _ in range(REPS):
+                spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+                t0 = time.time()
+                _noop(fn(spark, SF_DIR))
+                walls.append(round(time.time() - t0, 3))
+            print(f"{name}: {walls} min={min(walls)}")
+    else:  # sweep
+        import json
+
+        names = list(dict.fromkeys(
+            getattr(__import__("bench"), "HEADLINE") + getattr(__import__("bench"), "EXTENDED")
+        ))
+        out = {}
+        for name in names:
+            fn = qs[name]
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            _noop(fn(spark, SF_DIR))
+            out[name] = round(time.time() - t0, 3)
+        print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
