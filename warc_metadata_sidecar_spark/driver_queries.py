@@ -1727,8 +1727,205 @@ def _md5_int(dialect: dict, hexpr: str, nibbles: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# --- Spark-side physical rewrites (optimization r8) --------------------------
+#
+# The canonical templates in _Q are shared by both dialects and FROZEN on the
+# DuckDB side (the driver fingerprints oracle_sql() text). Spark, unlike
+# DuckDB, re-executes a CTE's full lineage once per reference (CTEs are
+# inlined; ReuseExchange did not fire on any of these plans — see
+# plans/r08/*_before.txt), so templates that read an exploded CTE several
+# times pay the explode several times. The entries below are SPARK-ONLY
+# rewrites of the same computation with the repetition factored out; each one
+# is bit-equivalent (integer arithmetic, or identical IEEE operation order)
+# and is verified against the unchanged DuckDB oracle by
+# BENCH/sweep_preflight.py. duck_sql_for() never reads this dict.
+_Q_SPARK: dict[str, str] = {}
+
+# dedup_simhash: the canonical form explodes every distinct (doc, word) 16x
+# (one lateral row per bit) and computes md5(w) anew for every bit — 16
+# md5s/word and a 16x-cardinality shuffle into sums. Rewrite: md5 once per
+# word, derive all 16 +-1 weights as cheap column expressions over the first
+# four hex nibbles, and aggregate the 16 per-bit sums in ONE map-side-combined
+# groupBy(doc_id). Bit b reads nibble b div 4, shift b mod 4 — exactly the
+# canonical hv/shift arithmetic; sums of +-1 integers and the final
+# shiftleft-sum are integer-exact, so rows hash-match the oracle.
+_Q_SPARK["dedup_simhash"] = (
+    "WITH "
+    + CORPUS_CTE
+    + """,
+words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM corpus) t
+),
+wh AS (
+  SELECT doc_id,
+         instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS n0,
+         instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS n1,
+         instr('0123456789abcdef', substring(h, 3, 1)) - 1 AS n2,
+         instr('0123456789abcdef', substring(h, 4, 1)) - 1 AS n3
+  FROM (SELECT doc_id, md5(w) AS h FROM words) t
+),
+sums AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"         sum(CASE WHEN (shiftright(n{b // 4}, {b % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    + """
+  FROM wh GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+         CAST("""
+    + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    + """ AS BIGINT) AS simhash
+  FROM sums
+)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keeper
+FROM sim GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+"""
+)
+
+
+def _dot64_spark(a: str, b: str) -> str:
+    """Dot product of two ARRAY<DOUBLE> columns — the canonical fold (an
+    unrolled 64-term multiply-add chain was measured 4x SLOWER: the giant
+    expression tree falls out of codegen and evaluates interpreted). The win
+    over the canonical @COSINE comes from the callers computing the two
+    norms once per ROW instead of re-folding them per PAIR."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _ssq64_spark(a: str) -> str:
+    """Sum of squares of an ARRAY<DOUBLE> column (canonical fold)."""
+    return f"aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"
+
+
+# embedding_cosine_pairs / ann_ivf_top1: the canonical @COSINE computes THREE
+# lambda folds per PAIR (dot + both norms) via interpreted higher-order
+# functions. Rewrite: cast + norm once per ROW in the base CTE, one codegen
+# dot per pair, sim = dot / (nrm_a * nrm_b) — the exact expression the
+# canonical form evaluates (sqrt(ssq_a) * sqrt(ssq_b)), same operation order,
+# bit-identical.
+_Q_SPARK["embedding_cosine_pairs"] = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+         sqrt({_ssq64_spark("CAST(embedding AS ARRAY<DOUBLE>)")}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_dot64_spark("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(round(sim, 4) AS DOUBLE) AS sim
+FROM pairs WHERE sim >= 0.35 ORDER BY id_a, id_b
+"""
+
+_Q_SPARK["ann_ivf_top1"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, @ARGMAX8 AS bucket, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+         sqrt({_ssq64_spark("CAST(embedding AS ARRAY<DOUBLE>)")}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_dot64_spark("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(round(sim, 4) AS DOUBLE) AS sim
+FROM ranked WHERE rnk = 1 ORDER BY vec_id
+"""
+
+# lm_perplexity / ccnet_buckets: the canonical LM_CTES re-explode the char
+# bigrams once per model-CTE reference (counts, ctx, vocab x2, docbg — five
+# explode chains at runtime). The char-bigram model is BOUNDED (<= 27^2
+# entries), so the Spark side folds the whole model into one single-row CTE
+# of maps — counts map, per-context totals map, vocab size — computed from
+# ONE explode, and scores docbg (the second and last explode) against the
+# broadcast single row. This is the module path's broadcast-model shape
+# (operators/lm.py) expressed in SQL; every quantity is an integer-valued
+# double (exact), lookups replace equi-joins, arithmetic is unchanged.
+_LM_CTES_SPARK = """
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' '),
+                             ' +', ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT * FROM norm WHERE length(t) >= 2),
+bg AS (
+  SELECT doc_id, substr(t, i, 2) AS b
+  FROM nz @LATB
+),
+docbg AS (
+  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS n FROM bg GROUP BY doc_id, b
+),
+counts AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY b),
+model AS (
+  SELECT cm,
+         map_from_entries(transform(
+           array_distinct(transform(map_keys(cm), bb -> substr(bb, 1, 1))),
+           c1 -> struct(c1, aggregate(
+             filter(map_entries(cm), e -> substr(e.key, 1, 1) = c1),
+             CAST(0 AS DOUBLE), (acc, e) -> acc + e.value)))) AS tm,
+         CAST(size(array_distinct(flatten(transform(map_keys(cm),
+              bb -> array(substr(bb, 1, 1), substr(bb, 2, 1)))))) AS DOUBLE) AS v
+  FROM (SELECT map_from_entries(collect_list(struct(b, c))) AS cm FROM counts) m0
+),
+scored AS (
+  SELECT d.doc_id,
+         SUM(d.n) AS n_bigrams,
+         SUM(d.n * log2((element_at(m.cm, d.b) + 1)
+                        / (element_at(m.tm, substr(d.b, 1, 1)) + m.v))) AS logsum
+  FROM docbg d CROSS JOIN model m
+  GROUP BY d.doc_id
+)"""
+
+_Q_SPARK["lm_perplexity"] = (
+    "WITH "
+    + _LM_CTES_SPARK
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
+FROM scored ORDER BY doc_id
+"""
+)
+
+_Q_SPARK["ccnet_buckets"] = (
+    "WITH "
+    + _LM_CTES_SPARK
+    + """,
+final AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
+  FROM scored
+)
+SELECT doc_id, bits_per_char,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (SELECT *, ntile(3) OVER (ORDER BY bits_per_char, doc_id) AS nt FROM final) t
+ORDER BY doc_id
+"""
+)
+
+
 def _render_query(name: str, dialect: dict) -> str:
-    sql = _Q[name]
+    sql = _Q_SPARK[name] if (dialect is SPARK and name in _Q_SPARK) else _Q[name]
     if "@SHINGLES" in sql:
         sql = sql.replace("@SHINGLES", _shingle_cte(dialect))
     if "@N_EMAIL" in sql:
@@ -3372,6 +3569,77 @@ expected AS (
 SELECT feed_url, url, feed_kind FROM expected
 ORDER BY feed_url, url, feed_kind
 """
+
+
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side physical form of the canonical dedup_minhash_lsh twin
+    (oracle side unchanged: duck_sql_for renders _Q["dedup_minhash_lsh"]).
+    The canonical statement reads the shingle CTE from EIGHT consumers and
+    Spark re-executes the corpus scan + explode + distinct per consumer
+    (24 parquet scans / 8 Generates at runtime —
+    plans/r08/dedup_minhash_lsh_before.txt). Here the distinct
+    (doc_id, shingle) set and the per-doc signature table are materialized
+    once per invocation (localCheckpoint — computed from the parquet
+    inputs inside the timed call, nothing survives across runs) and every
+    downstream CTE reads the materialized tables. sizes.n_sh is folded
+    into the signature aggregation (same group key, identical count).
+    All arithmetic is the canonical text's; rows hash-match the oracle."""
+    register_views(spark, sf_dir)
+    shingles = spark.sql(
+        _render(
+            "WITH "
+            + CORPUS_CTE
+            + """,
+toks AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM corpus
+)
+SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS sh
+FROM toks LATERAL VIEW explode(sequence(1, size(ws) - 2)) _lat AS i
+WHERE size(ws) >= 3
+""",
+            SPARK,
+        )
+    )
+    shingles.localCheckpoint(eager=True).createOrReplaceTempView("_r8_mh_shingles")
+    sigs = spark.sql(
+        """
+SELECT doc_id,
+       min(md5(concat('0:', sh))) AS h0, min(md5(concat('1:', sh))) AS h1,
+       min(md5(concat('2:', sh))) AS h2, min(md5(concat('3:', sh))) AS h3,
+       min(md5(concat('4:', sh))) AS h4, min(md5(concat('5:', sh))) AS h5,
+       min(md5(concat('6:', sh))) AS h6, min(md5(concat('7:', sh))) AS h7,
+       count(*) AS n_sh
+FROM _r8_mh_shingles GROUP BY doc_id"""
+    )
+    sigs.localCheckpoint(eager=True).createOrReplaceTempView("_r8_mh_sigs")
+    return spark.sql(
+        """
+WITH bands AS (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band FROM _r8_mh_sigs
+  UNION ALL
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band FROM _r8_mh_sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         count(*) AS inter,
+         min(sa.n_sh) AS na, min(sb.n_sh) AS nb
+  FROM cand c
+  JOIN _r8_mh_shingles s1 ON s1.doc_id = c.id_a
+  JOIN _r8_mh_shingles s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  JOIN _r8_mh_sigs sa ON sa.doc_id = c.id_a
+  JOIN _r8_mh_sigs sb ON sb.doc_id = c.id_b
+  GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+ORDER BY id_a, id_b"""
+    )
 
 
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6245,6 +6513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for name in ORACLE_QUERY_NAMES:
         out[name] = make(name)
+    # Spark-side physical form with materialized shingle/signature tables
+    # (r8); the oracle stays the canonical dual-dialect SQL.
+    out["dedup_minhash_lsh"] = dedup_minhash_lsh_q
     out["flagship_sidecar"] = flagship_sidecar
     out["flagship_counters"] = flagship_counters
     out["crawl_rounds"] = crawl_rounds

@@ -71,10 +71,18 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
         linked = ranks.join(outw, ranks["node"] == outw["src"], "left")
-        dang = linked.filter(F.col("outw").isNull()).agg(
-            _sorted_sum("rank").alias("s")
-        ).collect()[0]["s"]
-        base = (1.0 - damping) / n + damping * (dang or 0.0) / n
+        # dangling mass stays IN the plan as a one-row cross-joined
+        # aggregate instead of a per-iteration driver collect — one Spark
+        # job per iteration (the checkpoint) instead of two. The base-term
+        # arithmetic replicates the twin's Python float expression
+        # (1-d)/n + (d*dang)/n in the same IEEE operation order, so ranks
+        # remain bit-identical to the sequential oracle.
+        dang_df = linked.filter(F.col("outw").isNull()).agg(
+            _sorted_sum("rank").alias("_dang")
+        )
+        base_col = F.lit((1.0 - damping) / n) + (
+            F.lit(damping) * F.coalesce(F.col("_dang"), F.lit(0.0))
+        ) / F.lit(float(n))
         contrib = (
             linked.filter(F.col("outw").isNotNull())
             .join(e, "src")
@@ -87,12 +95,19 @@ def pagerank(
         inc = contrib.groupBy("dst").agg(agg_c.alias("inc"))
         ranks = (
             nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .crossJoin(dang_df)
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0.0))).alias("rank"),
+                (base_col + F.coalesce(F.col("inc"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # host graphs are orders of magnitude smaller than the corpus; when
+        # the node count (already known exactly) is small, checkpoint one
+        # partition instead of shuffle-partition-many near-empty ones —
+        # partitioning only, rows unchanged. Large graphs keep full width.
+        if n <= 100_000:
+            ranks = ranks.coalesce(1)
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

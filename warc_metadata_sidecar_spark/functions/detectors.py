@@ -1033,11 +1033,20 @@ def detect_language(text: str | None) -> dict | None:
         # results to the per-token walk with fewer Python-level operations
         n_tokens = len(raw_tokens)
         counts = Counter(map(str.lower, raw_tokens))
-        for marker, langs in _MARKER_LANGS.items():
-            c = counts.get(marker)
-            if c:
-                for code in langs:
-                    hit_counts[code] = hit_counts.get(code, 0) + c
+        # probe whichever side is smaller — identical accumulation (integer
+        # adds commute), ~2x fewer dict probes on typical short documents
+        if len(counts) < len(_MARKER_LANGS):
+            for tok, c in counts.items():
+                langs = _MARKER_LANGS.get(tok)
+                if langs:
+                    for code in langs:
+                        hit_counts[code] = hit_counts.get(code, 0) + c
+        else:
+            for marker, langs in _MARKER_LANGS.items():
+                c = counts.get(marker)
+                if c:
+                    for code in langs:
+                        hit_counts[code] = hit_counts.get(code, 0) + c
         # r5 script-first languages, still on the fast path: one regex
         # search gates a scan over UNIQUE tokens (first-char script class)
         if _R5_SCRIPT_RE.search(cleaned):

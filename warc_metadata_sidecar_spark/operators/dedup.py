@@ -492,6 +492,7 @@ def containment_pairs(
     max_df: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate detection by shingle containment (r7):
     containment(a in b) = |S_a ∩ S_b| / |S_a| over distinct word n-gram
@@ -537,6 +538,14 @@ def containment_pairs(
         .select("doc_id", F.md5("g").alias("gh"))
         .distinct()
     )
+    # The gram table feeds FOUR consumers (df prune, both self-join sides,
+    # per-doc sizes); Spark re-executes the scan+explode+distinct lineage per
+    # consumer (predicate pushdown specializes each branch, so ReuseExchange
+    # never fires — measured 5 Generates at runtime). Materializing the
+    # distinct (doc, gh) table once is the guide-§8 "compute the lightweight
+    # proxy once" move: every downstream pass reads hashes, not documents.
+    if materialize:
+        grams = grams.localCheckpoint(eager=True)
     df_per = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     pruned = grams.join(df_per.filter(F.col("df") <= max_df), "gh")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

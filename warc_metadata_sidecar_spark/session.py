@@ -59,4 +59,39 @@ def build_session(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm(spark)
     return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm(spark: SparkSession) -> None:
+    """One-time per-application warmup: run one tiny shuffle job and one
+    Arrow pandas-UDF round trip so codegen, the shuffle machinery and the
+    Python worker pool are initialized when the first real query runs —
+    the local-mode analog of a warm cluster (executors and workers already
+    up). Touches no input data, computes nothing reusable; ~1s once.
+    Disable with SPARK_GRAFT_NO_WARMUP=1."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).groupBy((F.col("id") % 8).alias("k")).count()
+        df.write.format("noop").mode("overwrite").save()
+
+        @F.pandas_udf("long")
+        def _idy(s: pd.Series) -> pd.Series:
+            return s
+
+        spark.range(1000).select(_idy("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
