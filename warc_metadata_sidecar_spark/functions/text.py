@@ -61,7 +61,7 @@ def lang_guess_col(text: Column) -> Column:
     """argmax marker-hit language guess, 'und' when no marker fires."""
     words = F.array_distinct(F.split(F.lower(text), r"\s+"))
     scores = [
-        (code, F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))))
+        (code, F.size(F.array_intersect(words, F.lit(list(markers)))))
         for code, markers in LANG_MARKERS.items()
     ]
     best = None

@@ -146,7 +146,9 @@ def train_linear_classifier(
     w = [0.0] * N_FEATURE_BUCKETS
     bias = 0.0
     for _ in range(iters):
-        wlit = F.array(*[F.lit(x) for x in w])
+        # one py4j call for the whole weight vector (256 F.lit calls cost
+        # ~0.3s of driver time per iteration); identical array literal
+        wlit = F.lit(w)
         prods = F.transform(
             F.col("fb"),
             lambda s: (s["cnt"].cast("double") / F.col("n_words"))

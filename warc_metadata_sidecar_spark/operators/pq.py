@@ -77,7 +77,9 @@ def pq_train_codebooks(
 
 
 def _lit_book(book: list[list[float]]) -> F.Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+    # one py4j call for the whole codebook literal (was ksub*d_sub F.lit
+    # round trips); identical nested-array literal
+    return F.lit([[float(x) for x in c] for c in book])
 
 
 def _l2_expr(a: F.Column, b: F.Column) -> F.Column:
@@ -112,8 +114,7 @@ def pq_encode(
     e = e.withColumn("codes", F.array(*code)).drop(*[f"_d{j}" for j in range(m)])
     # ‖v̂‖² = Σ_j ‖centroid_j_codej‖² — literal norm tables, m lookups
     norm_tables = [
-        F.array(*[F.lit(float(sum(x * x for x in c))) for c in books[j]])
-        for j in range(m)
+        F.lit([float(sum(x * x for x in c)) for c in books[j]]) for j in range(m)
     ]
     n2 = None
     for j in range(m):
@@ -217,8 +218,7 @@ def pq_top1(
         sim = _safe_cos(dot, F.col("a.qnorm") * F.col("b.rnorm"))
     else:
         lit_t = [
-            F.array(*[F.array(*[F.lit(v) for v in row]) for row in t])
-            for t in sdc_tables(books)
+            F.lit([[float(v) for v in row] for row in t]) for t in sdc_tables(books)
         ]
         for j, t in enumerate(lit_t):
             term = F.element_at(
@@ -391,8 +391,8 @@ def sq_encode(
     # before this rewrite). zip_with evaluates each array child exactly
     # once, and the per-dim params ride as CONSTANT-FOLDED literal arrays
     # with O(1) element_at.
-    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
-    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    mins_arr = F.lit([float(m) for m in mins])
+    scales_arr = F.lit([float(s) for s in scales])
     pos = F.sequence(F.lit(1), F.lit(len(mins)))
     codes = F.zip_with(
         F.col(vec_col).cast("array<double>"),
@@ -427,8 +427,8 @@ def sq_roundtrip(
     enc = sq_encode(embeddings, mins, maxs, id_col, vec_col, bits)
     # dq built by zip_with(codes, positions) — codes referenced ONCE, so
     # CollapseProject inlining its zip_with costs O(dims), never O(dims^2)
-    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
-    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    mins_arr = F.lit([float(m) for m in mins])
+    scales_arr = F.lit([float(s) for s in scales])
     pos = F.sequence(F.lit(1), F.lit(dims))
     dq = F.zip_with(
         F.col("codes"),

@@ -136,11 +136,13 @@ def ivf_train_centroids(
         .limit(k)
     )
     w_init = Window.orderBy("_h", "_id")
-    centroids = (
-        seeds.withColumn("_rn", F.row_number().over(w_init))
-        .select((F.col("_rn") - 1).alias("centroid_id"), F.col("_v").alias("centroid"))
-        .localCheckpoint(eager=True)
+    centroids = seeds.withColumn("_rn", F.row_number().over(w_init)).select(
+        (F.col("_rn") - 1).alias("centroid_id"), F.col("_v").alias("centroid")
     )
+    # no eager checkpoint of the k-row seed table: it is read exactly once
+    # (by iteration 1, whose own checkpoint bounds the lineage), so the
+    # extra materialization job bought nothing (r8). iters=0 callers get
+    # the lazy seed frame — k rows, evaluated once downstream.
     for _ in range(iters):
         assigned = _assign_buckets(e, centroids, "_id", "_v", nprobe=1, metric=metric)
         centroids = (
@@ -465,48 +467,39 @@ def _srp_bucket_expr(
 
     hyperplanes = srp_hyperplanes(planes, table, dims) if dims is not None else None
 
-    def plane_component(p: int):
-        # one-arg lambda on purpose: a second parameter would make pyspark
-        # pass (element, index) and shadow the plane id
-        prefix = f"{table}:{p}:" if table else f"{p}:"
-
-        def component(d):
-            return (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 1),
-                ).cast("double")
-                - F.lit(7.5)
-            )
-
-        return component
-
+    # Built as ONE SQL expression string (r8): the Column-by-Column form made
+    # ~3,500 py4j round trips per table (64 F.lit per plane literal + lambda
+    # conversions for the md5 fallback) — several SECONDS of driver-side
+    # construction before any job ran. One F.expr per table is ~1 round trip;
+    # the parsed expression tree is operator-for-operator identical, so
+    # buckets are unchanged (pinned by tests/test_dedup_similarity.py).
+    v = f"`{vec_col}`"
     bits = []
     for p in range(planes):
-        md5_hp = F.transform(
-            F.sequence(F.lit(0), F.size(vec_col) - 1), plane_component(p)
+        prefix = f"{table}:{p}:" if table else f"{p}:"
+        md5_hp = (
+            f"transform(sequence(0, size({v}) - 1), d -> "
+            f"CAST(instr('0123456789abcdef', substring(md5(concat('{prefix}', "
+            f"CAST(d AS STRING))), 1, 1)) AS DOUBLE) - 7.5D)"
         )
         if hyperplanes is not None:
             # the literal plane only applies to rows of the sampled width;
             # any other width falls back to the md5 form per row (zip_with
             # against a wrong-length literal would null-pad and silently
             # collapse those vectors toward bucket 0)
-            hp = F.when(
-                F.size(vec_col) == F.lit(dims),
-                F.array(*[F.lit(v) for v in hyperplanes[p]]),
-            ).otherwise(md5_hp)
+            lits = ", ".join(f"{x!r}D" for x in hyperplanes[p])
+            hp = (
+                f"CASE WHEN size({v}) = {dims} THEN array({lits}) "
+                f"ELSE {md5_hp} END"
+            )
         else:
             hp = md5_hp
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), hp, lambda x, h: x * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dot = (
+            f"aggregate(zip_with({v}, {hp}, (x, h) -> x * h), "
+            f"CAST(0 AS DOUBLE), (acc, vv) -> acc + vv)"
         )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for bcol in bits[1:]:
-        bucket = bucket + bcol
-    return bucket
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
 
 
 def _infer_dims(e: DataFrame, vec_col: str) -> int | None:
