@@ -93,15 +93,20 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     rules = rule_rows.groupBy("host").agg(
         F.collect_list(F.struct("p", "a", "w", "re")).alias("_rules")
     )
-    path = F.regexp_replace(
+    # the path is hoisted to a named column so its two regexp_replace calls
+    # evaluate once per candidate row — inlined in the filter lambda they
+    # re-evaluate once per RULE element (r8)
+    path_expr = F.regexp_replace(
         F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "^[^/]*", ""
     )
-    joined = candidates.join(F.broadcast(rules), "host", "left")
-    matches = F.filter(F.col("_rules"), lambda r: _rule_match(path, r))
+    joined = candidates.withColumn("_path", path_expr).join(
+        F.broadcast(rules), "host", "left"
+    )
+    matches = F.filter(F.col("_rules"), lambda r: _rule_match(F.col("_path"), r))
     best = F.array_max(
         F.transform(matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a")))
     )
-    return joined.filter(best.isNull() | best["a"]).drop("_rules")
+    return joined.filter(best.isNull() | best["a"]).drop("_rules", "_path")
 
 
 def host_budgets(robots: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:

@@ -258,8 +258,6 @@ def update_filter_shards(
         .filter(F.col("k").isNotNull())
         .withColumn("shard", shard_expr(F.col("k"), num_shards))
     )
-    if existing is None:
-        existing = spark.createDataFrame([], FILTERS_SCHEMA)
 
     def merge(key_tuple, new_keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
         shard = int(key_tuple[0])
@@ -272,6 +270,14 @@ def update_filter_shards(
         return pd.DataFrame(
             [{"shard": shard, "state": serialize_tiered(t), "adds": t._adds}]
         )
+
+    if existing is None:
+        # fresh build: plain grouped apply — no cogroup against a
+        # synthesized empty frame (one less plan leg; same merge fn)
+        def build(key_tuple, new_keys: pd.DataFrame) -> pd.DataFrame:
+            return merge(key_tuple, new_keys, pd.DataFrame(columns=["state"]))
+
+        return keys.groupBy("shard").applyInPandas(build, FILTERS_SCHEMA)
 
     return (
         keys.groupBy("shard")

@@ -361,12 +361,11 @@ def tfidf_keywords(
     ).filter(F.col("w") != "")
     n_docs = float(docs.count())
     tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = (
-        base.select("doc_id", "w")
-        .distinct()
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # tf already holds exactly one row per distinct (doc, term), so df is a
+    # count over tf — the old distinct() shuffled the full exploded token
+    # set a second time for the same number (r8; one less exchange,
+    # identical counts)
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
     scored = tf.join(df_t, "w").select(
