@@ -60,20 +60,33 @@ def pq_train_codebooks(
     encoding argmins over whatever survived)."""
     d_sub = dims // m
     e = _as_double(embeddings, vec_col).select(id_col, vec_col)
-    books: list[list[list[float]]] = []
-    for j in range(m):
+    # the m sub-quantizers are independent — overlap their training jobs
+    # from a small thread pool (guide §2.6) instead of m sequential
+    # count+iterate+collect chains; each training is deterministic, so the
+    # books are byte-identical to the sequential loop's (pinned by
+    # tests/test_pq.py). The sampling modulus depends only on the row
+    # count, identical for every subspace — computed once here.
+    n = e.count()
+    sample_mod = max(1, -(-n // (512 * ksub)))
+
+    def train_one(j: int) -> list[list[float]]:
         sub = e.select(
             F.col(id_col),
             F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("sub"),
         )
         cents = ivf_train_centroids(
-            sub, k=ksub, id_col=id_col, vec_col="sub", iters=iters, metric="l2"
+            sub, k=ksub, id_col=id_col, vec_col="sub", iters=iters,
+            sample_mod=sample_mod, metric="l2",
         )
         rows = sorted(
             (r["centroid_id"], list(r["centroid"])) for r in cents.collect()
         )
-        books.append([v for _, v in rows])
-    return books
+        return [v for _, v in rows]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(train_one, range(m)))
 
 
 def _lit_book(book: list[list[float]]) -> F.Column:
