@@ -68,7 +68,11 @@ def pagerank(
     )
     n = nodes.count()
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # no checkpoint on the initial ranks: it is a constant-column projection
+    # of the already-checkpointed nodes frame, so iteration 1's two
+    # references just re-project the materialized blocks (r8; one fewer
+    # sequential job)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         linked = ranks.join(outw, ranks["node"] == outw["src"], "left")
         # dangling mass stays IN the plan as a one-row cross-joined
