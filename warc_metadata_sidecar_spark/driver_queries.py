@@ -3571,6 +3571,95 @@ ORDER BY feed_url, url, feed_kind
 """
 
 
+_LM_DOCBG_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' '),
+                             ' +', ' ')) AS t
+  FROM documents
+),
+nz AS (SELECT * FROM norm WHERE length(t) >= 2),
+bg AS (
+  SELECT doc_id, substr(t, i, 2) AS b
+  FROM nz LATERAL VIEW explode(sequence(1, length(t) - 1)) _lat AS i
+)
+SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS n FROM bg GROUP BY doc_id, b
+"""
+
+# model + scoring over a MATERIALIZED docbg view (see lm_perplexity_q):
+# counts.c = SUM of per-doc counts — integer-valued doubles, exactly the
+# canonical count(*) over the raw bigrams; everything else is the
+# _LM_CTES_SPARK arithmetic unchanged.
+_LM_SCORED_SQL = """
+counts AS (SELECT b, SUM(n) AS c FROM _r8_lm_docbg GROUP BY b),
+model AS (
+  SELECT cm,
+         map_from_entries(transform(
+           array_distinct(transform(map_keys(cm), bb -> substr(bb, 1, 1))),
+           c1 -> struct(c1, aggregate(
+             filter(map_entries(cm), e -> substr(e.key, 1, 1) = c1),
+             CAST(0 AS DOUBLE), (acc, e) -> acc + e.value)))) AS tm,
+         CAST(size(array_distinct(flatten(transform(map_keys(cm),
+              bb -> array(substr(bb, 1, 1), substr(bb, 2, 1)))))) AS DOUBLE) AS v
+  FROM (SELECT map_from_entries(collect_list(struct(b, c))) AS cm FROM counts) m0
+),
+scored AS (
+  SELECT d.doc_id,
+         SUM(d.n) AS n_bigrams,
+         SUM(d.n * log2((element_at(m.cm, d.b) + 1)
+                        / (element_at(m.tm, substr(d.b, 1, 1)) + m.v))) AS logsum
+  FROM _r8_lm_docbg d CROSS JOIN model m
+  GROUP BY d.doc_id
+)"""
+
+
+def _lm_docbg_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the per-doc bigram count table once per invocation
+    (localCheckpoint, computed from the parquet inputs inside the timed
+    call). The canonical LM statement's model CTEs re-run the char-bigram
+    explode per reference; with docbg materialized, the whole query is
+    ONE explode + small aggregations."""
+    register_views(spark, sf_dir)
+    docbg = spark.sql(_LM_DOCBG_SQL)
+    docbg.localCheckpoint(eager=True).createOrReplaceTempView("_r8_lm_docbg")
+
+
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side physical form of lm_perplexity (oracle unchanged):
+    materialized docbg + the single-row maps model of _LM_CTES_SPARK."""
+    _lm_docbg_view(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _LM_SCORED_SQL
+        + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
+FROM scored ORDER BY doc_id
+"""
+    )
+
+
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side physical form of ccnet_buckets (oracle unchanged)."""
+    _lm_docbg_view(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _LM_SCORED_SQL
+        + """,
+final AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(round(-logsum / n_bigrams, 4) AS DOUBLE) AS bits_per_char
+  FROM scored
+)
+SELECT doc_id, bits_per_char,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (SELECT *, ntile(3) OVER (ORDER BY bits_per_char, doc_id) AS nt FROM final) t
+ORDER BY doc_id
+"""
+    )
+
+
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side physical form of the canonical dedup_minhash_lsh twin
     (oracle side unchanged: duck_sql_for renders _Q["dedup_minhash_lsh"]).
@@ -6513,9 +6602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for name in ORACLE_QUERY_NAMES:
         out[name] = make(name)
-    # Spark-side physical form with materialized shingle/signature tables
-    # (r8); the oracle stays the canonical dual-dialect SQL.
+    # Spark-side physical forms with materialized proxy tables (r8);
+    # the oracles stay the canonical dual-dialect SQL.
     out["dedup_minhash_lsh"] = dedup_minhash_lsh_q
+    out["lm_perplexity"] = lm_perplexity_q
+    out["ccnet_buckets"] = ccnet_buckets_q
     out["flagship_sidecar"] = flagship_sidecar
     out["flagship_counters"] = flagship_counters
     out["crawl_rounds"] = crawl_rounds
