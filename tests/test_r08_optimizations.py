@@ -12,6 +12,8 @@ would not isolate on their own:
      produce byte-identical filter states to the cogroup-with-empty path.
   3. containment_pairs with materialize=True (the new default) must equal
      materialize=False rows exactly.
+  4. tfidf_keywords with materialize=True (the new default) must equal
+     materialize=False rows exactly.
 """
 
 from __future__ import annotations
@@ -105,3 +107,21 @@ def test_containment_pairs_materialize_equals_recompute(spark):
     )
     assert a == b
     assert a  # the fixture must actually produce pairs
+
+
+def test_tfidf_keywords_materialize_equals_recompute(spark):
+    from warc_metadata_sidecar_spark.operators.quality import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry date"),
+            (2, "banana cherry cherry cherry elderberry"),
+            (3, "apple fig grape fig fig"),
+            (4, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, tfidf_keywords(docs, k=3, materialize=True).collect()))
+    b = sorted(map(tuple, tfidf_keywords(docs, k=3, materialize=False).collect()))
+    assert a == b
+    assert a  # the fixture must actually produce keywords

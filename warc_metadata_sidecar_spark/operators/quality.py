@@ -344,6 +344,7 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document top-k keywords by tf-idf (r7): weight = tf * ln(N/df),
     the corpus-statistics summarizer a curation pipeline uses for topic
@@ -361,6 +362,14 @@ def tfidf_keywords(
     ).filter(F.col("w") != "")
     n_docs = float(docs.count())
     tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # The tf aggregate feeds TWO consumers (the df count and the scored
+    # join), and Spark re-executes the scan+explode+groupBy lineage per
+    # consumer (ReuseExchange never fires — the branches specialize;
+    # measured 4 Generates / 4 scans at runtime). Materializing the
+    # (doc, term, tf) table once is the containment_pairs guide-§8 move:
+    # both downstream passes read the token-proxy rows, not the documents.
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     # tf already holds exactly one row per distinct (doc, term), so df is a
     # count over tf — the old distinct() shuffled the full exploded token
     # set a second time for the same number (r8; one less exchange,
