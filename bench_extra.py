@@ -59,6 +59,37 @@ def main() -> None:
                 _noop(fn(spark, SF_DIR))
                 walls.append(round(time.time() - t0, 3))
             print(f"{name}: {walls} min={min(walls)}")
+    elif mode == "count":
+        # bench.py's own sink (.count()) — the driver-graded methodology:
+        # count() prunes unreferenced output columns and drops the final
+        # sort, so walls here are the ones bench.py actually sees.
+        for name in sys.argv[2:]:
+            fn = qs[name]
+            walls = []
+            for _ in range(REPS):
+                spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+                t0 = time.time()
+                _ = fn(spark, SF_DIR).count()
+                walls.append(round(time.time() - t0, 3))
+            print(f"{name}: {walls} min={min(walls)}")
+    elif mode == "phases":
+        # Cold-cost breakdown per query: construct (driver python + py4j),
+        # plan (analysis + optimization + physical planning + AQE prep),
+        # execute (count job incl. codegen compile on first run).
+        for name in sys.argv[2:]:
+            fn = qs[name]
+            for rep in range(REPS):
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                t1 = time.time()
+                df._jdf.queryExecution().executedPlan()
+                t2 = time.time()
+                _ = df.count()
+                t3 = time.time()
+                print(
+                    f"{name} rep{rep}: construct={t1 - t0:.3f} "
+                    f"plan={t2 - t1:.3f} exec={t3 - t2:.3f} total={t3 - t0:.3f}"
+                )
     else:  # sweep
         import json
 
