@@ -3652,7 +3652,10 @@ def _lm_docbg_view(spark: SparkSession, sf_dir: str) -> None:
     explode per reference; with docbg materialized, the whole query is
     ONE explode + small aggregations."""
     register_views(spark, sf_dir)
-    docbg = spark.sql(_LM_DOCBG_SQL)
+    # fan the single-split scan: the regex normalization + bigram lateral
+    # explode is the whole cost of this materialization job and runs
+    # pre-exchange; counts are integer-exact under any partitioning
+    docbg = spark.sql(_fan_sql(_LM_DOCBG_SQL, ("documents",)))
     docbg.localCheckpoint(eager=True).createOrReplaceTempView("_r8_lm_docbg")
 
 
