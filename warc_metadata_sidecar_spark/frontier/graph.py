@@ -73,7 +73,7 @@ def pagerank(
     # references just re-project the materialized blocks (r8; one fewer
     # sequential job)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for _it in range(iters):
         linked = ranks.join(outw, ranks["node"] == outw["src"], "left")
         # dangling mass stays IN the plan as a one-row cross-joined
         # aggregate instead of a per-iteration driver collect — one Spark
@@ -109,9 +109,22 @@ def pagerank(
         # the node count (already known exactly) is small, checkpoint one
         # partition instead of shuffle-partition-many near-empty ones —
         # partitioning only, rows unchanged. Large graphs keep full width.
+        #
+        # Checkpoint CADENCE (r8): each eager checkpoint is a serialized
+        # driver-blocking job, and on a small graph the un-checkpointed
+        # iteration subtree re-executes in ~2-3 parallel copies at trivial
+        # cost — so small graphs materialize every SECOND iteration (and
+        # always the last); the plan stays depth-2, never exponential.
+        # Large graphs keep the per-iteration checkpoint: there the 2-3x
+        # re-execution is corpus-scale work. Placement of a checkpoint
+        # changes materialization only, never values (sorted folds
+        # throughout).
         if n <= 100_000:
             ranks = ranks.coalesce(1)
-        ranks = ranks.localCheckpoint(eager=True)
+            if _it % 2 == 1 or _it == iters - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+        else:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
