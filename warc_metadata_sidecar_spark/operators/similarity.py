@@ -98,6 +98,7 @@ def ivf_train_centroids(
     iters: int = 2,
     sample_mod: int | None = None,
     metric: str = "cosine",
+    checkpoint_last: bool = True,
 ) -> DataFrame:
     """Lloyd-iterated centroids: (centroid_id, centroid:array<double>).
 
@@ -119,11 +120,13 @@ def ivf_train_centroids(
     e = _as_double(embeddings, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    n_known: int | None = None
     if sample_mod is None:
         # CEILING division (ADVICE r5): floor let corpora just under
         # 2*512*k resolve to mod=1 and train on ~double the documented
         # <= ~512*k-row bound (doubling the sorted-fold collect_list too)
-        sample_mod = max(1, -(-e.count() // (512 * k)))
+        n_known = e.count()
+        sample_mod = max(1, -(-n_known // (512 * k)))
     if sample_mod > 1:
         e = e.filter(F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(sample_mod)) == 0)
     # init = the k vectors with the smallest md5(id): orderBy().limit(k)
@@ -143,7 +146,21 @@ def ivf_train_centroids(
     # (by iteration 1, whose own checkpoint bounds the lineage), so the
     # extra materialization job bought nothing (r8). iters=0 callers get
     # the lazy seed frame — k rows, evaluated once downstream.
-    for _ in range(iters):
+    # Final-iteration checkpoint CADENCE (r8, the pagerank discipline):
+    # intermediate iterations MUST materialize (the next iteration
+    # references centroids through a broadcast — un-checkpointed lineage
+    # would nest), but the LAST frame's checkpoint only bounds consumer
+    # lineage. When the training sample is small (the bound the sample_mod
+    # design guarantees is known), consumers re-evaluating the sorted-fold
+    # agg in 1-3 parallel copies is cheaper than one more serialized
+    # driver-blocking job. Unknown or large samples keep the checkpoint.
+    # checkpoint_last=False is opted into by consumers whose final job
+    # evaluates the centroid lineage only in parallel subtrees
+    # (semantic_dedup); consumers that feed it into ANOTHER serialized
+    # checkpoint job (ivf_topk's assignment pass) keep the default — there
+    # the recompute measured slower, not faster.
+    sample_small = n_known is not None and (n_known // max(1, sample_mod)) <= 100_000
+    for _it in range(iters):
         assigned = _assign_buckets(e, centroids, "_id", "_v", nprobe=1, metric=metric)
         centroids = (
             assigned.select("bucket", F.posexplode("_v").alias("pos", "x"))
@@ -174,8 +191,9 @@ def ivf_train_centroids(
                 ).alias("centroid")
             )
             .select(F.col("bucket").alias("centroid_id"), "centroid")
-            .localCheckpoint(eager=True)
         )
+        if _it < iters - 1 or checkpoint_last or not sample_small:
+            centroids = centroids.localCheckpoint(eager=True)
     return centroids
 
 
@@ -670,7 +688,8 @@ def semantic_dedup(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
     cents = ivf_train_centroids(
-        e, k, id_col="_id", vec_col="_v", iters=iters, sample_mod=sample_mod
+        e, k, id_col="_id", vec_col="_v", iters=iters, sample_mod=sample_mod,
+        checkpoint_last=False,
     )
     if k > assign_coarse_threshold:
         assigned = _assign_buckets_coarse(
